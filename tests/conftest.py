@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-device data-parallel logic is tested on host CPU devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) — a genuine upgrade over
+the reference's mocked torch.distributed tests (SURVEY.md §4).
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    import jax
+
+    devices = jax.devices()
+    assert len(devices) >= 8, f"expected >=8 virtual devices, got {len(devices)}"
+    return devices
