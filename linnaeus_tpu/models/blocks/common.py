@@ -1,0 +1,120 @@
+"""Shared small blocks: Mlp, DropPath, ResNormLayer, initializers.
+
+Reference parity: models/blocks/mlp.py:11, models/blocks/drop_path.py:39,
+models/normalization/res_norm_layer.py:7, models/utils/initialization.py:11.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# trunc_normal(std=0.02) — the ViT/ConvNeXt init used throughout the reference
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def drop_path(
+    x: jnp.ndarray,
+    rate: float,
+    deterministic: bool,
+    rng: jax.Array | None,
+) -> jnp.ndarray:
+    """Per-sample stochastic depth. Keeps expected value via 1/keep scaling."""
+    if deterministic or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class DropPath(nn.Module):
+    """Stochastic-depth wrapper module (rng collection: 'dropout')."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.rate <= 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        return drop_path(x, self.rate, deterministic, rng)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: Dense -> act -> drop -> Dense -> drop."""
+
+    hidden_features: int
+    out_features: int
+    act: Callable = nn.gelu
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Dense(
+            self.hidden_features, kernel_init=trunc_normal_init, dtype=self.dtype
+        )(x)
+        x = self.act(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.out_features, kernel_init=trunc_normal_init, dtype=self.dtype
+        )(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class ResNormLayer(nn.Module):
+    """Residual 2-layer MLP with LayerNorms, used inside metadata heads.
+
+    (x -> Dense -> ReLU -> LN -> Dense -> ReLU -> LN) + x
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Dense(self.dim, kernel_init=trunc_normal_init, dtype=self.dtype)(x)
+        y = nn.relu(y)
+        y = nn.LayerNorm(dtype=self.dtype)(y)
+        y = nn.Dense(self.dim, kernel_init=trunc_normal_init, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.LayerNorm(dtype=self.dtype)(y)
+        return x + y
+
+
+class RMSNorm(nn.Module):
+    """Root-mean-square norm (reference: models/normalization/rms.py:11)."""
+
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.eps)
+        return (y * scale).astype(self.dtype)
+
+
+class MetaHead(nn.Module):
+    """Per-component metadata embedding head: Dense->ReLU->LN->ResNorm.
+
+    Reference parity: mFormerV1.py:286-307 (and mFormerV0's meta heads).
+    """
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.out_dim, kernel_init=trunc_normal_init, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = ResNormLayer(self.out_dim, dtype=self.dtype)(x)
+        return x

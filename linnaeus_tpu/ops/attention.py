@@ -1,0 +1,54 @@
+"""Attention dispatch: reference jnp path vs Pallas fused kernel.
+
+The jnp path mirrors the reference's fp32 softmax attention
+(rope_2d_mhsa.py:493-498); XLA fuses the scale/softmax chain and maps the two
+batched matmuls onto the MXU. The Pallas path (ops/flash_attention.py) is an
+online-softmax FlashAttention-2 kernel that never materializes the (N, N)
+attention matrix in HBM.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax.nn
+
+
+def sdpa_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Softmax attention, fp32 accumulation. q,k,v: (B, H, N, D)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out_dtype = v.dtype
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q.astype(jnp.float32) * scale,
+        k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(out_dtype)
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    use_flash: bool = False,
+) -> jnp.ndarray:
+    """Dispatch between the reference path and the Pallas flash kernel."""
+    if use_flash:
+        from linnaeus_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return sdpa_reference(q, k, v, scale=scale)

@@ -1,0 +1,142 @@
+"""2D Rotary Position Embedding math (pure jnp, real-valued).
+
+Behavioral spec from the reference (models/blocks/rope_2d_mhsa.py:57-218):
+mixed mode uses learnable per-head 2D frequencies initialized by projecting
+the 1D inverse-frequency ladder onto random planar directions; axial mode
+uses fixed per-axis frequency ladders (first half of the pair-dim rotates by
+x-angle, second half by y-angle). Rotation operates on (even, odd) feature
+pairs as complex multiplication — implemented here with real cos/sin ops,
+which XLA fuses into the surrounding elementwise graph (complex dtypes are
+avoided; the VPU has no native complex support).
+
+All angle math runs in float32 regardless of compute dtype (parity with the
+reference's fp32 "polar fix") and the rotated q/k are cast back to the input
+dtype.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def init_t_xy(end_x: int, end_y: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened (x, y) coordinates of an ``end_y``×``end_x`` grid, row-major."""
+    t = np.arange(end_x * end_y, dtype=np.float32)
+    t_x = t % end_x
+    t_y = np.floor(t / end_x)
+    return t_x, t_y
+
+
+def init_random_2d_freqs(
+    head_dim: int,
+    num_heads: int,
+    theta: float = 10000.0,
+    rotate: bool = True,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Learnable mixed-frequency init, shape (2, num_heads, head_dim//2).
+
+    The inverse-frequency ladder 1/theta^(2k/D) is projected onto a random
+    planar direction per head (reference: rope_2d_mhsa.py:76-112).
+    """
+    if rng is None:
+        rng = np.random.default_rng(0)
+    half = head_dim // 2
+    freq_seq = np.arange(0, head_dim, 2, dtype=np.float32)[:half] / head_dim
+    inv_freq = 1.0 / (theta**freq_seq)  # (half,)
+    fx, fy = [], []
+    for _ in range(num_heads):
+        angle = rng.uniform(0, 2 * np.pi) if rotate else 0.0
+        fx.append(inv_freq * np.cos(angle))
+        fy.append(inv_freq * np.sin(angle))
+    freqs = np.stack([np.stack(fx), np.stack(fy)], axis=0)  # (2, H, half)
+    return freqs.astype(np.float32)
+
+
+def compute_mixed_angles(
+    freqs: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotation angles for mixed (learnable) mode.
+
+    Args:
+        freqs: (2, num_heads, head_dim//2) learnable frequencies.
+        t_x, t_y: (N_img,) patch coordinates.
+    Returns:
+        (N_img, num_heads, head_dim//2) float32 angles.
+    """
+    freqs = freqs.astype(jnp.float32)
+    t_x = t_x.astype(jnp.float32)
+    t_y = t_y.astype(jnp.float32)
+    ax = jnp.einsum("n,hd->nhd", t_x, freqs[0])
+    ay = jnp.einsum("n,hd->nhd", t_y, freqs[1])
+    return ax + ay
+
+
+def compute_axial_angles(
+    head_dim: int,
+    num_heads: int,
+    grid_hw: tuple[int, int],
+    theta: float = 10000.0,
+) -> np.ndarray:
+    """Fixed axial angles, shape (N_img, num_heads, head_dim//2).
+
+    First ``head_dim//4`` pair-dims rotate with x-coordinates, the next with
+    y-coordinates; any remainder is left unrotated (angle 0) — reference
+    parity: rope_2d_mhsa.py:324-393.
+    """
+    H, W = grid_hw
+    half = head_dim // 2
+    freq_dim = max(half // 2, 1)
+    base = 1.0 / (
+        theta ** (np.arange(0, half, 2, dtype=np.float32)[:freq_dim] / half)
+    )
+    t_x, t_y = init_t_xy(W, H)
+    ang_x = np.einsum("n,d->nd", t_x, base)  # (N, freq_dim)
+    ang_y = np.einsum("n,d->nd", t_y, base)
+    angles = np.concatenate([ang_x, ang_y], axis=-1)  # (N, 2*freq_dim)
+    if angles.shape[-1] < half:
+        pad = np.zeros((angles.shape[0], half - angles.shape[-1]), dtype=np.float32)
+        angles = np.concatenate([angles, pad], axis=-1)
+    elif angles.shape[-1] > half:
+        angles = angles[:, :half]
+    # identical across heads
+    return np.broadcast_to(angles[:, None, :], (angles.shape[0], num_heads, half)).astype(
+        np.float32
+    )
+
+
+def apply_rotary_emb(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotate image-token q/k by per-position angles.
+
+    Args:
+        query, key: (B, num_heads, N_img, head_dim).
+        cos, sin: (N_img, num_heads, head_dim//2) — cos/sin of the angles.
+    Returns:
+        Rotated (q, k), same shape/dtype as inputs.
+    """
+    in_dtype = query.dtype
+    B, H, N, D = query.shape
+    half = D // 2
+    # (N, H, half) -> (1, H, N, half) for broadcasting
+    cos_b = jnp.transpose(cos, (1, 0, 2))[None].astype(jnp.float32)
+    sin_b = jnp.transpose(sin, (1, 0, 2))[None].astype(jnp.float32)
+
+    def rot(x):
+        x = x.astype(jnp.float32).reshape(B, H, N, half, 2)
+        xe, xo = x[..., 0], x[..., 1]
+        re = xe * cos_b - xo * sin_b
+        im = xe * sin_b + xo * cos_b
+        return jnp.stack([re, im], axis=-1).reshape(B, H, N, D)
+
+    return rot(query).astype(in_dtype), rot(key).astype(in_dtype)
+
+
+def angles_to_cos_sin(angles: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    angles = angles.astype(jnp.float32)
+    return jnp.cos(angles), jnp.sin(angles)

@@ -1,0 +1,11 @@
+from .ademamix import ademamix, scale_by_ademamix  # noqa: F401
+from .build import build_optimizer  # noqa: F401
+from .muon import muon, scale_by_muon, zeropower_via_newtonschulz5  # noqa: F401
+from .schedules import (  # noqa: F401
+    apply_lr_scaling,
+    build_schedule,
+    cosine_schedule,
+    linear_schedule,
+    step_schedule,
+    wsd_schedule,
+)

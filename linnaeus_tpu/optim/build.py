@@ -1,0 +1,145 @@
+"""Optimizer construction from config.
+
+Reference parity: optimizers/build.py:29-720 (single + multi-optimizer with
+per-group filters and LR multipliers, weight-decay skip for 1D/bias/norm
+params) and optimizers/multi_optimizer.py. Multi-group dispatch maps onto
+``optax.multi_transform`` with labels from the param-filter predicates — one
+optimizer state pytree, one jitted update, no Python-side fan-out.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+
+from linnaeus_tpu.utils.logging import get_main_logger
+from linnaeus_tpu.utils.param_filters import (
+    build_filter_from_config,
+    param_labels,
+)
+from .ademamix import ademamix
+from .muon import muon
+
+logger = get_main_logger()
+
+
+def _no_decay_mask(params):
+    """Decoupled-WD mask: skip 1D params (biases, norm scales, cls tokens
+    collapse to <=1 effective dims) — reference: set_weight_decay:687."""
+    return jax.tree.map(lambda p: p.ndim > 1, params)
+
+
+def _make_single(
+    name: str,
+    schedule: optax.ScalarOrSchedule,
+    config,
+    weight_decay: float | None = None,
+) -> optax.GradientTransformation:
+    opt = config.OPTIMIZER
+    wd = float(opt.WEIGHT_DECAY if weight_decay is None else weight_decay)
+    name = name.lower()
+    if name == "adamw":
+        betas = tuple(opt.BETAS)
+        return optax.adamw(
+            schedule,
+            b1=float(betas[0]),
+            b2=float(betas[1]),
+            eps=float(opt.EPS),
+            weight_decay=wd,
+            mask=_no_decay_mask,
+        )
+    if name == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=_no_decay_mask) if wd > 0 else optax.identity(),
+            optax.sgd(schedule, momentum=float(opt.MOMENTUM), nesterov=True),
+        )
+    if name == "muon":
+        m = opt.MUON
+        return muon(
+            schedule,
+            momentum=float(m.MOMENTUM),
+            nesterov=bool(m.NESTEROV),
+            ns_steps=int(m.NS_STEPS),
+            weight_decay=wd,
+            apply_scaling=bool(m.APPLY_SCALING),
+        )
+    if name == "ademamix":
+        betas = tuple(opt.BETAS)
+        t_ab3 = opt.get("T_ALPHA_BETA3")
+        return ademamix(
+            schedule,
+            b1=float(betas[0]),
+            b2=float(betas[1]),
+            b3=float(betas[2]) if len(betas) > 2 else 0.9999,
+            alpha=float(opt.ALPHA),
+            t_alpha_beta3=int(t_ab3) if t_ab3 else None,
+            eps=float(opt.EPS),
+            weight_decay=wd,
+        )
+    raise ValueError(f"Unknown OPTIMIZER.NAME '{name}'")
+
+
+def _scaled_schedule(schedule, multiplier: float):
+    if multiplier == 1.0:
+        return schedule
+    if callable(schedule):
+        return lambda step: schedule(step) * multiplier
+    return schedule * multiplier
+
+
+def build_optimizer(
+    config,
+    schedule: optax.ScalarOrSchedule,
+    params=None,
+) -> optax.GradientTransformation:
+    """Build the optimizer; multi-group configs need ``params`` for labeling.
+
+    Multi-group config surface (OPTIMIZER.PARAMETER_GROUPS):
+        ENABLED: true
+        DEFAULT: {OPTIMIZER, WEIGHT_DECAY, LR_MULTIPLIER}
+        <GROUP_NAME>: {OPTIMIZER, WEIGHT_DECAY, LR_MULTIPLIER, FILTER: {...}}
+    """
+    pg = config.OPTIMIZER.get("PARAMETER_GROUPS", {})
+    if not pg or not pg.get("ENABLED", False):
+        return _make_single(config.OPTIMIZER.NAME, schedule, config)
+
+    if params is None:
+        raise ValueError("Multi-group optimizer requires params for labeling")
+
+    groups: dict[str, Any] = {}
+    predicates: dict[str, Callable] = {}
+    for gname, gcfg in pg.items():
+        if gname in ("ENABLED", "DEFAULT") or not isinstance(gcfg, dict):
+            continue
+        fcfg = gcfg.get("FILTER")
+        if not fcfg:
+            logger.warning(f"Parameter group '{gname}' has no FILTER; skipping")
+            continue
+        predicates[gname] = build_filter_from_config(fcfg)
+        groups[gname] = gcfg
+
+    default_cfg = pg.get("DEFAULT", {})
+    transforms = {
+        "default": _make_single(
+            str(default_cfg.get("OPTIMIZER", config.OPTIMIZER.NAME)),
+            _scaled_schedule(schedule, float(default_cfg.get("LR_MULTIPLIER", 1.0))),
+            config,
+            weight_decay=default_cfg.get("WEIGHT_DECAY"),
+        )
+    }
+    for gname, gcfg in groups.items():
+        transforms[gname] = _make_single(
+            str(gcfg.get("OPTIMIZER", config.OPTIMIZER.NAME)),
+            _scaled_schedule(schedule, float(gcfg.get("LR_MULTIPLIER", 1.0))),
+            config,
+            weight_decay=gcfg.get("WEIGHT_DECAY"),
+        )
+
+    labels = param_labels(params, predicates, default="default")
+    logger.info(
+        f"Multi-group optimizer with groups: {sorted(transforms)} "
+        f"(optax.multi_transform)"
+    )
+    return optax.multi_transform(transforms, labels)

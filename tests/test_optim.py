@@ -1,0 +1,129 @@
+"""Optimizer & schedule tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from linnaeus_tpu.configuration import get_default_config
+from linnaeus_tpu.optim import (
+    ademamix,
+    apply_lr_scaling,
+    build_optimizer,
+    build_schedule,
+    muon,
+    wsd_schedule,
+    zeropower_via_newtonschulz5,
+)
+
+
+def test_newton_schulz_orthogonalizes():
+    g = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
+    o = np.asarray(zeropower_via_newtonschulz5(g, steps=5), dtype=np.float32)
+    gram = o.T @ o
+    # singular values pushed toward 1 (bf16 NS => loose tolerance)
+    s = np.linalg.svd(o, compute_uv=False)
+    assert s.max() < 1.6 and s.min() > 0.4
+    # direction preserved: sign pattern correlates with original
+    assert np.sign((g * o).sum()) == 1.0
+    del gram
+
+
+def test_muon_step_reduces_quadratic():
+    w = jnp.ones((8, 8))
+    opt = muon(0.1, momentum=0.9)
+    state = opt.init(w)
+
+    def loss(w):
+        return 0.5 * jnp.sum(w**2)
+
+    for _ in range(10):
+        g = jax.grad(loss)(w)
+        updates, state = opt.update(g, state, w)
+        w = optax.apply_updates(w, updates)
+    assert float(loss(w)) < 0.5 * 64
+
+
+def test_muon_passthrough_for_1d():
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    opt = muon(0.1)
+    state = opt.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(g, state, params)
+    # bias gets plain momentum-sgd (no orthogonalization crash)
+    assert updates["b"].shape == (4,)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_ademamix_converges():
+    w = jnp.array([5.0, -3.0])
+    opt = ademamix(0.5, alpha=2.0)
+    state = opt.init(w)
+
+    def loss(w):
+        return jnp.sum(w**2)
+
+    for _ in range(50):
+        g = jax.grad(loss)(w)
+        updates, state = opt.update(g, state, w)
+        w = optax.apply_updates(w, updates)
+    assert float(loss(w)) < 1.0
+
+
+def test_cosine_schedule_shape():
+    cfg = get_default_config()
+    cfg.LR_SCHEDULER.NAME = "cosine"
+    cfg.LR_SCHEDULER.BASE_LR = 1e-3
+    cfg.LR_SCHEDULER.MIN_LR = 1e-5
+    cfg.LR_SCHEDULER.WARMUP_STEPS = 10
+    cfg.LR_SCHEDULER.WARMUP_EPOCHS = 0
+    cfg.LR_SCHEDULER.WARMUP_LR = 1e-6
+    sched = build_schedule(cfg, total_steps=110, steps_per_epoch=0)
+    assert float(sched(0)) == pytest.approx(1e-6, rel=1e-3)
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(110)) == pytest.approx(1e-5, rel=1e-2)
+
+
+def test_wsd_schedule_phases():
+    sched = wsd_schedule(
+        1e-3, 1e-5, total_steps=100, warmup_steps=10,
+        stable_fraction=0.5, decay_fraction=0.4,
+    )
+    # stable plateau after warmup
+    assert float(sched(20)) == pytest.approx(1e-3, rel=1e-4)
+    assert float(sched(50)) == pytest.approx(1e-3, rel=1e-4)
+    # decays toward min
+    assert float(sched(95)) < 2e-4
+
+
+def test_lr_scaling():
+    cfg = get_default_config()
+    # reference_lr * bs / reference_bs
+    assert apply_lr_scaling(cfg, 1024) == pytest.approx(5e-5 * 1024 / 512)
+
+
+def test_multi_group_optimizer():
+    cfg = get_default_config()
+    cfg.OPTIMIZER.PARAMETER_GROUPS.ENABLED = True
+    cfg.OPTIMIZER.PARAMETER_GROUPS.merge_from_other_cfg(
+        type(cfg)(
+            {
+                "HEADS": {
+                    "OPTIMIZER": "adamw",
+                    "LR_MULTIPLIER": 10.0,
+                    "WEIGHT_DECAY": 0.0,
+                    "FILTER": {"TYPE": "name", "PATTERNS": ["head"]},
+                }
+            },
+            new_allowed=True,
+        )
+    )
+    params = {"backbone": {"kernel": jnp.ones((4, 4))}, "head": {"kernel": jnp.ones((4, 2))}}
+    opt = build_optimizer(cfg, 1e-3, params=params)
+    state = opt.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(g, state, params)
+    # heads get 10x LR => 10x larger updates (both adamw, same normalized grad)
+    ratio = float(jnp.abs(updates["head"]["kernel"]).mean() / jnp.abs(updates["backbone"]["kernel"]).mean())
+    assert ratio == pytest.approx(10.0, rel=0.05)
