@@ -1,0 +1,148 @@
+"""Dataset/loader orchestration (reference parity: h5data/build.py:114-1381).
+
+Supports the reference's four scenarios (docs/dev/98_architecture_notes.md):
+  1. separate train + val label files        (DATA.H5.TRAIN_LABELS_PATH + VAL_LABELS_PATH)
+  2. single label file, pure HDF5 images     (DATA.H5.LABELS_PATH + IMAGES_PATH)
+  3. single label file, hybrid image dir     (+ DATA.HYBRID.USE_HYBRID)
+  4. train-only (no validation file)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from linnaeus_tpu.parallel.mesh import get_process_count, get_process_index
+from linnaeus_tpu.utils.logging import get_main_logger
+from .datasets import (
+    DirImageSource,
+    H5ImageSource,
+    PrefetchingDataset,
+    SyntheticImageSource,
+)
+from .loader import H5DataLoader
+from .processor import DatasetProcessor, ProcessedLabels
+from .sampler import build_sampler
+
+logger = get_main_logger()
+
+
+def _image_source(config, labels: ProcessedLabels, images_path: str | None):
+    img_size = int(config.DATA.IMG_SIZE)
+    if config.DATA.HYBRID.USE_HYBRID:
+        return DirImageSource(
+            config.DATA.HYBRID.IMAGES_DIR,
+            labels.img_identifiers,
+            img_size,
+            file_extension=str(config.DATA.HYBRID.FILE_EXTENSION),
+            allow_missing=bool(config.DATA.HYBRID.ALLOW_MISSING_IMAGES),
+        )
+    if images_path:
+        return H5ImageSource(images_path, img_size)
+    logger.warning("No image source configured; using synthetic images")
+    return SyntheticImageSource(img_size, seed=int(config.MISC.SEED))
+
+
+def build_datasets(config) -> dict[str, Any]:
+    """Returns {train_dataset, val_dataset, processor, taxonomy_tree,
+    num_classes, train_indices, val_indices}."""
+    processor = DatasetProcessor(config)
+    h5 = config.DATA.H5
+
+    if h5.TRAIN_LABELS_PATH:
+        train_labels, val_labels = processor.process(
+            h5.TRAIN_LABELS_PATH, h5.VAL_LABELS_PATH
+        )
+        train_idx = train_labels.valid_indices()
+        val_idx = val_labels.valid_indices() if val_labels else None
+        train_images = h5.TRAIN_IMAGES_PATH or h5.IMAGES_PATH
+        val_images = h5.VAL_IMAGES_PATH or h5.IMAGES_PATH
+    elif h5.LABELS_PATH:
+        train_labels, val_labels, train_idx, val_idx = processor.process_single_file(
+            h5.LABELS_PATH,
+            split_ratio=float(h5.TRAIN_VAL_SPLIT_RATIO),
+            split_seed=int(h5.TRAIN_VAL_SPLIT_SEED),
+        )
+        train_images = val_images = h5.IMAGES_PATH
+    else:
+        raise ValueError(
+            "DATA.H5 must provide TRAIN_LABELS_PATH or LABELS_PATH"
+        )
+
+    mem_cache = int(config.DATA.PREFETCH.MEM_CACHE_SIZE)
+    train_dataset = PrefetchingDataset(
+        train_labels,
+        _image_source(config, train_labels, train_images),
+        processor.task_keys,
+        mem_cache_bytes=mem_cache,
+        simulate_hpc=bool(config.DATA.SIMULATE_HPC),
+        io_delay=float(config.DATA.IO_DELAY),
+    )
+    val_dataset = None
+    if val_labels is not None and val_idx is not None and len(val_idx) > 0:
+        val_dataset = PrefetchingDataset(
+            val_labels,
+            _image_source(config, val_labels, val_images),
+            processor.task_keys,
+            mem_cache_bytes=0,
+        )
+
+    return {
+        "train_dataset": train_dataset,
+        "val_dataset": val_dataset,
+        "processor": processor,
+        "taxonomy_tree": processor.taxonomy_tree,
+        "num_classes": dict(processor.num_classes),
+        "train_indices": np.asarray(train_idx),
+        "val_indices": np.asarray(val_idx) if val_idx is not None else None,
+    }
+
+
+def build_loaders(
+    config,
+    bundle: dict[str, Any],
+    device_put_fn=None,
+) -> tuple[H5DataLoader, H5DataLoader | None]:
+    pidx, pcnt = get_process_index(), get_process_count()
+    prefetch = config.DATA.PREFETCH
+
+    train_sampler = build_sampler(
+        config,
+        bundle["train_dataset"].labels.group_ids,
+        bundle["train_indices"],
+        int(config.DATA.BATCH_SIZE),
+        is_train=True,
+        process_index=pidx,
+        process_count=pcnt,
+    )
+    train_loader = H5DataLoader(
+        bundle["train_dataset"],
+        train_sampler,
+        num_io_threads=int(prefetch.NUM_IO_THREADS),
+        batch_concurrency=int(prefetch.BATCH_CONCURRENCY),
+        device_prefetch_depth=int(prefetch.get("DEVICE_PREFETCH_DEPTH", 2)),
+        device_put_fn=device_put_fn,
+        sleep_time=float(prefetch.SLEEP_TIME),
+    )
+
+    val_loader = None
+    if bundle["val_dataset"] is not None:
+        val_sampler = build_sampler(
+            config,
+            bundle["val_dataset"].labels.group_ids,
+            bundle["val_indices"],
+            int(config.DATA.BATCH_SIZE_VAL),
+            is_train=False,
+            process_index=pidx,
+            process_count=pcnt,
+        )
+        val_loader = H5DataLoader(
+            bundle["val_dataset"],
+            val_sampler,
+            num_io_threads=int(prefetch.NUM_IO_THREADS),
+            batch_concurrency=int(prefetch.BATCH_CONCURRENCY),
+            device_prefetch_depth=int(prefetch.get("DEVICE_PREFETCH_DEPTH", 2)),
+            device_put_fn=device_put_fn,
+        )
+    return train_loader, val_loader

@@ -1,0 +1,213 @@
+"""Dataset readers: HDF5 images, image-directory (hybrid), synthetic.
+
+Reference parity: h5data/prefetching_h5_dataset.py:15-389 (pure HDF5) and
+prefetching_hybrid_dataset.py:16-598 (labels in HDF5, images on disk with
+ALLOW_MISSING_IMAGES placeholder). Labels/metadata come pre-vectorized from
+the DatasetProcessor (ProcessedLabels); readers only produce image pixels.
+
+Threading: h5py handles are per-thread (threading.local) so the IO pool can
+read concurrently; raw decoded images go through a byte-budgeted LRU cache.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import numpy as np
+
+from linnaeus_tpu.utils.logging import get_h5data_logger
+from .memcache import MemoryCache
+from .processor import ProcessedLabels
+
+logger = get_h5data_logger()
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+    if img.shape[0] == size and img.shape[1] == size:
+        return img
+    if _HAS_CV2:
+        return cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+    from PIL import Image
+
+    return np.asarray(Image.fromarray(img).resize((size, size), Image.BILINEAR))
+
+
+class ImageSource:
+    """Abstract per-index image provider returning HWC uint8."""
+
+    def read(self, idx: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class H5ImageSource(ImageSource):
+    """Images from an HDF5 'images' dataset (one handle per thread)."""
+
+    def __init__(self, path: str, img_size: int, dataset: str = "images"):
+        self.path = path
+        self.img_size = img_size
+        self.dataset = dataset
+        self._local = threading.local()
+
+    def _file(self):
+        import h5py
+
+        if not hasattr(self._local, "f"):
+            self._local.f = h5py.File(self.path, "r")
+        return self._local.f
+
+    def read(self, idx: int) -> np.ndarray:
+        img = self._file()[self.dataset][idx]
+        return _resize(np.asarray(img), self.img_size)
+
+    def close(self) -> None:
+        f = getattr(self._local, "f", None)
+        if f is not None:
+            f.close()
+
+
+class DirImageSource(ImageSource):
+    """Images from a directory keyed by img_identifier (hybrid mode)."""
+
+    def __init__(
+        self,
+        images_dir: str,
+        identifiers: list[str],
+        img_size: int,
+        file_extension: str = ".jpg",
+        allow_missing: bool = False,
+    ):
+        self.images_dir = images_dir
+        self.identifiers = identifiers
+        self.img_size = img_size
+        self.ext = file_extension
+        self.allow_missing = allow_missing
+
+    def _path(self, idx: int) -> str:
+        ident = self.identifiers[idx]
+        if not ident.endswith(self.ext):
+            ident = ident + self.ext
+        return os.path.join(self.images_dir, ident)
+
+    def read(self, idx: int) -> np.ndarray:
+        path = self._path(idx)
+        if not os.path.exists(path):
+            if self.allow_missing:
+                return np.zeros((self.img_size, self.img_size, 3), np.uint8)
+            raise FileNotFoundError(path)
+        if _HAS_CV2:
+            img = cv2.imread(path, cv2.IMREAD_COLOR)
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        else:
+            from PIL import Image
+
+            img = np.asarray(Image.open(path).convert("RGB"))
+        return _resize(img, self.img_size)
+
+
+class SyntheticImageSource(ImageSource):
+    """Deterministic pseudo-random images (benchmarks / tests)."""
+
+    def __init__(self, img_size: int, seed: int = 0):
+        self.img_size = img_size
+        self.seed = seed
+
+    def read(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, idx))
+        return rng.integers(
+            0, 256, (self.img_size, self.img_size, 3), dtype=np.uint8
+        ).astype(np.uint8)
+
+
+class PrefetchingDataset:
+    """Combines an ImageSource with pre-vectorized labels into batches.
+
+    ``read_batch(indices)`` returns a dict of numpy arrays ready for
+    ``jax.device_put``: images [B,H,W,3] float32 in [0,1], one int32 label
+    vector per task, aux [B,meta_dim] float32, group_ids [B] int32.
+    """
+
+    def __init__(
+        self,
+        labels: ProcessedLabels,
+        image_source: ImageSource,
+        task_keys: list[str],
+        mem_cache_bytes: int = 0,
+        transform=None,
+        group_level: str | None = None,
+        simulate_hpc: bool = False,
+        io_delay: float = 0.0,
+    ):
+        self.labels = labels
+        self.source = image_source
+        self.task_keys = list(task_keys)
+        self.cache = MemoryCache(mem_cache_bytes) if mem_cache_bytes > 0 else None
+        self.transform = transform
+        self.group_level = group_level or (
+            list(labels.group_ids.keys())[0] if labels.group_ids else None
+        )
+        self.simulate_hpc = simulate_hpc
+        self.io_delay = io_delay
+
+    def __len__(self) -> int:
+        return self.labels.num_samples
+
+    def set_group_level(self, level: str) -> None:
+        if level in self.labels.group_ids:
+            self.group_level = level
+
+    def _read_image(self, idx: int) -> np.ndarray:
+        if self.simulate_hpc and self.io_delay > 0:
+            time.sleep(self.io_delay)
+        if self.cache is not None:
+            cached = self.cache.get(idx)
+            if cached is not None:
+                return cached
+        img = self.source.read(int(idx))
+        if self.cache is not None:
+            self.cache.put(idx, img, img.nbytes)
+        return img
+
+    def read_sample(self, idx: int):
+        img = self._read_image(idx)
+        if self.transform is not None:
+            img = self.transform(img)
+        return img
+
+    def read_batch(self, indices: np.ndarray, pool=None) -> dict:
+        indices = np.asarray(indices)
+        if pool is not None:
+            images = list(pool.map(self.read_sample, indices))
+        else:
+            images = [self.read_sample(i) for i in indices]
+        images = np.stack(images).astype(np.float32)
+        if images.max() > 1.5:  # uint8 range -> [0, 1]
+            images = images / 255.0
+        batch = {
+            "images": images,
+            "targets": {
+                t: self.labels.labels[t][indices].astype(np.int32)
+                for t in self.task_keys
+            },
+            "aux": self.labels.aux[indices].astype(np.float32),
+            "group_ids": (
+                self.labels.group_ids[self.group_level][indices].astype(np.int32)
+                if self.group_level
+                else np.zeros(len(indices), np.int32)
+            ),
+        }
+        return batch
+
+    def close(self) -> None:
+        self.source.close()

@@ -1,0 +1,134 @@
+"""Host-side prefetching loader: threaded HDF5/file reads -> numpy batches
+-> double-buffered device transfer.
+
+Replaces the reference's 3-stage thread pipeline (queues + sentinels,
+h5data/base_prefetching_dataset.py:22-807) with a simpler design that fits
+the TPU execution model: a thread pool reads+decodes samples, a bounded
+futures window keeps BATCH_CONCURRENCY batches in flight, and (optionally)
+finished numpy batches are immediately ``jax.device_put`` so transfer
+overlaps compute (DEVICE_PREFETCH_DEPTH deep). Mixing/masking run on-device
+inside the jitted step, so no per-sample CPU augmentation is required in the
+default configuration (AUG.SINGLE_AUG_DEVICE='device'); host AutoAugment
+plugs in as the dataset's ``transform``.
+
+Pipeline telemetry mirrors the reference's monitor thread
+(base_prefetching_dataset.py:729): throughput, in-flight depth, cache stats.
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from linnaeus_tpu.utils.logging import get_h5data_logger
+from .datasets import PrefetchingDataset
+from .sampler import GroupedBatchSampler
+
+logger = get_h5data_logger()
+
+
+class H5DataLoader:
+    def __init__(
+        self,
+        dataset: PrefetchingDataset,
+        sampler: GroupedBatchSampler,
+        num_io_threads: int = 4,
+        batch_concurrency: int = 4,
+        device_prefetch_depth: int = 2,
+        device_put_fn=None,
+        sleep_time: float = 0.0,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.num_io_threads = max(int(num_io_threads), 1)
+        self.batch_concurrency = max(int(batch_concurrency), 1)
+        self.device_prefetch_depth = max(int(device_prefetch_depth), 0)
+        self.device_put_fn = device_put_fn
+        self.sleep_time = sleep_time
+        self._pool: ThreadPoolExecutor | None = None
+        self.metrics = {
+            "batches_emitted": 0,
+            "samples_emitted": 0,
+            "throughput_samples_per_sec": 0.0,
+            "avg_wait_ms": 0.0,
+        }
+
+    # -------------------------------------------------------------- epoch API
+    def set_epoch(self, epoch: int) -> None:
+        self.sampler.set_epoch(epoch)
+
+    def set_group_level(self, level: str) -> None:
+        self.sampler.set_current_group_level(level)
+        self.dataset.set_group_level(level)
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def _ensure_pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_io_threads, thread_name_prefix="h5io"
+            )
+        return self._pool
+
+    def __iter__(self):
+        pool = self._ensure_pool()
+        batches = self.sampler.batches()
+        futures = collections.deque()
+        device_queue = collections.deque()
+        epoch_start = time.perf_counter()
+        total_wait = 0.0
+        emitted = 0
+
+        def submit(idx_array):
+            return pool.submit(self.dataset.read_batch, idx_array, pool=None)
+
+        bi = 0
+        # prime the window
+        while bi < len(batches) and len(futures) < self.batch_concurrency:
+            futures.append(submit(batches[bi]))
+            bi += 1
+
+        while futures or device_queue:
+            # keep the read window full
+            while bi < len(batches) and len(futures) < self.batch_concurrency:
+                futures.append(submit(batches[bi]))
+                bi += 1
+            # move finished host batches to the device queue
+            while futures and (
+                len(device_queue) < max(self.device_prefetch_depth, 1)
+            ):
+                t0 = time.perf_counter()
+                host_batch = futures.popleft().result()
+                total_wait += time.perf_counter() - t0
+                if self.device_put_fn is not None:
+                    host_batch = self.device_put_fn(host_batch)
+                device_queue.append(host_batch)
+                if self.sleep_time > 0:
+                    time.sleep(self.sleep_time)
+            batch = device_queue.popleft()
+            emitted += 1
+            self.metrics["batches_emitted"] += 1
+            self.metrics["samples_emitted"] += self.sampler.batch_size
+            yield batch
+
+        elapsed = max(time.perf_counter() - epoch_start, 1e-9)
+        self.metrics["throughput_samples_per_sec"] = (
+            emitted * self.sampler.batch_size / elapsed
+        )
+        self.metrics["avg_wait_ms"] = 1000.0 * total_wait / max(emitted, 1)
+
+    def pipeline_metrics(self) -> dict:
+        out = dict(self.metrics)
+        if self.dataset.cache is not None:
+            out["cache"] = self.dataset.cache.stats()
+        return out
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+        self.dataset.close()

@@ -1,0 +1,306 @@
+"""Jitted train / eval steps.
+
+One XLA computation per optimizer step (reference hot loop:
+train.py:13-443): on-device mixing + meta-masking (collate semantics), bf16
+forward, fp32 loss, backward, global-norm clip with pre/post measurement,
+optimizer update. Under a data-sharded batch the gradient all-reduce is
+inserted by XLA SPMD — the DDP-backward boundary of the reference
+(train.py:176) has no explicit analog here.
+
+Schedule-driven probabilities enter as traced scalars (``ScheduleScalars``)
+so the compiled step is reused across the whole schedule; gradient
+accumulation runs as a ``lax.scan`` over microbatches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from linnaeus_tpu.data.collate import (
+    MixConfig,
+    apply_meta_masking,
+    apply_mixing,
+    apply_partial_meta_masking,
+)
+from linnaeus_tpu.loss.hierarchical import weighted_hierarchical_loss
+from .state import TrainState
+
+
+class ScheduleScalars(NamedTuple):
+    """Per-step schedule operands (host-computed by OpsSchedule)."""
+
+    mix_prob: jnp.ndarray
+    use_cutmix: jnp.ndarray  # bool scalar
+    meta_mask_prob: jnp.ndarray
+    partial_mask_prob: jnp.ndarray
+    partial_combo_mask: jnp.ndarray  # [meta_dim] 0/1
+    null_mask_prob: jnp.ndarray
+
+    @classmethod
+    def from_ops_schedule(cls, ops_schedule, step: int, meta_dim: int, combo_mask=None):
+        import numpy as np
+
+        if combo_mask is None:
+            combo_mask = np.zeros((meta_dim,), dtype=np.float32)
+        return cls(
+            mix_prob=jnp.asarray(ops_schedule.get_mixup_prob(step), jnp.float32),
+            use_cutmix=jnp.asarray(ops_schedule.should_use_cutmix()),
+            meta_mask_prob=jnp.asarray(
+                ops_schedule.get_meta_mask_prob(step), jnp.float32
+            ),
+            partial_mask_prob=jnp.asarray(
+                ops_schedule.get_partial_meta_mask_prob(step), jnp.float32
+            ),
+            partial_combo_mask=jnp.asarray(combo_mask, jnp.float32),
+            null_mask_prob=jnp.asarray(
+                ops_schedule.get_null_mask_prob(step), jnp.float32
+            ),
+        )
+
+    @classmethod
+    def zeros(cls, meta_dim: int):
+        return cls(
+            mix_prob=jnp.float32(0.0),
+            use_cutmix=jnp.asarray(False),
+            meta_mask_prob=jnp.float32(0.0),
+            partial_mask_prob=jnp.float32(0.0),
+            partial_combo_mask=jnp.zeros((meta_dim,), jnp.float32),
+            null_mask_prob=jnp.float32(1.0),
+        )
+
+
+def _topk_correct(logits: jnp.ndarray, targets: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Count of samples whose true class is in the top-k predictions."""
+    true_idx = jnp.argmax(targets, axis=-1) if targets.ndim == 2 else targets
+    _, topk = jax.lax.top_k(logits, k)
+    return (topk == true_idx[:, None]).any(axis=-1).sum()
+
+
+def _accuracy_metrics(outputs, targets, prefix="") -> dict[str, jnp.ndarray]:
+    m = {}
+    for task, logits in outputs.items():
+        tgt = targets[task]
+        n = jnp.float32(logits.shape[0])
+        m[f"{prefix}acc1/{task}"] = _topk_correct(logits, tgt, 1) / n
+        k3 = min(3, logits.shape[-1])
+        m[f"{prefix}acc3/{task}"] = _topk_correct(logits, tgt, k3) / n
+    return m
+
+
+def make_train_step(
+    criteria: dict[str, Callable],
+    task_keys: tuple[str, ...],
+    mix_cfg: MixConfig,
+    clip_grad: float = 0.0,
+    accumulation_steps: int = 1,
+    phase1_mask_null: bool = False,
+    apply_class_weights: bool = True,
+    class_weights: dict[str, Any] | None = None,
+    has_meta: bool = True,
+    lr_schedule: Callable | None = None,
+    num_classes: dict[str, int] | None = None,
+):
+    """Build the jittable train step.
+
+    Returned fn: ``train_step(state, batch, scalars) -> (state, metrics)``
+    where batch = {images, targets: {task: one-hot [B,C] or int [B]}, aux,
+    group_ids}. Integer labels are one-hot encoded on device (saves host->HBM
+    bandwidth; requires ``num_classes``).
+    """
+    accum = max(int(accumulation_steps), 1)
+
+    def _ensure_soft(targets):
+        out = {}
+        for t, v in targets.items():
+            if v.ndim == 1:
+                if num_classes is None:
+                    raise ValueError(
+                        "integer targets require num_classes in make_train_step"
+                    )
+                # -1 (unmapped) encodes to an all-zero row -> zero loss mass
+                out[t] = jax.nn.one_hot(v, num_classes[t], dtype=jnp.float32)
+            else:
+                out[t] = v
+        return out
+
+    def preprocess(batch, rng):
+        r_mix, r_meta, r_partial = jax.random.split(rng, 3)
+        images = batch["images"]
+        targets = _ensure_soft(batch["targets"])
+        meta = batch.get("aux") if has_meta else None
+        group_ids = batch.get("group_ids")
+        scalars = batch["_scalars"]
+        if group_ids is None:
+            group_ids = jnp.zeros(images.shape[0], jnp.int32)
+        images, targets, meta, mixed_mask = apply_mixing(
+            images, targets, meta, group_ids, r_mix, mix_cfg,
+            scalars.mix_prob, scalars.use_cutmix,
+        )
+        masked_flags = None
+        if meta is not None:
+            meta, masked_flags = apply_meta_masking(
+                meta, r_meta, scalars.meta_mask_prob
+            )
+            meta = apply_partial_meta_masking(
+                meta, r_partial, scalars.partial_mask_prob,
+                scalars.partial_combo_mask, masked_flags,
+            )
+        return images, targets, meta, mixed_mask
+
+    def loss_fn(params, apply_fn, images, targets, meta, scalars, rng, task_weights):
+        r_drop, r_null, r_gumbel = jax.random.split(rng, 3)
+        outputs = apply_fn(
+            {"params": params},
+            images,
+            meta,
+            deterministic=False,
+            rngs={"dropout": r_drop, "gumbel": r_gumbel},
+        )
+        total, components = weighted_hierarchical_loss(
+            outputs,
+            targets,
+            criteria,
+            task_weights,
+            scalars.null_mask_prob,
+            r_null,
+            class_weights=class_weights,
+            phase1_mask_null=phase1_mask_null,
+            apply_class_weights=apply_class_weights,
+            task_keys=task_keys,
+        )
+        return total, (outputs, components)
+
+    def train_step(state: TrainState, batch: dict, scalars: ScheduleScalars):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        r_pre, r_loss = jax.random.split(step_rng)
+        batch = dict(batch)
+        batch["_scalars"] = scalars
+
+        if accum == 1:
+            images, targets, meta, mixed_mask = preprocess(batch, r_pre)
+            (total, (outputs, components)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(
+                state.params, state.apply_fn, images, targets, meta,
+                scalars, r_loss, state.gradnorm.task_weights,
+            )
+        else:
+            # microbatch scan: split leading dim into accum chunks
+            def split(x):
+                return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+            micro = {
+                "images": split(batch["images"]),
+                "targets": {t: split(v) for t, v in batch["targets"].items()},
+            }
+            if batch.get("aux") is not None and has_meta:
+                micro["aux"] = split(batch["aux"])
+            if batch.get("group_ids") is not None:
+                micro["group_ids"] = split(batch["group_ids"])
+
+            def body(carry, mb):
+                acc_grads, acc_loss, i = carry
+                mb = dict(mb)
+                mb["_scalars"] = scalars
+                r_i = jax.random.fold_in(r_pre, i)
+                images, targets, meta, _ = preprocess(mb, r_i)
+                (total, (_, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, state.apply_fn, images, targets, meta,
+                    scalars, jax.random.fold_in(r_loss, i),
+                    state.gradnorm.task_weights,
+                )
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                return (acc_grads, acc_loss + total, i + 1), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, total, _), _ = jax.lax.scan(
+                body, (zero_grads, jnp.float32(0.0), jnp.int32(0)), micro
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            total = total / accum
+            outputs, components, mixed_mask = None, {"total": total}, None
+
+        # fp32 grads for clip/update numerics
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        pre_clip_norm = optax.global_norm(grads)
+        if clip_grad and clip_grad > 0:
+            scale = jnp.minimum(1.0, clip_grad / (pre_clip_norm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        post_clip_norm = optax.global_norm(grads)
+
+        new_state = state.apply_gradients(grads)
+
+        metrics = {
+            "loss": components["total"],
+            "grad_norm_pre_clip": pre_clip_norm,
+            "grad_norm_post_clip": post_clip_norm,
+            "task_weights": state.gradnorm.task_weights,
+        }
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        if outputs is not None:
+            for t in task_keys:
+                metrics[f"loss/{t}"] = components["tasks"][t]
+            metrics.update(_accuracy_metrics(outputs, batch["targets"]))
+            metrics["mixed_frac"] = mixed_mask.astype(jnp.float32).mean()
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    criteria: dict[str, Callable],
+    task_keys: tuple[str, ...],
+    has_meta: bool = True,
+    num_classes: dict[str, int] | None = None,
+):
+    """Validation step: deterministic forward + unmasked loss + top-k counts.
+
+    ``mask_meta``: zero the entire aux vector (VALIDATION_MASK_META);
+    ``partial_combo_mask``: [meta_dim] 0/1 columns to zero
+    (VALIDATION_PARTIAL_MASK_META). Both are operands.
+    """
+
+    def eval_step(
+        state: TrainState,
+        batch: dict,
+        mask_meta: jnp.ndarray,
+        partial_combo_mask: jnp.ndarray,
+    ):
+        images = batch["images"]
+        targets = {}
+        for t, v in batch["targets"].items():
+            if v.ndim == 1:
+                targets[t] = jax.nn.one_hot(v, num_classes[t], dtype=jnp.float32)
+            else:
+                targets[t] = v
+        meta = batch.get("aux") if has_meta else None
+        if meta is not None:
+            meta = jnp.where(mask_meta, jnp.zeros_like(meta), meta)
+            meta = meta * (1.0 - partial_combo_mask)[None, :].astype(meta.dtype)
+        outputs = state.apply_fn({"params": state.params}, images, meta,
+                                 deterministic=True)
+        total, components = weighted_hierarchical_loss(
+            outputs,
+            targets,
+            criteria,
+            jnp.ones((len(task_keys),), jnp.float32),
+            1.0,
+            jax.random.PRNGKey(0),
+            is_validation=True,
+            task_keys=task_keys,
+        )
+        n = jnp.float32(images.shape[0])
+        metrics = {"loss": total, "count": n}
+        for t in task_keys:
+            metrics[f"loss/{t}"] = components["tasks"][t]
+            metrics[f"correct1/{t}"] = _topk_correct(outputs[t], targets[t], 1)
+            k3 = min(3, outputs[t].shape[-1])
+            metrics[f"correct3/{t}"] = _topk_correct(outputs[t], targets[t], k3)
+        return metrics, outputs
+
+    return eval_step

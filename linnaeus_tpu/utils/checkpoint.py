@@ -1,0 +1,185 @@
+"""Checkpointing: Orbax train-state PyTree + JSON sidecars.
+
+Reference parity: utils/checkpoint.py:513-1332. A checkpoint bundles the
+TrainState (params/opt-state/step/GradNorm/rng) plus JSON sidecars for
+TrainingProgress (incl. pending-validation replay state), metrics tracker,
+OpsSchedule RNG, config snapshot, and the wandb run id. Retention implements
+KEEP_TOP_N (by metric) + KEEP_LAST_N (checkpoint.py:1202) and
+``auto_resume_helper`` finds the latest checkpoint in a directory
+(checkpoint.py:1308).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from linnaeus_tpu.utils.logging import get_main_logger
+
+logger = get_main_logger()
+
+SIDECAR_NAME = "sidecar.json"
+STATE_DIR = "state"
+
+
+def _ckpt_name(step: int) -> str:
+    return f"checkpoint_step_{step:010d}"
+
+
+def save_checkpoint(
+    checkpoint_dir: str,
+    state,
+    training_progress=None,
+    metrics_state: dict | None = None,
+    ops_schedule_state: dict | None = None,
+    config_dump: str | None = None,
+    wandb_run_id: str | None = None,
+    metric_value: float | None = None,
+) -> str:
+    """Save one checkpoint; returns its path."""
+    step = int(jax.device_get(state.step))
+    path = os.path.abspath(os.path.join(checkpoint_dir, _ckpt_name(step)))
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, STATE_DIR), _as_pytree(state), force=True)
+
+    sidecar: dict[str, Any] = {
+        "step": step,
+        "metric_value": metric_value,
+        "wandb_run_id": wandb_run_id,
+    }
+    if training_progress is not None:
+        sidecar["training_progress"] = training_progress.state_dict()
+    if metrics_state is not None:
+        sidecar["metrics"] = metrics_state
+    if ops_schedule_state is not None:
+        sidecar["ops_schedule"] = ops_schedule_state
+    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
+        json.dump(sidecar, f, indent=2, default=_json_default)
+    if config_dump is not None:
+        with open(os.path.join(path, "config.yaml"), "w") as f:
+            f.write(config_dump)
+    logger.info(f"Saved checkpoint at step {step} -> {path}")
+    return path
+
+
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+def _as_pytree(state):
+    """TrainState -> pure-array pytree for Orbax (drop static fields)."""
+    return {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "gradnorm": {
+            "task_weights": state.gradnorm.task_weights,
+            "initial_losses": state.gradnorm.initial_losses,
+            "has_initted": state.gradnorm.has_initted,
+        },
+        "rng": state.rng,
+    }
+
+
+def load_checkpoint(path: str, state_template):
+    """Restore (state, sidecar) from a checkpoint directory.
+
+    ``state_template`` is a TrainState with the right structure (e.g. freshly
+    initialized) used as the abstract target.
+    """
+    from linnaeus_tpu.loss.gradnorm import GradNormState
+
+    template = _as_pytree(state_template)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.join(os.path.abspath(path), STATE_DIR),
+            jax.tree.map(ocp.utils.to_shape_dtype_struct, template),
+        )
+    state = state_template.replace(
+        step=restored["step"],
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        gradnorm=GradNormState(
+            task_weights=restored["gradnorm"]["task_weights"],
+            initial_losses=restored["gradnorm"]["initial_losses"],
+            has_initted=restored["gradnorm"]["has_initted"],
+        ),
+        rng=restored["rng"],
+    )
+    sidecar_path = os.path.join(path, SIDECAR_NAME)
+    sidecar = {}
+    if os.path.exists(sidecar_path):
+        with open(sidecar_path) as f:
+            sidecar = json.load(f)
+    logger.info(f"Loaded checkpoint from {path} (step {sidecar.get('step')})")
+    return state, sidecar
+
+
+def list_checkpoints(checkpoint_dir: str) -> list[str]:
+    if not os.path.isdir(checkpoint_dir):
+        return []
+    entries = [
+        os.path.join(checkpoint_dir, d)
+        for d in sorted(os.listdir(checkpoint_dir))
+        if d.startswith("checkpoint_step_")
+        and os.path.isdir(os.path.join(checkpoint_dir, d))
+    ]
+    return entries
+
+
+def auto_resume_helper(checkpoint_dir: str) -> str | None:
+    """Latest checkpoint path in dir, or None (checkpoint.py:1308)."""
+    ckpts = list_checkpoints(checkpoint_dir)
+    return ckpts[-1] if ckpts else None
+
+
+def manage_checkpoints(
+    checkpoint_dir: str,
+    keep_top_n: int = 0,
+    keep_last_n: int = 0,
+    higher_is_better: bool = True,
+) -> list[str]:
+    """Apply retention policy; returns deleted paths (checkpoint.py:1202).
+
+    Keeps the union of the N best (by sidecar metric_value) and the N most
+    recent; with both 0, keeps everything.
+    """
+    if keep_top_n <= 0 and keep_last_n <= 0:
+        return []
+    ckpts = list_checkpoints(checkpoint_dir)
+    keep: set[str] = set()
+    if keep_last_n > 0:
+        keep.update(ckpts[-keep_last_n:])
+    if keep_top_n > 0:
+        scored = []
+        for c in ckpts:
+            try:
+                with open(os.path.join(c, SIDECAR_NAME)) as f:
+                    mv = json.load(f).get("metric_value")
+            except (OSError, json.JSONDecodeError):
+                mv = None
+            if mv is not None:
+                scored.append((mv, c))
+        scored.sort(key=lambda x: x[0], reverse=higher_is_better)
+        keep.update(c for _, c in scored[:keep_top_n])
+    deleted = []
+    for c in ckpts:
+        if c not in keep:
+            shutil.rmtree(c, ignore_errors=True)
+            deleted.append(c)
+            logger.info(f"Retention: deleted {c}")
+    return deleted

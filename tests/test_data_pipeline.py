@@ -1,0 +1,185 @@
+"""Data pipeline tests on a synthetic HDF5 fixture (SURVEY.md §4 approach)."""
+
+import h5py
+import numpy as np
+import pytest
+
+from linnaeus_tpu.configuration import get_default_config
+from linnaeus_tpu.data.build import build_datasets, build_loaders
+from linnaeus_tpu.data.processor import DatasetProcessor
+from linnaeus_tpu.data.sampler import GroupedBatchSampler
+
+N = 64
+TASKS = ["taxa_L10", "taxa_L20"]
+
+
+@pytest.fixture(scope="module")
+def labels_h5(tmp_path_factory):
+    """Synthetic labels file: 64 samples, 8 species under 3 genera, temporal
+    (2) + spatial (3) metadata, some nulls and some missing spatial."""
+    path = str(tmp_path_factory.mktemp("h5") / "labels.h5")
+    rng = np.random.default_rng(0)
+    species = rng.integers(1, 9, N)  # taxon ids 1..8
+    species[:6] = 0  # nulls
+    genus_of = {s: 100 + (s - 1) // 3 for s in range(1, 9)}
+    genus = np.array([genus_of.get(int(s), 0) for s in species])
+    temporal = rng.normal(size=(N, 2)).astype(np.float32)
+    spatial = rng.normal(size=(N, 3)).astype(np.float32)
+    spatial[10:16] = 0.0  # missing spatial
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "img_identifiers",
+            data=np.array([f"img_{i:04d}" for i in range(N)], dtype="S16"),
+        )
+        f.create_dataset("taxa_L10", data=species.astype(np.int64))
+        f.create_dataset("taxa_L20", data=genus.astype(np.int64))
+        f.create_dataset("temporal", data=temporal)
+        f.create_dataset("spatial", data=spatial)
+    return path
+
+
+@pytest.fixture(scope="module")
+def images_h5(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("h5img") / "images.h5")
+    rng = np.random.default_rng(1)
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "images",
+            data=rng.integers(0, 256, (N, 16, 16, 3), dtype=np.uint8),
+        )
+    return path
+
+
+def small_config(labels_path, images_path):
+    cfg = get_default_config()
+    cfg.DATA.TASK_KEYS_H5 = list(TASKS)
+    cfg.DATA.PARTIAL.LEVELS = True
+    cfg.DATA.IMG_SIZE = 16
+    cfg.DATA.BATCH_SIZE = 8
+    cfg.DATA.BATCH_SIZE_VAL = 8
+    cfg.DATA.H5.LABELS_PATH = labels_path
+    cfg.DATA.H5.IMAGES_PATH = images_path
+    cfg.DATA.H5.TRAIN_VAL_SPLIT_RATIO = 0.75
+    cfg.DATA.PREFETCH.MEM_CACHE_SIZE = 1 << 20
+    cfg.SCHEDULE.MIX.GROUP_LEVELS = ["taxa_L20", "taxa_L10"]
+    cfg.DATA.SAMPLER.GROUPED_MODE = "mixed-pairs"
+    return cfg
+
+
+def test_processor_class_maps(labels_h5):
+    cfg = small_config(labels_h5, None)
+    proc = DatasetProcessor(cfg)
+    data, _, train_idx, val_idx = proc.process_single_file(labels_h5, 0.75, 42)
+    # null class occupies index 0 under PARTIAL.LEVELS
+    assert proc.class_to_idx["taxa_L10"]["null"] == 0
+    assert proc.num_classes["taxa_L10"] == 9  # 8 species + null
+    assert proc.num_classes["taxa_L20"] == 4  # 3 genera + null
+    # null samples map to index 0
+    assert (data.labels["taxa_L10"][:6] == 0).all()
+    # split partitions valid indices
+    assert len(set(train_idx) & set(val_idx)) == 0
+    assert len(train_idx) + len(val_idx) == N  # all valid under partial levels
+
+
+def test_processor_hierarchy_and_tree(labels_h5):
+    cfg = small_config(labels_h5, None)
+    proc = DatasetProcessor(cfg)
+    proc.process_single_file(labels_h5, 0.75, 42)
+    tree = proc.taxonomy_tree
+    assert tree is not None
+    # every non-null species has a genus parent
+    for sp_idx in range(1, 9):
+        parent = tree.get_parent(("taxa_L10", sp_idx))
+        assert parent is not None and parent[0] == "taxa_L20"
+    mats = tree.build_hierarchy_matrices()
+    m = mats["taxa_L20_taxa_L10"]
+    assert m.shape == (4, 9)
+    # column sums: each non-null child has exactly one parent
+    assert (m.sum(axis=0)[1:] == 1).all()
+
+
+def test_processor_densities(labels_h5):
+    cfg = small_config(labels_h5, None)
+    proc = DatasetProcessor(cfg)
+    proc.process_single_file(labels_h5, 0.75, 42)
+    d = proc.task_label_density["taxa_L10"]["all"]
+    assert d == pytest.approx((N - 6) / N)
+    assert proc.meta_label_density["SPATIAL"]["all"] == pytest.approx((N - 6) / N)
+
+
+def test_grouped_sampler_mixed_pairs(labels_h5):
+    cfg = small_config(labels_h5, None)
+    proc = DatasetProcessor(cfg)
+    data, _, train_idx, _ = proc.process_single_file(labels_h5, 0.75, 42)
+    sampler = GroupedBatchSampler(
+        data.group_ids, train_idx, batch_size=8, mode="mixed-pairs", seed=0,
+        initial_level="taxa_L20",
+    )
+    batches = sampler.batches()
+    assert batches, "no batches emitted"
+    gids = data.group_ids["taxa_L20"]
+    for b in batches:
+        assert len(b) == 8
+        # consecutive pairs share a group
+        for i in range(0, 8, 2):
+            assert gids[b[i]] == gids[b[i + 1]]
+            assert gids[b[i]] >= 0
+
+
+def test_grouped_sampler_epoch_determinism(labels_h5):
+    cfg = small_config(labels_h5, None)
+    proc = DatasetProcessor(cfg)
+    data, _, train_idx, _ = proc.process_single_file(labels_h5, 0.75, 42)
+    s1 = GroupedBatchSampler(data.group_ids, train_idx, 8, "mixed-pairs", seed=1)
+    s2 = GroupedBatchSampler(data.group_ids, train_idx, 8, "mixed-pairs", seed=1)
+    s1.set_epoch(3)
+    s2.set_epoch(3)
+    for a, b in zip(s1.batches(), s2.batches()):
+        np.testing.assert_array_equal(a, b)
+    s2.set_epoch(4)
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(s1.batches(), s2.batches())
+    )
+
+
+def test_strict_group_sharding(labels_h5):
+    cfg = small_config(labels_h5, None)
+    proc = DatasetProcessor(cfg)
+    data, _, train_idx, _ = proc.process_single_file(labels_h5, 0.75, 42)
+    seen = {}
+    for pidx in range(2):
+        s = GroupedBatchSampler(
+            data.group_ids, train_idx, 4, "strict-group",
+            process_index=pidx, process_count=2, seed=0,
+            initial_level="taxa_L20",
+        )
+        for b in s.batches():
+            for i in b:
+                gid = int(data.group_ids["taxa_L20"][i])
+                if gid >= 0:
+                    assert seen.setdefault(gid, pidx) == pidx, (
+                        f"group {gid} on two hosts"
+                    )
+
+
+def test_build_datasets_and_loader_end_to_end(labels_h5, images_h5):
+    cfg = small_config(labels_h5, images_h5)
+    bundle = build_datasets(cfg)
+    assert bundle["num_classes"]["taxa_L10"] == 9
+    train_loader, val_loader = build_loaders(cfg, bundle)
+    batches = list(train_loader)
+    assert batches
+    b = batches[0]
+    assert b["images"].shape == (8, 16, 16, 3)
+    assert b["images"].dtype == np.float32
+    assert b["images"].max() <= 1.0
+    assert b["targets"]["taxa_L10"].shape == (8,)
+    assert b["aux"].shape == (8, 5)
+    assert b["group_ids"].shape == (8,)
+    assert val_loader is not None
+    vb = list(val_loader)
+    assert vb and vb[0]["images"].shape[0] == 8
+    stats = train_loader.pipeline_metrics()
+    assert stats["batches_emitted"] == len(batches)
+    train_loader.close()
+    val_loader.close()
