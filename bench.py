@@ -6,14 +6,17 @@ Prints ONE JSON line:
 Baseline (BASELINE.md): the reference publishes no wall-clock numbers; the
 north-star target is >=5000 images/sec/chip inference for mFormerV1_sm on a
 v5e (per-chip share of the v5e-8 target). vs_baseline is measured/5000.
+
+Methodology: inputs vary per iteration (fold_in'd PRNG) so no layer of the
+stack can serve cached results; each iteration's output is reduced to a
+scalar that the host reads back, making the timing loop fully synchronous
+with device completion.
 """
 
 from __future__ import annotations
 
 import json
 import time
-
-import numpy as np
 
 
 def main() -> None:
@@ -24,24 +27,32 @@ def main() -> None:
 
     model = _flagship_model()
     batch = 256
-    images = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
-    aux = jnp.zeros((batch, 5), jnp.bfloat16)
+
+    @jax.jit
+    def make_inputs(key):
+        images = jax.random.normal(key, (batch, 224, 224, 3), jnp.bfloat16)
+        aux = jax.random.normal(key, (batch, 5), jnp.bfloat16)
+        return images, aux
+
+    images, aux = make_inputs(jax.random.PRNGKey(0))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, aux)["params"]
 
     @jax.jit
-    def forward(params, images, aux):
-        return model.apply({"params": params}, images, aux, deterministic=True)
+    def forward_sum(params, key):
+        images, aux = make_inputs(key)
+        out = model.apply({"params": params}, images, aux, deterministic=True)
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
 
     # warmup / compile
-    out = forward(params, images, aux)
-    jax.block_until_ready(out)
+    float(forward_sum(params, jax.random.PRNGKey(1)))
 
     iters = 20
     start = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, images, aux)
-    jax.block_until_ready(out)
+    acc = 0.0
+    for i in range(iters):
+        acc += float(forward_sum(params, jax.random.PRNGKey(100 + i)))
     elapsed = time.perf_counter() - start
+    assert acc == acc, "NaN in outputs"
 
     images_per_sec = batch * iters / elapsed
     target = 5000.0  # images/sec/chip north-star (BASELINE.json)

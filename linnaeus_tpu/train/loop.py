@@ -1,0 +1,447 @@
+"""Trainer — full training orchestration.
+
+Reference parity: linnaeus/main.py:426-2537 + train.py:13-443 +
+validation.py:49-637, reorganized around the JAX execution model:
+
+  build datasets -> model -> schedule -> optimizer -> TrainState -> mesh
+  -> epoch loop { train epoch -> checkpoint trigger -> validation passes }
+  with auto-resume (incl. pending-validation replay), GradNorm cadence,
+  early stop, retention policy, and phase-keyed metrics.
+
+One jitted train step + one jitted eval step serve the whole run; schedule
+values enter as operands. The mesh shards batches along 'data'; state is
+replicated (PARALLEL.PARAM_SHARDING='replicated').
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from linnaeus_tpu.configuration.utils import setup_output_dirs
+from linnaeus_tpu.data.build import build_datasets, build_loaders
+from linnaeus_tpu.data.collate import MixConfig
+from linnaeus_tpu.loss import prepare_loss_functions
+from linnaeus_tpu.loss.gradnorm import make_gradnorm_update_fn
+from linnaeus_tpu.metrics.chain_accuracy import chain_accuracy_counts
+from linnaeus_tpu.metrics.tracker import MetricsTracker
+from linnaeus_tpu.models.build import build_model, resolve_compute_dtype
+from linnaeus_tpu.optim import build_optimizer, build_schedule
+from linnaeus_tpu.ops_schedule import EarlyStopState, OpsSchedule, TrainingProgress
+from linnaeus_tpu.ops_schedule.training_progress import TrainingStage
+from linnaeus_tpu.parallel.mesh import (
+    create_mesh,
+    initialize_multi_host,
+    is_main_process,
+    replicate,
+    shard_batch,
+)
+from linnaeus_tpu.train.state import create_train_state
+from linnaeus_tpu.train.step import ScheduleScalars, make_eval_step, make_train_step
+from linnaeus_tpu.utils import checkpoint as ckpt
+from linnaeus_tpu.utils.logging import get_main_logger
+from linnaeus_tpu.utils.meta import (
+    compute_meta_chunk_bounds,
+    compute_meta_chunk_bounds_by_name,
+    total_meta_dim,
+)
+from linnaeus_tpu.utils.param_filters import trunk_mask_from_exclude
+
+logger = get_main_logger()
+
+
+def combo_to_mask(combo: list[str] | None, bounds_by_name: dict, meta_dim: int):
+    mask = np.zeros((meta_dim,), np.float32)
+    if combo:
+        for name in combo:
+            b = bounds_by_name.get(name.upper()) or bounds_by_name.get(name)
+            if b:
+                mask[b[0]:b[1]] = 1.0
+    return mask
+
+
+class Trainer:
+    def __init__(self, config, skip_validation: bool = False):
+        self.config = config
+        self.skip_validation = skip_validation
+        initialize_multi_host(config)
+        setup_output_dirs(config)
+        self.ckpt_dir = config.ENV.OUTPUT.DIRS.CHECKPOINTS
+
+        # ---------------- data
+        self.bundle = build_datasets(config)
+        self.num_classes = self.bundle["num_classes"]
+        self.task_keys = tuple(config.DATA.TASK_KEYS_H5)
+        self.taxonomy_tree = self.bundle["taxonomy_tree"]
+
+        # ---------------- mesh
+        self.mesh = create_mesh(config)
+        device_put = lambda b: shard_batch(b, self.mesh)  # noqa: E731
+        self.train_loader, self.val_loader = build_loaders(
+            config, self.bundle, device_put_fn=device_put
+        )
+        self.steps_per_epoch = max(len(self.train_loader), 1)
+        total_steps = self.steps_per_epoch * int(config.TRAIN.EPOCHS)
+        config.defrost()
+        config.LR_SCHEDULER.TOTAL_STEPS = total_steps
+        config.freeze()
+
+        # ---------------- progress & schedule
+        self.progress = TrainingProgress(expected_total_steps=total_steps)
+        self.metrics = MetricsTracker(list(self.task_keys))
+        self.ops_schedule = OpsSchedule(config, self.progress, self.metrics)
+        self.early_stop = EarlyStopState(
+            metric_name=str(config.TRAIN.EARLY_STOP.METRIC)
+        )
+
+        # ---------------- model / optimizer / state
+        self.model = build_model(config, self.num_classes, self.taxonomy_tree)
+        self.lr_schedule = build_schedule(config, total_steps, self.steps_per_epoch)
+        rng = jax.random.PRNGKey(int(config.MISC.SEED))
+        meta_dim = total_meta_dim(config)
+        init_images = jnp.zeros(
+            (2, *self._img_hw(), int(config.MODEL.IN_CHANS)),
+            resolve_compute_dtype(config),
+        )
+        init_aux = jnp.zeros((2, meta_dim), jnp.float32) if meta_dim else None
+        params = jax.jit(self.model.init)(rng, init_images, init_aux)["params"]
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        logger.info(f"Model params: {n_params:,}")
+        self.tx = build_optimizer(config, self.lr_schedule, params=params)
+
+        init_weights = list(config.LOSS.GRAD_WEIGHTING.TASK.INIT_WEIGHTS or [])
+        if not init_weights and (
+            str(config.LOSS.GRAD_WEIGHTING.TASK.INIT_STRATEGY) == "inverse_density"
+        ):
+            dens = self.bundle["processor"].task_label_density
+            vals = [
+                1.0 / max(dens.get(t, {}).get("train", dens.get(t, {}).get("all", 1.0)), 1e-3)
+                for t in self.task_keys
+            ]
+            init_weights = vals
+        self.state = create_train_state(
+            self.model, params, self.tx,
+            num_tasks=len(self.task_keys),
+            rng=jax.random.fold_in(rng, 1),
+            init_task_weights=init_weights if init_weights else None,
+        )
+        self.state = replicate(self.state, self.mesh)
+
+        # ---------------- losses & steps
+        self.train_criteria, self.val_criteria = prepare_loss_functions(
+            config, self.num_classes, self.taxonomy_tree
+        )
+        self.meta_dim = meta_dim
+        self.chunk_bounds = tuple(compute_meta_chunk_bounds(config))
+        self.bounds_by_name = compute_meta_chunk_bounds_by_name(config)
+        mix = config.SCHEDULE.MIX
+        mix_cfg = MixConfig(
+            mixup_alpha=float(mix.MIXUP.ALPHA),
+            cutmix_alpha=float(mix.CUTMIX.ALPHA),
+            mixup_enabled=bool(mix.MIXUP.ENABLED),
+            cutmix_enabled=bool(mix.CUTMIX.ENABLED),
+            exclude_null=bool(mix.EXCLUDE_NULL_SAMPLES),
+            null_task_keys=tuple(mix.NULL_TASK_KEYS or []),
+            chunk_bounds=self.chunk_bounds,
+        )
+        self._train_step = jax.jit(
+            make_train_step(
+                self.train_criteria,
+                self.task_keys,
+                mix_cfg,
+                clip_grad=float(config.TRAIN.CLIP_GRAD or 0.0),
+                accumulation_steps=max(int(config.TRAIN.ACCUMULATION_STEPS), 1),
+                phase1_mask_null=bool(config.TRAIN.PHASE1_MASK_NULL_LOSS),
+                has_meta=meta_dim > 0,
+                lr_schedule=self.lr_schedule,
+                num_classes=self.num_classes,
+            )
+        )
+        self._eval_step = jax.jit(
+            make_eval_step(
+                self.val_criteria, self.task_keys,
+                has_meta=meta_dim > 0, num_classes=self.num_classes,
+            )
+        )
+
+        # ---------------- GradNorm
+        gw = config.LOSS.GRAD_WEIGHTING.TASK
+        self._gradnorm_update = None
+        if str(gw.TYPE) == "gradnorm" and bool(gw.get("GRADNORM_ENABLED", True)):
+            def apply_fn(params, images, meta, deterministic=True, gradnorm_mode=True):
+                return self.model.apply(
+                    {"params": params}, images, meta,
+                    deterministic=deterministic, gradnorm_mode=gradnorm_mode,
+                )
+
+            trunk_filter = lambda params: trunk_mask_from_exclude(  # noqa: E731
+                params, gw.EXCLUDE_CONFIG
+            )
+            update = make_gradnorm_update_fn(
+                apply_fn,
+                self.train_criteria,
+                self.task_keys,
+                trunk_filter,
+                alpha=float(gw.ALPHA),
+                zero_aux_info=bool(gw.ZERO_AUX_INFO),
+                use_linear_heads=bool(gw.USE_LINEAR_HEADS_FOR_GRADNORM_REFORWARD),
+            )
+
+            def gradnorm_step(state, batch):
+                targets = {
+                    t: jax.nn.one_hot(v, self.num_classes[t])
+                    if v.ndim == 1 else v
+                    for t, v in batch["targets"].items()
+                }
+                new_gn, metrics = update(
+                    state.params, batch["images"], targets,
+                    batch.get("aux"), state.gradnorm,
+                )
+                return state.replace(gradnorm=new_gn), metrics
+
+            self._gradnorm_update = jax.jit(gradnorm_step)
+
+        self._last_batch = None
+
+    def _img_hw(self):
+        s = self.config.MODEL.IMG_SIZE
+        return (s, s) if isinstance(s, int) else tuple(s)
+
+    # ------------------------------------------------------------ resume
+    def try_resume(self) -> bool:
+        if not self.config.TRAIN.AUTO_RESUME:
+            return False
+        latest = ckpt.auto_resume_helper(self.ckpt_dir)
+        if latest is None:
+            return False
+        self.state, sidecar = ckpt.load_checkpoint(latest, self.state)
+        if "training_progress" in sidecar and not bool(
+            self.config.TRAIN.PRESERVE_CHECKPOINT_SCHEDULE
+        ):
+            self.progress.load_state_dict(sidecar["training_progress"])
+        if "metrics" in sidecar:
+            self.metrics.load_state_dict(sidecar["metrics"])
+        if "ops_schedule" in sidecar:
+            self.ops_schedule.load_state_dict(sidecar["ops_schedule"])
+        logger.info(f"Resumed from {latest} at step {self.progress.global_step}")
+        # replay validations that were pending when interrupted
+        if self.progress.has_pending_validations() and not self.skip_validation:
+            logger.info(
+                f"Replaying {len(self.progress.pending_validations)} pending validations"
+            )
+            self._run_pending_validations()
+        return True
+
+    # ------------------------------------------------------------ training
+    def train(self) -> None:
+        self.try_resume()
+        start_epoch = self.progress.current_epoch
+        for epoch in range(start_epoch, int(self.config.TRAIN.EPOCHS)):
+            self.progress.start_epoch(epoch)
+            self._train_one_epoch(epoch)
+
+            at_boundary = True
+            if self.ops_schedule.should_save_checkpoint(at_boundary):
+                self._save_checkpoint()
+            self._queue_epoch_validations(at_boundary)
+            self._run_pending_validations()
+
+            current_lr = float(self.lr_schedule(self.progress.global_step))
+            if self.ops_schedule.should_stop_early(
+                current_lr=current_lr, early_stop_state=self.early_stop
+            ):
+                logger.info("Early stopping triggered")
+                break
+            self.progress.end_epoch()
+        self._save_checkpoint()
+        logger.info("Training complete")
+
+    def _train_one_epoch(self, epoch: int) -> None:
+        cfg = self.config
+        level = self.ops_schedule.get_mixup_group_level()
+        if level in self.bundle["train_dataset"].labels.group_ids:
+            self.train_loader.set_group_level(level)
+        self.train_loader.set_epoch(epoch)
+        self.metrics.reset_phase(MetricsTracker.TRAIN)
+
+        epoch_start = time.perf_counter()
+        n_seen = 0
+        for batch in self.train_loader:
+            step = self.progress.global_step
+            combo = None
+            if self.ops_schedule.get_partial_mask_enabled(step):
+                combo = self.ops_schedule.pick_partial_mask_combo()
+            scalars = ScheduleScalars.from_ops_schedule(
+                self.ops_schedule, step, self.meta_dim,
+                combo_mask=combo_to_mask(combo, self.bounds_by_name, self.meta_dim),
+            )
+            self.state, step_metrics = self._train_step(self.state, batch, scalars)
+            self._last_batch = batch
+            self.progress.increment_step()
+            n_seen += int(batch["images"].shape[0])
+
+            if self.ops_schedule.should_update_gradnorm(self.progress.global_step):
+                if self._gradnorm_update is not None:
+                    self.state, gn_metrics = self._gradnorm_update(self.state, batch)
+                    self.metrics.log_gradnorm(
+                        self.progress.global_step, jax.device_get(gn_metrics)
+                    )
+
+            if self.ops_schedule.should_log_to_console(self.progress.global_step):
+                host = jax.device_get(step_metrics)
+                scalars_only = {
+                    k: float(v)
+                    for k, v in host.items()
+                    if np.ndim(v) == 0
+                }
+                self.metrics.update(MetricsTracker.TRAIN, scalars_only)
+                if is_main_process():
+                    logger.info(
+                        f"epoch {epoch} step {self.progress.global_step} "
+                        f"loss {scalars_only.get('loss', float('nan')):.4f} "
+                        f"gnorm {scalars_only.get('grad_norm_pre_clip', 0.0):.2f}"
+                    )
+            if self.ops_schedule.should_log_lr(self.progress.global_step):
+                self.metrics.log_lr(
+                    self.progress.global_step,
+                    float(self.lr_schedule(self.progress.global_step)),
+                )
+
+            limit = int(self.config.DEBUG.EARLY_EXIT_AFTER_N_OPTIMIZER_STEPS or 0)
+            if limit and self.progress.global_step >= limit:
+                logger.info(f"DEBUG early exit after {limit} steps")
+                break
+
+        elapsed = time.perf_counter() - epoch_start
+        if is_main_process():
+            logger.info(
+                f"epoch {epoch} done: {n_seen} samples in {elapsed:.1f}s "
+                f"({n_seen / max(elapsed, 1e-9):.1f} img/s)"
+            )
+
+    # ---------------------------------------------------------- validation
+    def _queue_epoch_validations(self, at_boundary: bool) -> None:
+        if self.skip_validation or self.val_loader is None:
+            return
+        if self.ops_schedule.should_validate(at_boundary):
+            self.progress.queue_validation(TrainingStage.VALIDATION_NORMAL)
+        if self.ops_schedule.should_validate_mask_meta(at_boundary):
+            self.progress.queue_validation(TrainingStage.VALIDATION_MASK_META)
+        if self.ops_schedule.should_validate_partial_mask_meta(at_boundary):
+            for combo in self.ops_schedule.get_partial_mask_meta_whitelist():
+                self.progress.queue_validation(
+                    TrainingStage.VALIDATION_PARTIAL_MASK_META, partial_combo=combo
+                )
+        if self.ops_schedule.should_run_exhaustive_final_validation():
+            comps = self.ops_schedule.get_exhaustive_meta_components()
+            import itertools
+
+            for r in range(1, len(comps) + 1):
+                for combo in itertools.combinations(comps, r):
+                    self.progress.queue_validation(
+                        TrainingStage.VALIDATION_PARTIAL_MASK_META,
+                        partial_combo=list(combo),
+                    )
+
+    def _run_pending_validations(self) -> None:
+        while self.progress.has_pending_validations():
+            entry = self.progress.pop_validation()
+            stage = TrainingStage(entry["stage"])
+            combo = entry.get("partial_combo")
+            self._validate(stage, combo)
+
+    def _validate(self, stage: TrainingStage, combo: list[str] | None = None) -> None:
+        if self.val_loader is None:
+            return
+        self.progress.enter_stage(stage)
+        if stage == TrainingStage.VALIDATION_NORMAL:
+            phase = MetricsTracker.VAL
+            mask_meta, combo_mask = False, np.zeros((self.meta_dim,), np.float32)
+        elif stage == TrainingStage.VALIDATION_MASK_META:
+            phase = MetricsTracker.VAL_MASK_META
+            mask_meta, combo_mask = True, np.zeros((self.meta_dim,), np.float32)
+        else:
+            phase = MetricsTracker.partial_mask_phase(combo or [])
+            mask_meta = False
+            combo_mask = combo_to_mask(combo, self.bounds_by_name, self.meta_dim)
+
+        self.metrics.reset_phase(phase)
+        totals: dict[str, float] = {}
+        count = 0.0
+        chain_correct = 0.0
+        chain_total = 0.0
+        for batch in self.val_loader:
+            metrics, outputs = self._eval_step(
+                self.state, batch, jnp.asarray(mask_meta), jnp.asarray(combo_mask)
+            )
+            host = jax.device_get(metrics)
+            b = float(host["count"])
+            count += b
+            for k, v in host.items():
+                if k == "count":
+                    continue
+                totals[k] = totals.get(k, 0.0) + float(v) * (
+                    b if k.startswith("loss") else 1.0
+                )
+            targets_soft = {
+                t: jax.nn.one_hot(v, self.num_classes[t]) if v.ndim == 1 else v
+                for t, v in batch["targets"].items()
+            }
+            cc, ct = chain_accuracy_counts(outputs, targets_soft, self.task_keys)
+            chain_correct += float(jax.device_get(cc))
+            chain_total += float(jax.device_get(ct))
+
+        if count == 0:
+            return
+        summary = {}
+        for k, v in totals.items():
+            if k.startswith("loss"):
+                summary[k] = v / count
+            elif k.startswith("correct1/"):
+                summary["acc1/" + k.split("/", 1)[1]] = v / count
+            elif k.startswith("correct3/"):
+                summary["acc3/" + k.split("/", 1)[1]] = v / count
+        if chain_total > 0:
+            summary["chain_accuracy"] = chain_correct / chain_total
+        self.metrics.update(phase, summary, n=count)
+        improved = self.metrics.check_best(phase, self.progress.current_epoch)
+        if phase == MetricsTracker.VAL:
+            self.early_stop.update(
+                summary.get("loss", float("inf")), self.progress.global_step,
+                min_delta=self.config.TRAIN.EARLY_STOP.get("MIN_DELTA"),
+            )
+        if is_main_process():
+            loss_str = summary.get("loss")
+            logger.info(
+                f"[{phase}] step {self.progress.global_step} "
+                + " ".join(f"{k}={v:.4f}" for k, v in sorted(summary.items()))
+                + (" (best)" if improved else "")
+            )
+        self.progress.enter_stage(TrainingStage.TRAINING)
+
+    # ---------------------------------------------------------- checkpoint
+    def _save_checkpoint(self) -> None:
+        if not is_main_process():
+            return
+        metric = self.metrics.get(MetricsTracker.VAL, "loss")
+        path = ckpt.save_checkpoint(
+            self.ckpt_dir,
+            jax.device_get(self.state),
+            training_progress=self.progress,
+            metrics_state=self.metrics.state_dict(),
+            ops_schedule_state=self.ops_schedule.state_dict(),
+            config_dump=self.config.dump(),
+            metric_value=metric,
+        )
+        sc = self.config.SCHEDULE.CHECKPOINT
+        ckpt.manage_checkpoints(
+            self.ckpt_dir,
+            keep_top_n=int(sc.KEEP_TOP_N),
+            keep_last_n=int(sc.KEEP_LAST_N),
+            higher_is_better=False,
+        )
+        return path

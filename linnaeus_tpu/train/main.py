@@ -1,0 +1,71 @@
+"""CLI: ``python -m linnaeus_tpu.train.main --cfg exp.yaml --opts K V ...``
+
+Reference parity: linnaeus/main.py:356-423 (parse_option) + 2550-2643
+(bootstrap). DDP/NCCL bootstrap is replaced by jax.distributed (multi-host)
++ a device mesh built inside the Trainer; per-process seeding derives from
+MISC.SEED + jax.process_index().
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from linnaeus_tpu.configuration import build_config, save_config
+from linnaeus_tpu.utils.logging import create_h5data_logger, create_logger
+
+
+def parse_option(argv=None):
+    parser = argparse.ArgumentParser("linnaeus_tpu training")
+    parser.add_argument("--cfg", type=str, default=None, help="experiment yaml")
+    parser.add_argument(
+        "--opts", nargs="*", default=None,
+        help="config overrides: KEY VALUE [KEY VALUE ...]",
+    )
+    parser.add_argument(
+        "--skip-validation", action="store_true",
+        help="skip pending-validation replay and scheduled validations",
+    )
+    parser.add_argument(
+        "--throughput", action="store_true",
+        help="run the synthetic throughput test instead of training",
+    )
+    args = parser.parse_args(argv)
+    config = build_config(args.cfg, opts=args.opts)
+    config.freeze()
+    return args, config
+
+
+def main(argv=None) -> None:
+    args, config = parse_option(argv)
+
+    import jax
+
+    process_index = jax.process_index() if config.PARALLEL.MULTI_HOST else 0
+    from linnaeus_tpu.configuration.utils import setup_output_dirs
+
+    setup_output_dirs(config)
+    log_dir = config.ENV.OUTPUT.DIRS.LOGS
+    create_logger(log_dir, level=config.EXPERIMENT.LOG_LEVEL_MAIN,
+                  process_index=process_index)
+    create_h5data_logger(log_dir, level=config.EXPERIMENT.LOG_LEVEL_H5DATA,
+                         process_index=process_index)
+    if process_index == 0:
+        save_config(
+            config,
+            f"{config.ENV.OUTPUT.DIRS.CONFIGS}/merged_config.yaml",
+        )
+
+    if args.throughput:
+        from linnaeus_tpu.evaluation.throughput import throughput_test
+
+        throughput_test(config)
+        return
+
+    from linnaeus_tpu.train.loop import Trainer
+
+    trainer = Trainer(config, skip_validation=args.skip_validation)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

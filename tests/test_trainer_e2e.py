@@ -1,0 +1,125 @@
+"""End-to-end Trainer test: tiny mFormerV1 on synthetic HDF5 through the full
+orchestration (epochs, GradNorm cadence, validation passes, checkpoint,
+resume). The closest analog in the reference test suite is the inference
+bundle fixture (SURVEY.md §4); this goes further and drives training."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from linnaeus_tpu.configuration import get_default_config
+
+N = 48
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(0)
+    species = rng.integers(1, 7, N)
+    species[:4] = 0
+    genus = np.where(species > 0, 100 + (species - 1) // 3, 0)
+    with h5py.File(d / "labels.h5", "w") as f:
+        f.create_dataset(
+            "img_identifiers",
+            data=np.array([f"i{i}" for i in range(N)], dtype="S8"),
+        )
+        f.create_dataset("taxa_L10", data=species.astype(np.int64))
+        f.create_dataset("taxa_L20", data=genus.astype(np.int64))
+        f.create_dataset("temporal", data=rng.normal(size=(N, 2)).astype(np.float32))
+        f.create_dataset("spatial", data=rng.normal(size=(N, 3)).astype(np.float32))
+    with h5py.File(d / "images.h5", "w") as f:
+        f.create_dataset(
+            "images", data=rng.integers(0, 256, (N, 32, 32, 3), dtype=np.uint8)
+        )
+    return d
+
+
+def make_config(data_dir, out_dir, epochs=2):
+    cfg = get_default_config()
+    cfg.EXPERIMENT.NAME = "e2e"
+    cfg.ENV.OUTPUT.BASE_DIR = str(out_dir)
+    cfg.DATA.TASK_KEYS_H5 = ["taxa_L10", "taxa_L20"]
+    cfg.DATA.PARTIAL.LEVELS = True
+    cfg.DATA.IMG_SIZE = 32
+    cfg.DATA.BATCH_SIZE = 8
+    cfg.DATA.BATCH_SIZE_VAL = 8
+    cfg.DATA.H5.LABELS_PATH = str(data_dir / "labels.h5")
+    cfg.DATA.H5.IMAGES_PATH = str(data_dir / "images.h5")
+    cfg.DATA.H5.TRAIN_VAL_SPLIT_RATIO = 0.8
+    cfg.DATA.PREFETCH.MEM_CACHE_SIZE = 1 << 20
+    cfg.DATA.SAMPLER.GROUPED_MODE = "mixed-pairs"
+    cfg.SCHEDULE.MIX.GROUP_LEVELS = ["taxa_L20"]
+    cfg.SCHEDULE.MIX.PROB.END_STEPS = 100
+    cfg.SCHEDULE.META_MASKING.END_STEPS = 100
+    cfg.MODEL.TYPE = "mFormerV1"
+    cfg.MODEL.NAME = "tiny"
+    cfg.MODEL.IMG_SIZE = 32
+    cfg.MODEL.DROP_PATH_RATE = 0.0
+    cfg.MODEL.CONVNEXT_STAGES.DEPTHS = [1, 1, 1, 1]
+    cfg.MODEL.CONVNEXT_STAGES.DIMS = [8, 16, 32, 64]
+    cfg.MODEL.ROPE_STAGES.DEPTHS = [1, 1]
+    cfg.MODEL.ROPE_STAGES.DIMS = [32, 64]
+    cfg.MODEL.ROPE_STAGES.NUM_HEADS = [2, 2]
+    cfg.MODEL.ROPE_STAGES.MLP_RATIO = [2.0, 2.0]
+    cfg.MODEL.CLASSIFICATION.HEADS.merge_from_other_cfg(
+        type(cfg)(
+            {
+                "taxa_L10": {"TYPE": "HierarchicalSoftmax"},
+                "taxa_L20": {"TYPE": "HierarchicalSoftmax"},
+            },
+            new_allowed=True,
+        )
+    )
+    cfg.TRAIN.EPOCHS = epochs
+    cfg.TRAIN.MIXED_PRECISION.ENABLED = False
+    cfg.TRAIN.GRADIENT_CHECKPOINTING.ENABLED_NORMAL_STEPS = False
+    cfg.TRAIN.ACCUMULATION_STEPS = 0
+    cfg.LOSS.GRAD_WEIGHTING.TASK.UPDATE_INTERVAL = 2
+    cfg.LOSS.TASK_SPECIFIC.TRAIN.FUNCS = ["SoftTargetCrossEntropy"] * 2
+    cfg.LOSS.TASK_SPECIFIC.VAL.FUNCS = ["SoftTargetCrossEntropy"] * 2
+    cfg.LR_SCHEDULER.WARMUP_EPOCHS = 0
+    cfg.LR_SCHEDULER.WARMUP_STEPS = 1
+    cfg.SCHEDULE.VALIDATION.INTERVAL_EPOCHS = 1
+    cfg.SCHEDULE.VALIDATION.MASK_META_INTERVAL_EPOCHS = 1
+    cfg.SCHEDULE.CHECKPOINT.INTERVAL_EPOCHS = 1
+    return cfg
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(data_dir, tmp_path):
+    from linnaeus_tpu.metrics.tracker import MetricsTracker
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out", epochs=2)
+    trainer = Trainer(cfg)
+    assert trainer.steps_per_epoch >= 1
+    trainer.train()
+
+    # training advanced and recorded metrics
+    assert trainer.progress.global_step >= 2 * trainer.steps_per_epoch
+    assert trainer.metrics.get(MetricsTracker.VAL, "loss") is not None
+    assert trainer.metrics.get(MetricsTracker.VAL, "acc1/taxa_L10") is not None
+    assert trainer.metrics.get(MetricsTracker.VAL_MASK_META, "loss") is not None
+    assert trainer.metrics.get(MetricsTracker.VAL, "chain_accuracy") is not None
+    # gradnorm ran (interval=2) and weights renormalize to num_tasks
+    import jax
+
+    w = np.asarray(jax.device_get(trainer.state.gradnorm.task_weights))
+    np.testing.assert_allclose(w.sum(), 2.0, rtol=1e-4)
+    assert trainer.metrics.gradnorm_history
+
+    # checkpoints exist
+    ckpts = os.listdir(cfg.ENV.OUTPUT.DIRS.CHECKPOINTS)
+    assert any(c.startswith("checkpoint_step_") for c in ckpts)
+
+    # resume: fresh trainer picks up state
+    trainer2 = Trainer(cfg)
+    assert trainer2.try_resume()
+    assert trainer2.progress.global_step == trainer.progress.global_step
+    w2 = np.asarray(jax.device_get(trainer2.state.gradnorm.task_weights))
+    np.testing.assert_allclose(w2, w, rtol=1e-6)
+    trainer.train_loader.close()
+    trainer2.train_loader.close()
