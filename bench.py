@@ -46,12 +46,13 @@ def main() -> None:
     # warmup / compile
     float(forward_sum(params, jax.random.PRNGKey(1)))
 
-    iters = 20
+    iters = 30
+    keys = [jax.random.PRNGKey(100 + i) for i in range(iters)]
     start = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        acc += float(forward_sum(params, jax.random.PRNGKey(100 + i)))
+    results = [forward_sum(params, k) for k in keys]  # async dispatch
+    jax.block_until_ready(results)  # one sync at the end
     elapsed = time.perf_counter() - start
+    acc = sum(float(r) for r in results)
     assert acc == acc, "NaN in outputs"
 
     images_per_sec = batch * iters / elapsed

@@ -114,7 +114,8 @@ def make_gradnorm_update_fn(
         ``update(params, batch, gradnorm_state) -> (new_state, metrics)``.
     """
 
-    def update(params, images, targets, meta, state: GradNormState):
+    def update(params, images, targets, meta, state: GradNormState,
+               batch_stats=None):
         if zero_aux_info and meta is not None:
             meta_in = jnp.zeros_like(meta)
         else:
@@ -128,6 +129,7 @@ def make_gradnorm_update_fn(
                 outputs = apply_fn(
                     p, images, meta_in,
                     deterministic=True, gradnorm_mode=use_linear_heads,
+                    batch_stats=batch_stats,
                 )
                 per_sample = criteria[task](outputs[task], targets[task])
                 unweighted = per_sample.mean()

@@ -1,0 +1,177 @@
+"""Relative-position-bias MHSA (mFormerV0's attention) + OverlapPatchEmbed.
+
+Behavioral spec from the reference (models/blocks/relative_mhsa.py:40-453):
+bias table of ((2H-1)(2W-1) + 1) rows per head; image-token pairs index by
+relative offset, ALL extra-token interactions share the final row. The
+relative index matrix is a compile-time numpy constant (static grid), so the
+gather lowers to one XLA take per layer and fuses into the logits add.
+OverlapPatchEmbed = 3x3 stride-2 conv + LN, used by the first block of each
+transformer stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .common import DropPath, Mlp, trunc_normal_init
+
+
+def build_relative_position_index(h: int, w: int, extra: int) -> np.ndarray:
+    """(N, N) int32 index into the bias table, N = extra + h*w."""
+    coords = np.stack(np.meshgrid(np.arange(h), np.arange(w), indexing="ij"))
+    flat = coords.reshape(2, -1)  # (2, h*w)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, hw, hw)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += h - 1
+    rel[:, :, 1] += w - 1
+    rel[:, :, 0] *= 2 * w - 1
+    idx = rel.sum(-1)  # (hw, hw)
+    num_rel = (2 * h - 1) * (2 * w - 1) + 1
+    pad_val = num_rel - 1
+    n = extra + h * w
+    out = np.full((n, n), pad_val, dtype=np.int32)
+    out[extra:, extra:] = idx
+    return out
+
+
+class OverlapPatchEmbed(nn.Module):
+    """3x3 stride-s conv patch embed + LN: (B,H,W,C) -> (B, H'W', D)."""
+
+    embed_dim: int
+    patch_size: int = 3
+    stride: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.stride, self.stride),
+            padding=self.patch_size // 2,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return x, H, W
+
+
+class RelativeAttention(nn.Module):
+    dim: int
+    img_size: tuple[int, int]
+    extra_token_num: int = 1
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_scale: float | None = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B, N, C = x.shape
+        h, w = self.img_size
+        assert N == h * w + self.extra_token_num
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+
+        num_rel = (2 * h - 1) * (2 * w - 1) + 1
+        bias_table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init,
+            (num_rel, self.num_heads),
+        )
+        rel_idx = build_relative_position_index(h, w, self.extra_token_num)
+
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
+                       kernel_init=trunc_normal_init, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            q.astype(jnp.float32) * scale,
+            k.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        rel_bias = bias_table[jnp.asarray(rel_idx)]  # (N, N, heads)
+        logits = logits + jnp.transpose(rel_bias, (2, 0, 1))[None].astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+        out = nn.Dense(self.dim, kernel_init=trunc_normal_init,
+                       dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class RelativeMHSABlock(nn.Module):
+    """Transformer block w/ optional stride-2 OverlapPatchEmbed downsample.
+
+    stride=2: input is (B, H, W, C_in); patch-embeds to output_dim, prepends
+    ``extra_tokens`` (list of (B, 1, D)); attention grid halves.
+    stride=1: input is (B, N, C) tokens; dimension unchanged.
+    """
+
+    input_dim: int
+    output_dim: int
+    image_size: tuple[int, int]  # grid BEFORE this block's embed
+    stride: int
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    extra_token_num: int = 1
+    qkv_bias: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        extra_tokens: list[jnp.ndarray] | None = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if self.stride == 2:
+            dim = self.output_dim
+            x, H, W = OverlapPatchEmbed(
+                embed_dim=dim, stride=2, dtype=self.dtype, name="patch_embed"
+            )(x)
+            if extra_tokens:
+                x = jnp.concatenate([*extra_tokens, x], axis=1)
+            grid = (H, W)
+        else:
+            dim = self.input_dim
+            grid = self.image_size
+
+        attn_out = RelativeAttention(
+            dim=dim,
+            img_size=grid,
+            extra_token_num=self.extra_token_num,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop,
+            dtype=self.dtype,
+            name="attn",
+        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic)
+        x = x + DropPath(self.drop_path)(attn_out, deterministic=deterministic)
+        mlp_out = Mlp(
+            hidden_features=int(dim * self.mlp_ratio),
+            out_features=dim,
+            drop=self.proj_drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic)
+        x = x + DropPath(self.drop_path)(mlp_out, deterministic=deterministic)
+        return x

@@ -108,7 +108,9 @@ class Trainer:
             resolve_compute_dtype(config),
         )
         init_aux = jnp.zeros((2, meta_dim), jnp.float32) if meta_dim else None
-        params = jax.jit(self.model.init)(rng, init_images, init_aux)["params"]
+        variables = jax.jit(self.model.init)(rng, init_images, init_aux)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
         n_params = sum(p.size for p in jax.tree.leaves(params))
         logger.info(f"Model params: {n_params:,}")
         self.tx = build_optimizer(config, self.lr_schedule, params=params)
@@ -128,6 +130,7 @@ class Trainer:
             num_tasks=len(self.task_keys),
             rng=jax.random.fold_in(rng, 1),
             init_task_weights=init_weights if init_weights else None,
+            batch_stats=batch_stats,
         )
         self.state = replicate(self.state, self.mesh)
 
@@ -172,9 +175,13 @@ class Trainer:
         gw = config.LOSS.GRAD_WEIGHTING.TASK
         self._gradnorm_update = None
         if str(gw.TYPE) == "gradnorm" and bool(gw.get("GRADNORM_ENABLED", True)):
-            def apply_fn(params, images, meta, deterministic=True, gradnorm_mode=True):
+            def apply_fn(params, images, meta, deterministic=True,
+                         gradnorm_mode=True, batch_stats=None):
+                variables = {"params": params}
+                if batch_stats is not None:
+                    variables["batch_stats"] = batch_stats
                 return self.model.apply(
-                    {"params": params}, images, meta,
+                    variables, images, meta,
                     deterministic=deterministic, gradnorm_mode=gradnorm_mode,
                 )
 
@@ -199,7 +206,7 @@ class Trainer:
                 }
                 new_gn, metrics = update(
                     state.params, batch["images"], targets,
-                    batch.get("aux"), state.gradnorm,
+                    batch.get("aux"), state.gradnorm, state.batch_stats,
                 )
                 return state.replace(gradnorm=new_gn), metrics
 

@@ -25,6 +25,9 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # non-trainable collections (e.g. BatchNorm running stats for mFormerV0);
+    # None for purely-LayerNorm models like mFormerV1
+    batch_stats: Any = None
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -41,6 +44,7 @@ def create_train_state(
     num_tasks: int,
     rng: jax.Array,
     init_task_weights=None,
+    batch_stats=None,
 ) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -50,4 +54,5 @@ def create_train_state(
         rng=rng,
         apply_fn=model.apply,
         tx=tx,
+        batch_stats=batch_stats,
     )

@@ -151,15 +151,30 @@ def make_train_step(
             )
         return images, targets, meta, mixed_mask
 
-    def loss_fn(params, apply_fn, images, targets, meta, scalars, rng, task_weights):
+    def loss_fn(params, apply_fn, images, targets, meta, scalars, rng, task_weights,
+                batch_stats=None):
         r_drop, r_null, r_gumbel = jax.random.split(rng, 3)
-        outputs = apply_fn(
-            {"params": params},
-            images,
-            meta,
-            deterministic=False,
-            rngs={"dropout": r_drop, "gumbel": r_gumbel},
-        )
+        variables = {"params": params}
+        new_batch_stats = None
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+            outputs, mutated = apply_fn(
+                variables,
+                images,
+                meta,
+                deterministic=False,
+                rngs={"dropout": r_drop, "gumbel": r_gumbel},
+                mutable=["batch_stats"],
+            )
+            new_batch_stats = mutated["batch_stats"]
+        else:
+            outputs = apply_fn(
+                variables,
+                images,
+                meta,
+                deterministic=False,
+                rngs={"dropout": r_drop, "gumbel": r_gumbel},
+            )
         total, components = weighted_hierarchical_loss(
             outputs,
             targets,
@@ -172,7 +187,7 @@ def make_train_step(
             apply_class_weights=apply_class_weights,
             task_keys=task_keys,
         )
-        return total, (outputs, components)
+        return total, (outputs, components, new_batch_stats)
 
     def train_step(state: TrainState, batch: dict, scalars: ScheduleScalars):
         step_rng = jax.random.fold_in(state.rng, state.step)
@@ -180,14 +195,18 @@ def make_train_step(
         batch = dict(batch)
         batch["_scalars"] = scalars
 
+        new_batch_stats = state.batch_stats
         if accum == 1:
             images, targets, meta, mixed_mask = preprocess(batch, r_pre)
-            (total, (outputs, components)), grads = jax.value_and_grad(
+            (total, (outputs, components, nbs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(
                 state.params, state.apply_fn, images, targets, meta,
                 scalars, r_loss, state.gradnorm.task_weights,
+                state.batch_stats,
             )
+            if nbs is not None:
+                new_batch_stats = nbs
         else:
             # microbatch scan: split leading dim into accum chunks
             def split(x):
@@ -208,10 +227,10 @@ def make_train_step(
                 mb["_scalars"] = scalars
                 r_i = jax.random.fold_in(r_pre, i)
                 images, targets, meta, _ = preprocess(mb, r_i)
-                (total, (_, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (total, (_, _, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params, state.apply_fn, images, targets, meta,
                     scalars, jax.random.fold_in(r_loss, i),
-                    state.gradnorm.task_weights,
+                    state.gradnorm.task_weights, state.batch_stats,
                 )
                 acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
                 return (acc_grads, acc_loss + total, i + 1), None
@@ -233,6 +252,8 @@ def make_train_step(
         post_clip_norm = optax.global_norm(grads)
 
         new_state = state.apply_gradients(grads)
+        if new_batch_stats is not None:
+            new_state = new_state.replace(batch_stats=new_batch_stats)
 
         metrics = {
             "loss": components["total"],
@@ -282,8 +303,10 @@ def make_eval_step(
         if meta is not None:
             meta = jnp.where(mask_meta, jnp.zeros_like(meta), meta)
             meta = meta * (1.0 - partial_combo_mask)[None, :].astype(meta.dtype)
-        outputs = state.apply_fn({"params": state.params}, images, meta,
-                                 deterministic=True)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        outputs = state.apply_fn(variables, images, meta, deterministic=True)
         total, components = weighted_hierarchical_loss(
             outputs,
             targets,

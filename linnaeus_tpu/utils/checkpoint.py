@@ -82,7 +82,7 @@ def _json_default(o):
 
 def _as_pytree(state):
     """TrainState -> pure-array pytree for Orbax (drop static fields)."""
-    return {
+    tree = {
         "step": state.step,
         "params": state.params,
         "opt_state": state.opt_state,
@@ -93,6 +93,9 @@ def _as_pytree(state):
         },
         "rng": state.rng,
     }
+    if state.batch_stats is not None:
+        tree["batch_stats"] = state.batch_stats
+    return tree
 
 
 def load_checkpoint(path: str, state_template):
@@ -119,6 +122,7 @@ def load_checkpoint(path: str, state_template):
             has_initted=restored["gradnorm"]["has_initted"],
         ),
         rng=restored["rng"],
+        batch_stats=restored.get("batch_stats", state_template.batch_stats),
     )
     sidecar_path = os.path.join(path, SIDECAR_NAME)
     sidecar = {}
