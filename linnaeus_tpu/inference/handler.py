@@ -1,0 +1,194 @@
+"""LinnaeusInferenceHandler — load artifacts, predict, info.
+
+Reference parity: inference/handler.py:37-300. ``load_from_artifacts``
+assembles config + taxonomy + class maps + weights; ``predict`` preprocesses
+images/metadata, runs one jitted forward, produces per-task softmax top-k as
+typus-shaped ``HierarchicalClassificationResult``s with optional
+hierarchical-consistency enforcement; ``info`` describes the model.
+
+The forward is compiled once per (batch size) and padded to the configured
+max batch so serving never recompiles.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from linnaeus_tpu.utils.logging import get_main_logger
+from .artifacts import (
+    ClassIndexMapData,
+    TaxonomyData,
+    load_class_index_maps_artifact,
+    load_taxonomy_tree_artifact,
+    rank_level_from_task_key,
+)
+from .config import InferenceConfig, load_inference_config
+from .model_utils import load_model_for_inference
+from .postprocessing import enforce_hierarchical_consistency
+from .preprocessing import preprocess_image_batch, preprocess_metadata_batch
+from .schemas import (
+    HierarchicalClassificationResult,
+    InferenceRequestMetadata,
+    ModelInformation,
+    TaskPrediction,
+)
+
+logger = get_main_logger()
+
+
+class LinnaeusInferenceHandler:
+    def __init__(
+        self,
+        config: InferenceConfig,
+        model,
+        variables: dict,
+        taxonomy_data: TaxonomyData,
+        class_maps: ClassIndexMapData,
+    ):
+        import jax
+
+        self.config = config
+        self.model = model
+        self.variables = variables
+        self.taxonomy = taxonomy_data
+        self.class_maps = class_maps
+        self.task_keys = list(config.model.model_task_keys_ordered)
+        self._max_batch = int(config.inference_options.batch_size)
+
+        def forward(variables, images, aux):
+            outputs = model.apply(variables, images, aux, deterministic=True)
+            return {
+                t: jax.nn.softmax(outputs[t].astype(jax.numpy.float32), axis=-1)
+                for t in self.task_keys
+            }
+
+        self._forward = jax.jit(forward)
+
+    # ----------------------------------------------------------- constructors
+    @classmethod
+    def load_from_artifacts(
+        cls,
+        config_path: str | Path,
+        artifacts_dir: str | Path | None = None,
+    ) -> "LinnaeusInferenceHandler":
+        config = load_inference_config(config_path)
+        base = Path(artifacts_dir) if artifacts_dir else Path(config_path).parent
+
+        def resolve(p: str) -> str:
+            path = Path(p)
+            return str(path if path.is_absolute() else base / path)
+
+        taxonomy_data = load_taxonomy_tree_artifact(
+            resolve(config.taxonomy_data.taxonomy_tree_path),
+            config.taxonomy_data.source_name,
+            config.taxonomy_data.version,
+            config.taxonomy_data.root_identifier,
+        )
+        class_maps = load_class_index_maps_artifact(
+            resolve(config.taxonomy_data.class_index_map_path),
+            config.model.model_task_keys_ordered,
+            config.model.num_classes_per_task,
+            config.model.null_class_indices,
+        )
+        weights = config.model.weights_path
+        if not weights.startswith("hf://") and not Path(weights).is_absolute():
+            config.model.weights_path = resolve(weights)
+        model, variables = load_model_for_inference(
+            config, taxonomy_tree=taxonomy_data.taxonomy_tree
+        )
+        return cls(config, model, variables, taxonomy_data, class_maps)
+
+    # ------------------------------------------------------------------ predict
+    def predict(
+        self,
+        images: list[Any],
+        metadata: list[dict[str, Any] | None] | None = None,
+        request_options: InferenceRequestMetadata | None = None,
+    ) -> list[HierarchicalClassificationResult]:
+        import jax.numpy as jnp
+
+        top_k = (
+            request_options.top_k
+            if request_options and request_options.top_k
+            else self.config.inference_options.default_top_k
+        )
+        results: list[HierarchicalClassificationResult] = []
+        bs = self._max_batch
+        for start in range(0, len(images), bs):
+            chunk = images[start : start + bs]
+            metas = metadata[start : start + bs] if metadata else None
+            pixels = preprocess_image_batch(chunk, self.config)
+            aux = preprocess_metadata_batch(metas, len(chunk), self.config)
+            if request_options and request_options.aux_override is not None:
+                aux = np.tile(
+                    np.asarray(request_options.aux_override, np.float32),
+                    (len(chunk), 1),
+                )
+            # pad to the compiled batch size (no recompiles while serving)
+            n = len(chunk)
+            if n < bs:
+                pixels = np.concatenate(
+                    [pixels, np.zeros((bs - n,) + pixels.shape[1:], pixels.dtype)]
+                )
+                aux = np.concatenate(
+                    [aux, np.zeros((bs - n,) + aux.shape[1:], aux.dtype)]
+                )
+            probs = self._forward(
+                self.variables, jnp.asarray(pixels), jnp.asarray(aux)
+            )
+            probs = {t: np.asarray(v)[:n] for t, v in probs.items()}
+            for i in range(n):
+                results.append(self._build_result(probs, i, top_k))
+        return results
+
+    def _build_result(
+        self, probs: dict[str, np.ndarray], i: int, top_k: int
+    ) -> HierarchicalClassificationResult:
+        tasks = []
+        for t in self.task_keys:
+            rank = rank_level_from_task_key(t)
+            p = probs[t][i]
+            k = min(top_k, len(p))
+            top_idx = np.argsort(-p)[:k]
+            idx_map = self.class_maps.idx_to_taxon_id.get(rank, {})
+            preds = [
+                (int(idx_map.get(int(ci), int(ci))), float(p[ci])) for ci in top_idx
+            ]
+            tasks.append(
+                TaskPrediction(rank_level=rank, task_key=t, predictions=preds)
+            )
+        result = HierarchicalClassificationResult(
+            taxonomy_context={
+                "source": self.taxonomy.source,
+                "version": self.taxonomy.version,
+                "root": self.taxonomy.root_id,
+            },
+            tasks=tasks,
+        )
+        if self.config.inference_options.enable_hierarchical_consistency_check:
+            result = enforce_hierarchical_consistency(
+                result, self.taxonomy, self.class_maps
+            )
+        return result
+
+    # ------------------------------------------------------------------- info
+    def info(self) -> ModelInformation:
+        mc = self.config.metadata_preprocessing
+        return ModelInformation(
+            handler_version=self.config.inference_options.handler_version,
+            architecture_name=self.config.model.architecture_name,
+            model_description=self.config.model_description,
+            task_keys=self.task_keys,
+            num_classes_per_task=list(self.config.model.num_classes_per_task),
+            input_image_size=list(self.config.input_preprocessing.image_size),
+            metadata_components={
+                "temporal": mc.use_temporal,
+                "geolocation": mc.use_geolocation,
+                "elevation": mc.use_elevation,
+            },
+            taxonomy_source=self.config.taxonomy_data.source_name,
+            default_top_k=self.config.inference_options.default_top_k,
+        )

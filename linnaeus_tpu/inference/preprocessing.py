@@ -1,0 +1,122 @@
+"""Inference preprocessing: image decode/resize/normalize + metadata packing.
+
+Reference parity: inference/preprocessing.py:19-150. Accepts image bytes,
+PIL images, or numpy arrays; metadata dicts with lat/lon, datetime, and
+elevation are projected into the packed aux vector using the component order
+the model was trained with (temporal, spatial, elevation by IDX).
+"""
+
+from __future__ import annotations
+
+import io
+from datetime import datetime
+from typing import Any
+
+import numpy as np
+
+from .config import InferenceConfig
+from .projections import (
+    datetime_to_temporal_sinusoids,
+    elevation_to_sinusoids,
+    latlon_to_unit_sphere,
+)
+
+
+def _to_array(image: Any) -> np.ndarray:
+    from PIL import Image
+
+    if isinstance(image, bytes):
+        image = Image.open(io.BytesIO(image)).convert("RGB")
+    if hasattr(image, "convert"):  # PIL
+        image = np.asarray(image.convert("RGB"))
+    image = np.asarray(image)
+    if image.ndim == 2:
+        image = np.stack([image] * 3, axis=-1)
+    return image
+
+
+def preprocess_image(image: Any, cfg: InferenceConfig) -> np.ndarray:
+    """-> float32 (H, W, C), normalized (NHWC: TPU-native layout)."""
+    from PIL import Image
+
+    c, h, w = cfg.input_preprocessing.image_size
+    arr = _to_array(image)
+    if arr.shape[0] != h or arr.shape[1] != w:
+        interp = {
+            "bilinear": Image.BILINEAR,
+            "bicubic": Image.BICUBIC,
+            "nearest_exact": Image.NEAREST,
+            "nearest": Image.NEAREST,
+        }.get(cfg.input_preprocessing.image_interpolation, Image.BILINEAR)
+        arr = np.asarray(Image.fromarray(arr.astype(np.uint8)).resize((w, h), interp))
+    arr = arr.astype(np.float32) / 255.0
+    mean = np.asarray(cfg.input_preprocessing.image_mean, np.float32)
+    std = np.asarray(cfg.input_preprocessing.image_std, np.float32)
+    return (arr - mean) / std
+
+
+def preprocess_image_batch(images: list[Any], cfg: InferenceConfig) -> np.ndarray:
+    return np.stack([preprocess_image(im, cfg) for im in images])
+
+
+def preprocess_metadata(
+    meta: dict[str, Any] | None, cfg: InferenceConfig
+) -> np.ndarray:
+    """Project one sample's metadata dict into the packed aux vector.
+
+    Recognized keys: ``lat``/``lon`` (or ``latitude``/``longitude``),
+    ``datetime`` (datetime or ISO string), ``elevation_m`` (or ``elevation``).
+    Missing components encode as zeros (the model's "masked" signal).
+    """
+    mc = cfg.metadata_preprocessing
+    chunks: list[np.ndarray] = []
+    meta = meta or {}
+
+    if mc.use_temporal:
+        dt = meta.get("datetime")
+        if isinstance(dt, str):
+            dt = datetime.fromisoformat(dt)
+        dim = 4 if mc.temporal_use_hour else 2
+        if dt is not None:
+            chunks.append(
+                datetime_to_temporal_sinusoids(
+                    dt, use_jd=mc.temporal_use_julian_day,
+                    use_hour=mc.temporal_use_hour,
+                )
+            )
+        else:
+            chunks.append(np.zeros(dim, np.float32))
+
+    if mc.use_geolocation:
+        lat = meta.get("lat", meta.get("latitude"))
+        lon = meta.get("lon", meta.get("longitude"))
+        if lat is not None and lon is not None:
+            chunks.append(latlon_to_unit_sphere(float(lat), float(lon)))
+        else:
+            chunks.append(np.zeros(3, np.float32))
+
+    if mc.use_elevation:
+        elev = meta.get("elevation_m", meta.get("elevation"))
+        dim = 2 * len(mc.elevation_scales)
+        if elev is not None:
+            chunks.append(elevation_to_sinusoids(float(elev), mc.elevation_scales))
+        else:
+            chunks.append(np.zeros(dim, np.float32))
+
+    if not chunks:
+        return np.zeros(0, np.float32)
+    vec = np.concatenate(chunks)
+    expected = cfg.model.expected_aux_vector_length
+    if expected is not None and len(vec) != expected:
+        fixed = np.zeros(expected, np.float32)
+        fixed[: min(expected, len(vec))] = vec[:expected]
+        vec = fixed
+    return vec
+
+
+def preprocess_metadata_batch(
+    metas: list[dict[str, Any] | None] | None, batch_size: int, cfg: InferenceConfig
+) -> np.ndarray:
+    if metas is None:
+        metas = [None] * batch_size
+    return np.stack([preprocess_metadata(m, cfg) for m in metas])

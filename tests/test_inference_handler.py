@@ -1,0 +1,166 @@
+"""Inference handler end-to-end on a tiny artifact bundle.
+
+Mirrors the reference's session-scoped fixture-bundle approach
+(tests/test_inference_handler.py:53+, SURVEY.md §4): write weights +
+taxonomy.json + class_map.json + config.yaml to tmp dirs, then exercise the
+real handler.
+"""
+
+import json
+
+import numpy as np
+import pytest
+import yaml
+
+from linnaeus_tpu.inference import (
+    InferenceRequestMetadata,
+    LinnaeusInferenceHandler,
+)
+from linnaeus_tpu.inference.projections import (
+    datetime_to_temporal_sinusoids,
+    elevation_to_sinusoids,
+    latlon_to_unit_sphere,
+)
+from linnaeus_tpu.utils.taxonomy import TaxonomyTree
+
+TASKS = ["taxa_L10", "taxa_L20"]
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+    from flax.serialization import to_bytes
+
+    from linnaeus_tpu.inference.config import InferenceConfig
+    from linnaeus_tpu.inference.model_utils import load_model_for_inference
+
+    d = tmp_path_factory.mktemp("bundle")
+
+    # taxonomy: 4 species (+null) under 2 genera (+null)
+    tree = TaxonomyTree(
+        {"taxa_L10": {1: 1, 2: 1, 3: 2, 4: 2}},
+        task_keys=TASKS,
+        num_classes={"taxa_L10": 5, "taxa_L20": 3},
+    )
+    tree.save(str(d / "taxonomy.json"))
+
+    # class map: model idx -> taxon id
+    class_map = {
+        "taxa_L10": {"0": 0, "1": 5001, "2": 5002, "3": 5003, "4": 5004},
+        "taxa_L20": {"0": 0, "1": 61, "2": 62},
+    }
+    (d / "class_map.json").write_text(json.dumps(class_map))
+
+    config_dict = {
+        "model": {
+            "architecture_name": "tiny_v1",
+            "weights_path": "weights.msgpack",
+            "model_task_keys_ordered": TASKS,
+            "num_classes_per_task": [5, 3],
+            "null_class_indices": {t: 0 for t in TASKS},
+            "expected_aux_vector_length": 11,
+        },
+        "input_preprocessing": {"image_size": [3, 32, 32]},
+        "metadata_preprocessing": {
+            "use_temporal": True,
+            "use_geolocation": True,
+            "use_elevation": True,
+            "elevation_scales": [100.0, 1000.0, 5000.0],
+        },
+        "taxonomy_data": {
+            "source_name": "TestTax",
+            "taxonomy_tree_path": "taxonomy.json",
+            "class_index_map_path": "class_map.json",
+        },
+        "inference_options": {"default_top_k": 3, "batch_size": 4},
+        "model_description": "tiny test bundle",
+    }
+    (d / "config.yaml").write_text(yaml.safe_dump(config_dict))
+
+    # Build the same tiny model the handler will construct, save weights.
+    # Patch the arch registry with a tiny preset for 'tiny_v1'.
+    from linnaeus_tpu.configuration import archs
+
+    archs.MFORMER_V1_ARCHS["tiny_v1"] = {
+        "CONVNEXT": {"DEPTHS": [1, 1, 1, 1], "DIMS": [8, 16, 32, 64]},
+        "ROPE": {"DEPTHS": [1, 1], "DIMS": [32, 64], "NUM_HEADS": [2, 2]},
+        "DROP_PATH_RATE": 0.0,
+    }
+    inf_cfg = InferenceConfig(**config_dict)
+    inf_cfg.model.weights_path = str(d / "does_not_exist.msgpack")
+    # build model only (weights don't exist yet): construct then init+save
+    from linnaeus_tpu.inference.model_utils import build_config_for_inference
+    from linnaeus_tpu.models.build import build_model
+
+    cfg = build_config_for_inference(inf_cfg)
+    model = build_model(
+        cfg, num_classes={"taxa_L10": 5, "taxa_L20": 3}, taxonomy_tree=tree
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 11))
+    )
+    (d / "weights.msgpack").write_bytes(to_bytes(variables))
+    return d
+
+
+def test_handler_load_and_info(bundle):
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    info = handler.info()
+    assert info.architecture_name == "tiny_v1"
+    assert info.task_keys == TASKS
+    assert info.num_classes_per_task == [5, 3]
+    assert info.metadata_components["temporal"]
+
+
+def test_handler_predict_shapes(bundle):
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    rng = np.random.default_rng(0)
+    images = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(3)]
+    metas = [
+        {"lat": 40.0, "lon": -105.0, "datetime": "2024-06-15T12:00:00",
+         "elevation_m": 1600.0},
+        None,
+        {"lat": -10.0, "lon": 30.0},
+    ]
+    results = handler.predict(images, metas)
+    assert len(results) == 3
+    for r in results:
+        assert len(r.tasks) == 2
+        for task in r.tasks:
+            assert len(task.predictions) <= 3
+            probs = [p for _, p in task.predictions]
+            assert all(0 <= p <= 1 for p in probs)
+            # sorted descending
+            assert probs == sorted(probs, reverse=True)
+    # taxon ids come from the class map
+    all_ids = {tid for r in results for t in r.tasks for tid, _ in t.predictions}
+    assert all_ids <= {0, 5001, 5002, 5003, 5004, 61, 62}
+
+
+def test_handler_top_k_override(bundle):
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    images = [np.zeros((32, 32, 3), np.uint8)]
+    results = handler.predict(
+        images, None, InferenceRequestMetadata(top_k=1)
+    )
+    assert all(len(t.predictions) == 1 for t in results[0].tasks)
+
+
+def test_handler_batch_larger_than_max(bundle):
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    images = [np.zeros((32, 32, 3), np.uint8)] * 6  # max batch is 4
+    results = handler.predict(images)
+    assert len(results) == 6
+
+
+def test_projections():
+    v = latlon_to_unit_sphere(0.0, 0.0)
+    np.testing.assert_allclose(v, [1, 0, 0], atol=1e-6)
+    assert np.linalg.norm(latlon_to_unit_sphere(45.0, 123.0)) == pytest.approx(1.0)
+    from datetime import datetime
+
+    t = datetime_to_temporal_sinusoids(datetime(2024, 1, 1))
+    np.testing.assert_allclose(t, [0, 1], atol=1e-6)
+    e = elevation_to_sinusoids(0.0, [100.0, 1000.0])
+    np.testing.assert_allclose(e, [0, 1, 0, 1], atol=1e-6)
