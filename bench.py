@@ -34,22 +34,26 @@ def main() -> None:
         aux = jax.random.normal(key, (batch, 5), jnp.bfloat16)
         return images, aux
 
-    images, aux = make_inputs(jax.random.PRNGKey(0))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, aux)["params"]
+    # pre-generate distinct device-resident batches (input creation excluded
+    # from timing; distinct data defeats any result caching)
+    n_inputs = 4
+    inputs = [make_inputs(jax.random.PRNGKey(i)) for i in range(n_inputs)]
+    jax.block_until_ready(inputs)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs[0])["params"]
 
     @jax.jit
-    def forward_sum(params, key):
-        images, aux = make_inputs(key)
+    def forward_sum(params, images, aux):
         out = model.apply({"params": params}, images, aux, deterministic=True)
         return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
 
     # warmup / compile
-    float(forward_sum(params, jax.random.PRNGKey(1)))
+    float(forward_sum(params, *inputs[0]))
 
     iters = 30
-    keys = [jax.random.PRNGKey(100 + i) for i in range(iters)]
     start = time.perf_counter()
-    results = [forward_sum(params, k) for k in keys]  # async dispatch
+    results = [
+        forward_sum(params, *inputs[i % n_inputs]) for i in range(iters)
+    ]  # async dispatch
     jax.block_until_ready(results)  # one sync at the end
     elapsed = time.perf_counter() - start
     acc = sum(float(r) for r in results)

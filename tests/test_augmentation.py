@@ -1,0 +1,117 @@
+"""Device augmentation tests: op semantics, policies, batched pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import linnaeus_tpu.data.augmentation.ops as A
+from linnaeus_tpu.data.augmentation.autoaugment import (
+    make_autoaugment,
+    make_batched_augment,
+    make_train_augment,
+)
+from linnaeus_tpu.data.augmentation.policies import get_policy
+
+
+@pytest.fixture
+def img():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+
+
+def test_invert(img):
+    out = A.invert(img, 5.0, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), 1.0 - np.asarray(img), atol=1e-6)
+
+
+def test_solarize_threshold(img):
+    out = np.asarray(A.solarize(img, 10.0, jax.random.PRNGKey(0)))  # threshold 0
+    np.testing.assert_allclose(out, 1.0 - np.asarray(img), atol=1e-6)
+    out0 = np.asarray(A.solarize(img, 0.0, jax.random.PRNGKey(0)))  # threshold 1
+    np.testing.assert_allclose(out0, np.asarray(img), atol=1e-6)
+
+
+def test_autocontrast_stretches(img):
+    scaled = img * 0.4 + 0.3  # compress to [0.3, 0.7]
+    out = np.asarray(A.autocontrast(scaled, 0.0, jax.random.PRNGKey(0)))
+    assert out.min() == pytest.approx(0.0, abs=1e-5)
+    assert out.max() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_equalize_flattens_histogram():
+    # strongly skewed image -> equalized histogram should be far flatter
+    rng = np.random.default_rng(1)
+    skew = jnp.asarray((rng.uniform(0, 1, (32, 32, 3)) ** 3).astype(np.float32))
+    out = np.asarray(A.equalize(skew, 0.0, jax.random.PRNGKey(0)))
+
+    def flatness(x):  # std of the 10-bin histogram; lower = flatter
+        h, _ = np.histogram(x, bins=10, range=(0, 1))
+        return h.std()
+
+    assert flatness(out[..., 0]) < flatness(np.asarray(skew)[..., 0]) / 3
+
+
+def test_rotate_preserves_shape_and_range(img):
+    out = np.asarray(A.rotate(img, 9.0, jax.random.PRNGKey(0)))
+    assert out.shape == img.shape
+    assert out.min() >= -1e-5 and out.max() <= 1 + 1e-5
+    assert not np.allclose(out, np.asarray(img))
+
+
+def test_translate_moves_content():
+    img = jnp.zeros((16, 16, 3)).at[8, 8, :].set(1.0)
+    out = np.asarray(A.translate_x_rel(img, 10.0, jax.random.PRNGKey(0)))
+    assert out[8, 8, 0] < 0.5  # peak moved away
+
+
+def test_posterize_reduces_levels(img):
+    out = np.asarray(A.posterize_increasing(img, 10.0, jax.random.PRNGKey(0)))
+    # 4 bits => at most 16 distinct quantized values per channel
+    assert len(np.unique(np.round(out[..., 0] * 255))) <= 16
+
+
+def test_gaussian_blur_smooths(img):
+    out = np.asarray(A.gaussian_blur_rand(img, 10.0, jax.random.PRNGKey(0)))
+    # blurred image has lower local variance
+    def tv(x):
+        return np.abs(np.diff(x, axis=0)).mean()
+
+    assert tv(out) < tv(np.asarray(img))
+
+
+def test_policy_tables_resolve():
+    for name in ("original", "originalr", "v0r", "3a", "hybrid_v0"):
+        policy = get_policy(name)
+        assert policy
+        for sub in policy:
+            for op_name, prob, mag in sub:
+                assert op_name in A.OP_REGISTRY
+                assert 0.0 <= prob <= 1.0
+                assert 0 <= mag <= 10
+
+
+def test_autoaugment_runs_and_varies(img):
+    fn = jax.jit(make_autoaugment("original"))
+    outs = [np.asarray(fn(img, jax.random.PRNGKey(s))) for s in range(6)]
+    assert all(o.shape == img.shape for o in outs)
+    # across several draws, at least some must modify the image and at least
+    # two draws must disagree with each other
+    changed = [not np.allclose(o, np.asarray(img)) for o in outs]
+    assert any(changed)
+    assert any(
+        not np.allclose(outs[i], outs[j])
+        for i in range(len(outs))
+        for j in range(i + 1, len(outs))
+    )
+
+
+def test_batched_pipeline(img):
+    single = make_train_augment("3a", color_jitter=0.2, random_erase_prob=0.5)
+    batched = make_batched_augment(single)
+    images = jnp.stack([img] * 8)
+    out = np.asarray(batched(images, jax.random.PRNGKey(0)))
+    assert out.shape == (8, 16, 16, 3)
+    assert np.isfinite(out).all()
+    # per-sample rngs => samples differ even with identical input
+    assert not np.allclose(out[0], out[1])
