@@ -86,8 +86,14 @@ class Trainer:
         )
         self.steps_per_epoch = max(len(self.train_loader), 1)
         total_steps = self.steps_per_epoch * int(config.TRAIN.EPOCHS)
-        config.defrost()
-        config.LR_SCHEDULER.TOTAL_STEPS = total_steps
+        from linnaeus_tpu.utils.schedule_utils import (
+            resolve_all_schedule_params,
+            schedule_summary,
+            validate_schedule_config,
+        )
+
+        validate_schedule_config(config)
+        resolve_all_schedule_params(config, total_steps)
         config.freeze()
 
         # ---------------- progress & schedule
@@ -96,6 +102,24 @@ class Trainer:
         self.ops_schedule = OpsSchedule(config, self.progress, self.metrics)
         self.early_stop = EarlyStopState(
             metric_name=str(config.TRAIN.EARLY_STOP.METRIC)
+        )
+        if is_main_process():
+            logger.info(
+                "\n" + schedule_summary(config, total_steps, self.steps_per_epoch)
+            )
+
+        from linnaeus_tpu.metrics.step_logger import (
+            StepMetricsLogger,
+            initialize_wandb,
+        )
+
+        self.wandb_run = initialize_wandb(config) if is_main_process() else None
+        jsonl_path = None
+        if config.ENV.OUTPUT.DIRS.LOGS:
+            jsonl_path = f"{config.ENV.OUTPUT.DIRS.LOGS}/metrics.jsonl"
+        self.step_logger = StepMetricsLogger(
+            config, self.ops_schedule, self.metrics,
+            wandb_run=self.wandb_run, jsonl_path=jsonl_path,
         )
 
         # ---------------- model / optimizer / state
@@ -277,6 +301,7 @@ class Trainer:
 
         epoch_start = time.perf_counter()
         n_seen = 0
+        self.step_logger.start_epoch(len(self.train_loader))
         for batch in self.train_loader:
             step = self.progress.global_step
             combo = None
@@ -298,24 +323,27 @@ class Trainer:
                         self.progress.global_step, jax.device_get(gn_metrics)
                     )
 
-            if self.ops_schedule.should_log_to_console(self.progress.global_step):
+            gstep = self.progress.global_step
+            if self.ops_schedule.should_log_to_console(
+                gstep
+            ) or self.ops_schedule.should_log_to_wandb(gstep):
                 host = jax.device_get(step_metrics)
-                scalars_only = {
-                    k: float(v)
-                    for k, v in host.items()
-                    if np.ndim(v) == 0
-                }
-                self.metrics.update(MetricsTracker.TRAIN, scalars_only)
+                lr_now = float(self.lr_schedule(gstep))
                 if is_main_process():
-                    logger.info(
-                        f"epoch {epoch} step {self.progress.global_step} "
-                        f"loss {scalars_only.get('loss', float('nan')):.4f} "
-                        f"gnorm {scalars_only.get('grad_norm_pre_clip', 0.0):.2f}"
+                    self.step_logger.log_step_metrics(gstep, epoch, host, lr=lr_now)
+                    self.step_logger.log_schedule_values(
+                        gstep,
+                        {
+                            "meta_mask_prob": self.ops_schedule.get_meta_mask_prob(gstep),
+                            "mix_prob": self.ops_schedule.get_mixup_prob(gstep),
+                            "null_mask_prob": self.ops_schedule.get_null_mask_prob(gstep),
+                        },
                     )
-            if self.ops_schedule.should_log_lr(self.progress.global_step):
-                self.metrics.log_lr(
-                    self.progress.global_step,
-                    float(self.lr_schedule(self.progress.global_step)),
+            if self.ops_schedule.should_log_lr(gstep):
+                self.metrics.log_lr(gstep, float(self.lr_schedule(gstep)))
+            if self.ops_schedule.should_log_pipeline_metrics(gstep) and is_main_process():
+                self.step_logger.log_pipeline_metrics(
+                    gstep, self.train_loader.pipeline_metrics()
                 )
 
             limit = int(self.config.DEBUG.EARLY_EXIT_AFTER_N_OPTIMIZER_STEPS or 0)
@@ -422,11 +450,13 @@ class Trainer:
                 min_delta=self.config.TRAIN.EARLY_STOP.get("MIN_DELTA"),
             )
         if is_main_process():
-            loss_str = summary.get("loss")
             logger.info(
                 f"[{phase}] step {self.progress.global_step} "
                 + " ".join(f"{k}={v:.4f}" for k, v in sorted(summary.items()))
                 + (" (best)" if improved else "")
+            )
+            self.step_logger.log_validation(
+                self.progress.global_step, phase, summary
             )
         self.progress.enter_stage(TrainingStage.TRAINING)
 
