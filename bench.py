@@ -26,7 +26,7 @@ def main() -> None:
     from __graft_entry__ import _flagship_model
 
     model = _flagship_model()
-    batch = 256
+    batch = 128
 
     @jax.jit
     def make_inputs(key):

@@ -46,9 +46,18 @@ def scaled_dot_product_attention(
     scale: float | None = None,
     use_flash: bool = False,
 ) -> jnp.ndarray:
-    """Dispatch between the reference path and the Pallas flash kernel."""
-    if use_flash:
-        from linnaeus_tpu.ops.flash_attention import flash_attention
+    """Dispatch between the reference path and the Pallas flash kernel.
 
-        return flash_attention(q, k, v, scale=scale)
+    The Pallas kernel compiles through Mosaic, which is TPU-only; on other
+    backends (CPU tests, compile checks) we silently fall back to the jnp
+    path rather than failing — mirroring the reference's flash-attn
+    availability fallback (rope_2d_mhsa.py:493-498).
+    """
+    if use_flash:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from linnaeus_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, scale=scale)
     return sdpa_reference(q, k, v, scale=scale)

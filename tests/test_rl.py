@@ -1,0 +1,181 @@
+"""RL abstention suite: rewards, verifier, provider, env, GAE, PPO update.
+
+Mirrors the reference's tests/rl_env/* coverage using scripted fake loaders.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from linnaeus_tpu.rl import (
+    EpisodeOutcomeReward,
+    LinnaeusPolicyWrapper,
+    LinnaeusRLProblemProvider,
+    PPOConfig,
+    SimpleAbstentionReward,
+    TaxonomicClassificationEnv,
+    TaxonomicRLVerifier,
+    compute_gae_and_returns,
+    make_ppo_update,
+)
+from linnaeus_tpu.utils.taxonomy import TaxonomyTree
+
+TASKS = ["taxa_L10", "taxa_L20"]
+
+
+@pytest.fixture
+def tree():
+    return TaxonomyTree(
+        {"taxa_L10": {1: 1, 2: 1, 3: 2}},
+        task_keys=TASKS,
+        num_classes={"taxa_L10": 4, "taxa_L20": 3},
+    )
+
+
+class FakeLoader:
+    """Scripted loader: always yields one batch of 4 samples."""
+
+    def __init__(self, n=4):
+        rng = np.random.default_rng(0)
+        self.batch = {
+            "images": rng.normal(size=(n, 8, 8, 3)).astype(np.float32),
+            "aux": rng.normal(size=(n, 5)).astype(np.float32),
+            "targets": {
+                "taxa_L10": np.eye(4, dtype=np.float32)[[0, 1, 2, 3]],
+                "taxa_L20": np.eye(3, dtype=np.float32)[[0, 1, 1, 2]],
+            },
+        }
+
+    def __iter__(self):
+        yield self.batch
+
+
+def test_simple_abstention_reward():
+    r = SimpleAbstentionReward()
+    # correct classification at both ranks
+    assert r.compute_reward({"a": 1, "b": 2}, {"a": 1, "b": 2}) == 2.0
+    # correct abstention on null rank
+    assert r.compute_reward({"a": None}, {"a": None}) == 0.5
+    # misclassification
+    assert r.compute_reward({"a": 1}, {"a": 2}) == -1.0
+    # unnecessary abstention
+    assert r.compute_reward({"a": None}, {"a": 2}) == -0.5
+    # predicting at a null rank
+    assert r.compute_reward({"a": 3}, {"a": None}) == -1.0
+
+
+def test_episode_outcome_reward():
+    r = EpisodeOutcomeReward()
+    assert r.compute_reward({"a": 1, "b": None}, {"a": 1, "b": None}) == 1.0
+    assert r.compute_reward({"a": 1, "b": 2}, {"a": 1, "b": None}) == -1.0
+    assert r.compute_reward({"a": 2, "b": None}, {"a": 1, "b": None}) == -1.0
+
+
+def test_verifier_diagnostics(tree):
+    v = TaxonomicRLVerifier(tree)
+    reward, diags = v.verify(
+        {"taxa_L10": 1, "taxa_L20": None},
+        {"taxa_L10": 1, "taxa_L20": 2},
+    )
+    assert diags["taxa_L10"] == "correct"
+    assert diags["taxa_L20"] == "unnecessary_abstention"
+
+
+def test_provider_converts_nulls(tree):
+    provider = LinnaeusRLProblemProvider(FakeLoader(), tree)
+    obs, gt = provider.reset()
+    assert obs["image"].shape == (8, 8, 3)
+    assert gt["taxa_L10"] is None  # first sample's label idx 0 => null
+    obs2, gt2 = provider.reset()
+    assert gt2["taxa_L10"] == 1
+
+
+def test_env_sequential_episode(tree):
+    env = TaxonomicClassificationEnv(
+        dataloader=FakeLoader(), taxonomy_tree=tree, mode="sequential",
+        image_shape=(8, 8, 3),
+    )
+    obs, info = env.reset()
+    assert obs["current_rank_index"] == 0
+    total_reward = 0.0
+    done = False
+    steps = 0
+    while not done:
+        obs, reward, done, truncated, info = env.step(env.abstain_action_index)
+        total_reward += reward
+        steps += 1
+    assert steps == 2
+    assert "final_predictions" in info
+    assert info["final_predictions"]["taxa_L10"] is None
+
+
+def test_env_multitask_single_step(tree):
+    env = TaxonomicClassificationEnv(
+        dataloader=FakeLoader(), taxonomy_tree=tree, mode="multitask",
+        image_shape=(8, 8, 3),
+    )
+    env.reset()
+    obs, reward, done, truncated, info = env.step(np.array([1, 1]))
+    assert done
+    assert info["final_predictions"] == {"taxa_L10": 1, "taxa_L20": 1}
+
+
+def test_gae_shapes_and_terminal():
+    rewards = np.array([1.0, 0.0, 1.0, 0.0])
+    values = np.array([0.5, 0.5, 0.5, 0.5])
+    dones = np.array([False, True, False, True])
+    adv, ret = compute_gae_and_returns(rewards, values, dones, gamma=0.9)
+    assert adv.shape == (4,)
+    # terminal steps don't bootstrap: adv[1] = r - v = -0.5
+    np.testing.assert_allclose(adv[1], -0.5, rtol=1e-6)
+    np.testing.assert_allclose(ret, adv + values, rtol=1e-6)
+
+
+def test_ppo_update_improves_objective(tree):
+    from linnaeus_tpu.models import MFormerV1
+
+    backbone = MFormerV1(
+        img_size=(32, 32),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=(8, 16, 32, 64),
+        rope_depths=(1, 1),
+        rope_dims=(32, 64),
+        rope_num_heads=(2, 2),
+        drop_path_rate=0.0,
+        task_keys=tuple(TASKS),
+        num_classes=tree.num_classes,
+        head_configs={t: {"TYPE": "Linear"} for t in TASKS},
+    )
+    policy = LinnaeusPolicyWrapper(
+        backbone=backbone,
+        task_keys=tuple(TASKS),
+        num_classes=tree.num_classes,
+    )
+    images = jnp.zeros((4, 32, 32, 3))
+    params = policy.init(jax.random.PRNGKey(0), images, None)
+
+    def policy_apply(p, images, aux, actions_arr):
+        actions = {t: actions_arr[:, i] for i, t in enumerate(TASKS)}
+        return policy.apply(
+            p, images, aux, actions,
+            deterministic=True, method=policy.evaluate_actions,
+        )
+
+    tx = optax.adam(1e-3)
+    update = make_ppo_update(policy_apply, tx, PPOConfig())
+    batch = {
+        "images": images,
+        "aux": None,
+        "actions": jnp.asarray([[1, 1], [2, 0], [0, 2], [3, 1]], jnp.int32),
+        "old_log_prob": jnp.full((4,), -2.0),
+        "advantages": jnp.asarray([1.0, -1.0, 0.5, -0.5]),
+        "returns": jnp.asarray([1.0, 0.0, 0.5, 0.2]),
+    }
+    opt_state = tx.init(params)
+    p1, opt_state, m1 = update(params, opt_state, batch)
+    p2, opt_state, m2 = update(p1, opt_state, batch)
+    assert np.isfinite(float(m1["total_loss"]))
+    # value loss decreases as the critic fits the returns
+    assert float(m2["value_loss"]) < float(m1["value_loss"])
