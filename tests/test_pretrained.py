@@ -1,0 +1,162 @@
+"""Pretrained-conversion tests with synthetic torch checkpoints."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from linnaeus_tpu.models import MFormerV1
+from linnaeus_tpu.utils.pretrained import (
+    convert_conv_kernel,
+    convert_linear_kernel,
+    load_stitched_pretrained,
+    load_torch_state_dict,
+)
+
+DEPTHS = (1, 1, 1, 1)
+DIMS = (8, 16, 32, 64)
+ROPE_DEPTHS = (1, 1)
+ROPE_DIMS = (32, 64)
+
+
+def tiny_model():
+    return MFormerV1(
+        img_size=(32, 32),
+        convnext_depths=DEPTHS,
+        convnext_dims=DIMS,
+        rope_depths=ROPE_DEPTHS,
+        rope_dims=ROPE_DIMS,
+        rope_num_heads=(2, 2),
+        drop_path_rate=0.0,
+        task_keys=("t1",),
+        num_classes={"t1": 4},
+        head_configs={"t1": {"TYPE": "Linear"}},
+    )
+
+
+def synthetic_convnext_sd():
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    sd = {
+        "downsample_layers.0.0.weight": t(DIMS[0], 3, 4, 4),
+        "downsample_layers.0.0.bias": t(DIMS[0]),
+        "downsample_layers.0.1.weight": t(DIMS[0]),
+        "downsample_layers.0.1.bias": t(DIMS[0]),
+    }
+    for stage, dim in ((0, DIMS[0]), (1, DIMS[1])):
+        p = f"stages.{stage}.0"
+        sd.update({
+            f"{p}.dwconv.weight": t(dim, 1, 7, 7),
+            f"{p}.dwconv.bias": t(dim),
+            f"{p}.norm.weight": t(dim),
+            f"{p}.norm.bias": t(dim),
+            f"{p}.pwconv1.weight": t(4 * dim, dim),
+            f"{p}.pwconv1.bias": t(4 * dim),
+            f"{p}.pwconv2.weight": t(dim, 4 * dim),
+            f"{p}.pwconv2.bias": t(dim),
+            f"{p}.gamma": t(dim),
+        })
+    for i, (din, dout) in enumerate(
+        ((DIMS[0], DIMS[1]), (DIMS[1], DIMS[2]), (DIMS[2], DIMS[3])), start=1
+    ):
+        sd.update({
+            f"downsample_layers.{i}.0.weight": t(din),
+            f"downsample_layers.{i}.0.bias": t(din),
+            f"downsample_layers.{i}.1.weight": t(dout, din, 2, 2),
+            f"downsample_layers.{i}.1.bias": t(dout),
+        })
+    return sd
+
+
+def synthetic_ropevit_sd():
+    g = torch.Generator().manual_seed(1)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    sd = {}
+    for blk, dim in ((0, ROPE_DIMS[0]), (1, ROPE_DIMS[1])):
+        p = f"blocks.{blk}"
+        sd.update({
+            f"{p}.norm1.weight": t(dim),
+            f"{p}.norm1.bias": t(dim),
+            f"{p}.attn.qkv.weight": t(3 * dim, dim),
+            f"{p}.attn.qkv.bias": t(3 * dim),
+            f"{p}.attn.proj.weight": t(dim, dim),
+            f"{p}.attn.proj.bias": t(dim),
+            f"{p}.attn.freqs": t(2, 2, dim // 2 // 2),
+            f"{p}.norm2.weight": t(dim),
+            f"{p}.norm2.bias": t(dim),
+            f"{p}.mlp.fc1.weight": t(4 * dim, dim),
+            f"{p}.mlp.fc1.bias": t(4 * dim),
+            f"{p}.mlp.fc2.weight": t(dim, 4 * dim),
+            f"{p}.mlp.fc2.bias": t(dim),
+        })
+    return sd
+
+
+def test_kernel_conversions():
+    w = np.arange(24).reshape(2, 3, 2, 2).astype(np.float32)  # OIHW
+    k = convert_conv_kernel(w)
+    assert k.shape == (2, 2, 3, 2)  # HWIO
+    lin = np.arange(6).reshape(2, 3).astype(np.float32)
+    assert convert_linear_kernel(lin).shape == (3, 2)
+
+
+def test_stitched_loading_changes_params(tmp_path):
+    model = tiny_model()
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x, None)["params"]
+
+    conv_path = str(tmp_path / "convnext.pth")
+    rope_path = str(tmp_path / "ropevit.pth")
+    torch.save(synthetic_convnext_sd(), conv_path)
+    torch.save(synthetic_ropevit_sd(), rope_path)
+
+    loaded = load_stitched_pretrained(
+        params, conv_path, rope_path,
+        convnext_depths=DEPTHS, rope_depths=ROPE_DEPTHS,
+    )
+    # stem conv kernel now equals the transposed torch tensor
+    sd = load_torch_state_dict(conv_path)
+    np.testing.assert_allclose(
+        np.asarray(loaded["stem"]["Conv_0"]["kernel"]),
+        convert_conv_kernel(sd["downsample_layers.0.0.weight"]),
+        rtol=1e-6,
+    )
+    # rope qkv kernel transposed from torch
+    rsd = load_torch_state_dict(rope_path)
+    np.testing.assert_allclose(
+        np.asarray(loaded["stage3_block0"]["attn"]["qkv"]["kernel"]),
+        convert_linear_kernel(rsd["blocks.0.attn.qkv.weight"]),
+        rtol=1e-6,
+    )
+    # heads untouched (random init preserved)
+    np.testing.assert_allclose(
+        np.asarray(loaded["head"]["head_t1"]["Dense_0"]["kernel"]),
+        np.asarray(params["head"]["head_t1"]["Dense_0"]["kernel"]),
+        rtol=1e-6,
+    )
+    # model still runs with loaded params
+    out = model.apply({"params": loaded}, x, None)
+    assert np.isfinite(np.asarray(out["t1"])).all()
+
+
+def test_shape_mismatch_skipped(tmp_path):
+    model = tiny_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), None
+    )["params"]
+    bad_sd = {"downsample_layers.0.0.weight": torch.randn(99, 3, 4, 4)}
+    path = str(tmp_path / "bad.pth")
+    torch.save(bad_sd, path)
+    loaded = load_stitched_pretrained(params, path, None, DEPTHS, ROPE_DEPTHS)
+    np.testing.assert_allclose(
+        np.asarray(loaded["stem"]["Conv_0"]["kernel"]),
+        np.asarray(params["stem"]["Conv_0"]["kernel"]),
+    )
