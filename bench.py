@@ -4,13 +4,18 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline (BASELINE.md): the reference publishes no wall-clock numbers; the
-north-star target is >=5000 images/sec/chip inference for mFormerV1_sm on a
-v5e (per-chip share of the v5e-8 target). vs_baseline is measured/5000.
+north-star target is >=5000 images/sec/chip inference for mFormerV1_sm
+(per-chip share of the v5e-8 target). vs_baseline is measured/5000.
 
-Methodology: inputs vary per iteration (fold_in'd PRNG) so no layer of the
-stack can serve cached results; each iteration's output is reduced to a
-scalar that the host reads back, making the timing loop fully synchronous
-with device completion.
+Methodology notes (hard-won on this platform):
+  * the remote-TPU client reports buffers ready before chained programs
+    finish, so ``block_until_ready`` timings are invalid — only a host read
+    (``float(x)``) forces completion;
+  * therefore iterations run INSIDE one jitted ``lax.fori_loop`` whose carry
+    feeds the next iteration's input (no caching/elision possible), ended by
+    a single scalar read;
+  * fixed dispatch/read overhead is cancelled by differencing two iteration
+    counts: throughput = batch * (n2 - n1) / (t2 - t1).
 """
 
 from __future__ import annotations
@@ -28,38 +33,36 @@ def main() -> None:
     model = _flagship_model()
     batch = 128
 
-    @jax.jit
-    def make_inputs(key):
-        images = jax.random.normal(key, (batch, 224, 224, 3), jnp.bfloat16)
-        aux = jax.random.normal(key, (batch, 5), jnp.bfloat16)
-        return images, aux
+    images = jax.random.normal(
+        jax.random.PRNGKey(0), (batch, 224, 224, 3), jnp.bfloat16
+    )
+    aux = jax.random.normal(jax.random.PRNGKey(1), (batch, 5), jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, aux)["params"]
 
-    # pre-generate distinct device-resident batches (input creation excluded
-    # from timing; distinct data defeats any result caching)
-    n_inputs = 4
-    inputs = [make_inputs(jax.random.PRNGKey(i)) for i in range(n_inputs)]
-    jax.block_until_ready(inputs)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs[0])["params"]
+    def run(params, images, aux, n):
+        def body(i, carry):
+            # perturb the input by the carry so each iteration depends on the
+            # previous one and no two iterations see identical inputs
+            imgs = images + (carry * 1e-12).astype(images.dtype)
+            out = model.apply({"params": params}, imgs, aux, deterministic=True)
+            return carry + sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
 
-    @jax.jit
-    def forward_sum(params, images, aux):
-        out = model.apply({"params": params}, images, aux, deterministic=True)
-        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    # warmup / compile
-    float(forward_sum(params, *inputs[0]))
+    run_j = jax.jit(run)  # n stays a traced loop bound -> one compilation
 
-    iters = 30
-    start = time.perf_counter()
-    results = [
-        forward_sum(params, *inputs[i % n_inputs]) for i in range(iters)
-    ]  # async dispatch
-    jax.block_until_ready(results)  # one sync at the end
-    elapsed = time.perf_counter() - start
-    acc = sum(float(r) for r in results)
-    assert acc == acc, "NaN in outputs"
+    def timed(n: int) -> float:
+        t0 = time.perf_counter()
+        acc = float(run_j(params, images, aux, jnp.int32(n)))  # host read
+        assert acc == acc, "NaN"
+        return time.perf_counter() - t0
 
-    images_per_sec = batch * iters / elapsed
+    timed(2)  # compile + warm
+    n1, n2 = 10, 40
+    t1 = timed(n1)
+    t2 = timed(n2)
+    images_per_sec = batch * (n2 - n1) / max(t2 - t1, 1e-9)
+
     target = 5000.0  # images/sec/chip north-star (BASELINE.json)
     print(
         json.dumps(

@@ -88,3 +88,56 @@ def throughput_test(
             f"{results[bs]['latency_ms']:.2f} ms/batch"
         )
     return results
+
+
+def train_step_throughput(
+    train_step,
+    state,
+    batch,
+    scalars,
+    iters: int = 20,
+    warmup_iters: int = 2,
+) -> dict[str, float]:
+    """Steady-state train-step timing via lax.scan inside ONE jit.
+
+    Remote-TPU clients can report buffers ready before chained programs
+    complete, so per-step host timing is unreliable; scanning ``iters`` steps
+    inside a single compiled program and forcing a host read of the final
+    loss (which depends on the whole chain) gives honest numbers. Fixed
+    dispatch overhead is cancelled by differencing two iteration counts.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    def run(state, batch, n):
+        def body(carry, _):
+            st, _prev = carry
+            st, metrics = train_step(st, batch, scalars)
+            return (st, metrics["loss"]), None
+
+        (final_state, last_loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0.0)), None, length=n
+        )
+        return last_loss
+
+    timings = {}
+    for n in (warmup_iters, iters // 4 or 1, iters):
+        fn = jax.jit(lambda s, b, _n=n: run(s, b, _n))
+        t0 = _time.perf_counter()
+        loss = float(fn(state, batch))
+        timings[n] = _time.perf_counter() - t0
+        assert loss == loss, "NaN loss"
+    n1, n2 = iters // 4 or 1, iters
+    step_time = (timings[n2] - timings[n1]) / max(n2 - n1, 1)
+    bs = batch["images"].shape[0]
+    result = {
+        "step_time_ms": 1000 * step_time,
+        "images_per_sec": bs / max(step_time, 1e-9),
+    }
+    logger.info(
+        f"train step: {result['step_time_ms']:.2f} ms "
+        f"({result['images_per_sec']:.0f} img/s)"
+    )
+    return result

@@ -1,0 +1,155 @@
+"""Tool tests: dataset analyzer, taxonomy validator, log filter, complexity,
+inference bundle preparation."""
+
+import json
+
+import h5py
+import numpy as np
+import pytest
+
+from linnaeus_tpu.tools.dataset_analyzer import analyze_labels_h5
+from linnaeus_tpu.tools.filter_logs import filter_lines
+from linnaeus_tpu.tools.validate_taxonomy_h5 import validate
+from linnaeus_tpu.utils.ibrida import AncestralLevels
+
+
+@pytest.fixture(scope="module")
+def labels_h5(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tools") / "labels.h5")
+    rng = np.random.default_rng(0)
+    n = 40
+    species = rng.integers(1, 5, n)
+    genus = np.where(species > 0, 100 + (species - 1) // 2, 0)
+    species[:4] = 0
+    genus[:2] = 0
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "img_identifiers", data=np.array([f"i{i}" for i in range(n)], "S8")
+        )
+        f.create_dataset("taxa_L10", data=species.astype(np.int64))
+        f.create_dataset("taxa_L20", data=genus.astype(np.int64))
+        f.create_dataset("temporal", data=rng.normal(size=(n, 2)).astype(np.float32))
+    return path
+
+
+def test_dataset_analyzer(labels_h5):
+    out = analyze_labels_h5(labels_h5, ["taxa_L10", "taxa_L20"], ["temporal"])
+    assert out["num_samples"] == 40
+    assert out["tasks"]["taxa_L10"]["present"]
+    assert 0 < out["tasks"]["taxa_L10"]["label_density"] < 1
+    assert out["meta"]["temporal"]["dim"] == 2
+    assert "taxa_L10->taxa_L20" in out["hierarchy"]
+    assert out["hierarchy"]["taxa_L10->taxa_L20"]["multi_parent_violations"] == 0
+
+
+def test_validate_taxonomy_h5(labels_h5):
+    result = validate(labels_h5, ["taxa_L10", "taxa_L20"])
+    assert result["valid"]
+    assert result["num_classes"]["taxa_L10"] == 5  # 4 species + null
+
+
+def test_filter_logs():
+    lines = [
+        "[t] (a.py:1) INFO: hello world",
+        "[t] (b.py:2) DEBUG: noise",
+        "[t] (a.py:3) ERROR: boom",
+    ]
+    assert len(list(filter_lines(lines, "INFO"))) == 2
+    assert len(list(filter_lines(lines, "ERROR"))) == 1
+    assert len(list(filter_lines(lines, "DEBUG", pattern="boom"))) == 1
+    assert len(list(filter_lines(lines, "DEBUG", component="a.py"))) == 2
+
+
+def test_ancestral_levels():
+    al = AncestralLevels(["taxa_L10", "taxa_L20", "taxa_L40"])
+    assert al.levels == [10, 20, 40]
+    assert al.names() == ["species", "genus", "order"]
+    assert al.finest() == "taxa_L10"
+    assert al.coarsest() == "taxa_L40"
+
+
+def test_complexity_estimator_tiny():
+    from linnaeus_tpu.evaluation import estimate_model_complexity
+    from linnaeus_tpu.models import MFormerV1
+
+    model = MFormerV1(
+        img_size=(32, 32),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=(8, 16, 32, 64),
+        rope_depths=(1, 1),
+        rope_dims=(32, 64),
+        rope_num_heads=(2, 2),
+        drop_path_rate=0.0,
+        task_keys=("t1",),
+        num_classes={"t1": 4},
+        head_configs={"t1": {"TYPE": "Linear"}},
+    )
+    result = estimate_model_complexity(model, img_size=32, meta_dim=5)
+    assert result["params"] > 10_000
+    # flops may be None on some backends, but when present must be positive
+    if result["flops_per_sample"] is not None:
+        assert result["flops_per_sample"] > 0
+
+
+def test_prepare_inference_bundle(tmp_path, labels_h5):
+    import jax
+
+    from linnaeus_tpu.configuration import get_default_config
+    from linnaeus_tpu.data.processor import (
+        DatasetProcessor,
+        process_and_save_dataset_metadata,
+    )
+    from linnaeus_tpu.tools.prepare_inference_bundle import prepare_bundle
+    from linnaeus_tpu.utils import checkpoint as ckpt
+
+    cfg = get_default_config()
+    cfg.DATA.TASK_KEYS_H5 = ["taxa_L10", "taxa_L20"]
+    cfg.DATA.PARTIAL.LEVELS = True
+    cfg.DATA.META.ACTIVE = False
+    proc = DatasetProcessor(cfg)
+    proc.process_single_file(labels_h5, 0.8, 0)
+    assets = tmp_path / "assets"
+    process_and_save_dataset_metadata(proc, str(assets))
+
+    # minimal checkpoint with a params tree
+    import optax
+
+    from linnaeus_tpu.models import MFormerV1
+    from linnaeus_tpu.train.state import create_train_state
+
+    model = MFormerV1(
+        img_size=(32, 32),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=(8, 16, 32, 64),
+        rope_depths=(1, 1),
+        rope_dims=(32, 64),
+        rope_num_heads=(2, 2),
+        drop_path_rate=0.0,
+        meta_components=(),
+        task_keys=("taxa_L10", "taxa_L20"),
+        num_classes=proc.num_classes,
+        head_configs={t: {"TYPE": "Linear"} for t in proc.task_keys},
+    )
+    import jax.numpy as jnp
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), None)[
+        "params"
+    ]
+    state = create_train_state(
+        model, params, optax.sgd(0.1), num_tasks=2, rng=jax.random.PRNGKey(0)
+    )
+    ckpt_dir = str(tmp_path / "ckpts")
+    path = ckpt.save_checkpoint(ckpt_dir, state)
+
+    out = prepare_bundle(
+        path, str(assets), str(tmp_path / "bundle"), "tiny",
+        proc.task_keys, [proc.num_classes[t] for t in proc.task_keys],
+        image_size=32,
+    )
+    import os
+
+    assert os.path.exists(os.path.join(out, "weights.msgpack"))
+    assert os.path.exists(os.path.join(out, "taxonomy.json"))
+    with open(os.path.join(out, "class_map.json")) as f:
+        cm = json.load(f)
+    assert cm["taxa_L10"]["0"] == 0  # null idx -> taxon id 0
