@@ -72,6 +72,11 @@ class Trainer:
         setup_output_dirs(config)
         self.ckpt_dir = config.ENV.OUTPUT.DIRS.CHECKPOINTS
 
+        from linnaeus_tpu.utils.hpc import get_shutdown_registry
+
+        self.shutdown = get_shutdown_registry()
+        self.shutdown.install_handlers()
+
         # ---------------- data
         self.bundle = build_datasets(config)
         self.num_classes = self.bundle["num_classes"]
@@ -84,6 +89,9 @@ class Trainer:
         self.train_loader, self.val_loader = build_loaders(
             config, self.bundle, device_put_fn=device_put
         )
+        self.shutdown.register(self.train_loader)
+        if self.val_loader is not None:
+            self.shutdown.register(self.val_loader)
         self.steps_per_epoch = max(len(self.train_loader), 1)
         total_steps = self.steps_per_epoch * int(config.TRAIN.EPOCHS)
         from linnaeus_tpu.utils.schedule_utils import (
@@ -107,6 +115,13 @@ class Trainer:
             logger.info(
                 "\n" + schedule_summary(config, total_steps, self.steps_per_epoch)
             )
+        from linnaeus_tpu.utils.training_consistency import (
+            TrainingConsistencyChecker,
+            validate_training_schedule,
+        )
+
+        validate_training_schedule(config, total_steps, self.steps_per_epoch)
+        self.consistency = TrainingConsistencyChecker(config, total_steps)
 
         from linnaeus_tpu.metrics.step_logger import (
             StepMetricsLogger,
@@ -237,6 +252,61 @@ class Trainer:
             self._gradnorm_update = jax.jit(gradnorm_step)
 
         self._last_batch = None
+        if config.DATA.AUTOBATCH.get("ENABLED", False):
+            self._run_autobatch()
+
+    def _run_autobatch(self) -> None:
+        """Compiled-memory AutoBatch (reference: main.py:1249-1396): probe the
+        largest train batch under TARGET_MEMORY_FRACTION, then rebuild the
+        loaders and schedule around it. Deterministic across hosts (no
+        broadcast needed)."""
+        from linnaeus_tpu.train.autobatch import auto_find_batch_size
+        from linnaeus_tpu.train.step import ScheduleScalars
+
+        ab = self.config.DATA.AUTOBATCH
+        hw = self._img_hw()
+        n_data = self.mesh.devices.shape[0]
+
+        def make_batch(bs: int):
+            return {
+                "images": jnp.zeros((bs, *hw, int(self.config.MODEL.IN_CHANS))),
+                "targets": {
+                    t: jnp.zeros((bs,), jnp.int32) for t in self.task_keys
+                },
+                "aux": jnp.zeros((bs, self.meta_dim)) if self.meta_dim else None,
+                "group_ids": jnp.zeros((bs,), jnp.int32),
+            }
+
+        scalars = ScheduleScalars.zeros(self.meta_dim)
+
+        def compile_step(bs: int):
+            return self._train_step.lower(
+                self.state, make_batch(bs), scalars
+            ).compile()
+
+        found = auto_find_batch_size(
+            compile_step,
+            target_memory_fraction=float(ab.TARGET_MEMORY_FRACTION),
+            min_batch_size=int(ab.MIN_BATCH_SIZE),
+            max_batch_size=int(ab.MAX_BATCH_SIZE),
+            multiple_of=max(n_data, 1),
+        )
+        if found == int(self.config.DATA.BATCH_SIZE):
+            return
+        logger.info(f"AutoBatch: updating DATA.BATCH_SIZE -> {found}")
+        self.config.defrost()
+        self.config.DATA.BATCH_SIZE = found
+        self.config.freeze()
+        device_put = lambda b: shard_batch(b, self.mesh)  # noqa: E731
+        self.train_loader, self.val_loader = build_loaders(
+            self.config, self.bundle, device_put_fn=device_put
+        )
+        self.steps_per_epoch = max(len(self.train_loader), 1)
+        total_steps = self.steps_per_epoch * int(self.config.TRAIN.EPOCHS)
+        self.progress.expected_total_steps = total_steps
+        self.config.defrost()
+        self.config.LR_SCHEDULER.TOTAL_STEPS = total_steps
+        self.config.freeze()
 
     def _img_hw(self):
         s = self.config.MODEL.IMG_SIZE
@@ -329,6 +399,7 @@ class Trainer:
             ) or self.ops_schedule.should_log_to_wandb(gstep):
                 host = jax.device_get(step_metrics)
                 lr_now = float(self.lr_schedule(gstep))
+                self.consistency.check_step(gstep, loss=float(host.get("loss", 0.0)))
                 if is_main_process():
                     self.step_logger.log_step_metrics(gstep, epoch, host, lr=lr_now)
                     self.step_logger.log_schedule_values(
@@ -352,6 +423,10 @@ class Trainer:
                 break
 
         elapsed = time.perf_counter() - epoch_start
+        batch_size = max(int(self.config.DATA.BATCH_SIZE), 1)
+        self.consistency.check_epoch_boundary(
+            epoch, n_seen // batch_size, self.steps_per_epoch
+        )
         if is_main_process():
             logger.info(
                 f"epoch {epoch} done: {n_seen} samples in {elapsed:.1f}s "
