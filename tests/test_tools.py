@@ -153,3 +153,19 @@ def test_prepare_inference_bundle(tmp_path, labels_h5):
     with open(os.path.join(out, "class_map.json")) as f:
         cm = json.load(f)
     assert cm["taxa_L10"]["0"] == 0  # null idx -> taxon id 0
+
+
+def test_interpolate_rel_pos_bias():
+    from linnaeus_tpu.utils.model_utils import interpolate_rel_pos_bias
+
+    h = 4
+    rows = (2 * h - 1) ** 2 + 1
+    table = np.random.default_rng(0).normal(size=(rows, 3)).astype(np.float32)
+    out = interpolate_rel_pos_bias(table, (4, 4), (6, 6))
+    assert out.shape == ((2 * 6 - 1) ** 2 + 1, 3)
+    # extra-token row preserved exactly
+    np.testing.assert_array_equal(out[-1], table[-1])
+    # identity when grids match
+    np.testing.assert_array_equal(
+        interpolate_rel_pos_bias(table, (4, 4), (4, 4)), table
+    )
