@@ -123,3 +123,30 @@ def test_trainer_end_to_end(data_dir, tmp_path):
     np.testing.assert_allclose(w2, w, rtol=1e-6)
     trainer.train_loader.close()
     trainer2.train_loader.close()
+
+
+@pytest.mark.slow
+def test_trainer_mformer_v0_end_to_end(data_dir, tmp_path):
+    """mFormerV0 through the Trainer: exercises BatchNorm stats threading."""
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_v0", epochs=1)
+    cfg.MODEL.TYPE = "mFormerV0"
+    cfg.MODEL.NAME = "tiny_v0"
+    cfg.MODEL.STAGES.DIMS = [8, 12, 24, 32, 64]
+    cfg.MODEL.STAGES.MBCONV_DEPTHS = [1, 1]
+    cfg.MODEL.STAGES.ATTN_DEPTHS = [1, 1]
+    cfg.MODEL.STAGES.NUM_HEADS = [2, 2]
+    cfg.MODEL.STAGES.MLP_RATIO = [2.0, 2.0]
+    trainer = Trainer(cfg)
+    assert trainer.state.batch_stats is not None
+    import jax
+
+    before = jax.device_get(jax.tree.leaves(trainer.state.batch_stats)[0])
+    trainer.train()
+    after = jax.device_get(jax.tree.leaves(trainer.state.batch_stats)[0])
+    import numpy as np
+
+    assert not np.allclose(before, after)  # BN stats advanced during training
+    assert trainer.metrics.get("val", "loss") is not None
+    trainer.train_loader.close()
