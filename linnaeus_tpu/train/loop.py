@@ -372,8 +372,19 @@ class Trainer:
         epoch_start = time.perf_counter()
         n_seen = 0
         self.step_logger.start_epoch(len(self.train_loader))
+        prof = self.config.DEBUG.PROFILE
+        prof_start = int(prof.get("START_STEP", 0) or 0)
+        prof_end = int(prof.get("END_STEP", 0) or 0)
         for batch in self.train_loader:
             step = self.progress.global_step
+            if prof_end > prof_start and step == prof_start and is_main_process():
+                jax.profiler.start_trace(
+                    f"{self.config.ENV.OUTPUT.DIRS.LOGS}/profile"
+                )
+            if prof_end > prof_start and step == prof_end and is_main_process():
+                jax.profiler.stop_trace()
+                logger.info(f"Wrote jax profiler trace for steps "
+                            f"{prof_start}-{prof_end}")
             combo = None
             if self.ops_schedule.get_partial_mask_enabled(step):
                 combo = self.ops_schedule.pick_partial_mask_combo()
@@ -540,6 +551,7 @@ class Trainer:
         if not is_main_process():
             return
         metric = self.metrics.get(MetricsTracker.VAL, "loss")
+        wandb_run_id = getattr(self.wandb_run, "id", None) if self.wandb_run else None
         path = ckpt.save_checkpoint(
             self.ckpt_dir,
             jax.device_get(self.state),
@@ -548,6 +560,7 @@ class Trainer:
             ops_schedule_state=self.ops_schedule.state_dict(),
             config_dump=self.config.dump(),
             metric_value=metric,
+            wandb_run_id=wandb_run_id,
         )
         sc = self.config.SCHEDULE.CHECKPOINT
         ckpt.manage_checkpoints(
