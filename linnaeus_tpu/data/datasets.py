@@ -191,9 +191,14 @@ class PrefetchingDataset:
             images = list(pool.map(self.read_sample, indices))
         else:
             images = [self.read_sample(i) for i in indices]
-        images = np.stack(images).astype(np.float32)
-        if images.max() > 1.5:  # uint8 range -> [0, 1]
-            images = images / 255.0
+        images = np.stack(images)
+        # Keep uint8 through the host pipeline: 4x less host work and
+        # host->HBM bandwidth; the jitted step converts to the compute dtype
+        # and scales by 1/255 on device (fused into the stem conv's input).
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
+            if images.max() > 1.5:  # transform emitted uint8 range
+                images = images / 255.0
         batch = {
             "images": images,
             "targets": {

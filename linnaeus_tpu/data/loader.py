@@ -48,6 +48,9 @@ class H5DataLoader:
         self.device_prefetch_depth = max(int(device_prefetch_depth), 0)
         self.device_put_fn = device_put_fn
         self.sleep_time = sleep_time
+        # two pools: per-sample IO reads fan out on _io_pool while batch
+        # assembly futures run on _batch_pool (separate pools = no deadlock)
+        self._io_pool: ThreadPoolExecutor | None = None
         self._pool: ThreadPoolExecutor | None = None
         self.metrics = {
             "batches_emitted": 0,
@@ -70,6 +73,9 @@ class H5DataLoader:
     def _ensure_pool(self) -> ThreadPoolExecutor:
         if self._pool is None:
             self._pool = ThreadPoolExecutor(
+                max_workers=self.batch_concurrency, thread_name_prefix="h5batch"
+            )
+            self._io_pool = ThreadPoolExecutor(
                 max_workers=self.num_io_threads, thread_name_prefix="h5io"
             )
         return self._pool
@@ -84,7 +90,9 @@ class H5DataLoader:
         emitted = 0
 
         def submit(idx_array):
-            return pool.submit(self.dataset.read_batch, idx_array, pool=None)
+            return pool.submit(
+                self.dataset.read_batch, idx_array, pool=self._io_pool
+            )
 
         bi = 0
         # prime the window
@@ -131,4 +139,7 @@ class H5DataLoader:
         if self._pool is not None:
             self._pool.shutdown(wait=False, cancel_futures=True)
             self._pool = None
+        if self._io_pool is not None:
+            self._io_pool.shutdown(wait=False, cancel_futures=True)
+            self._io_pool = None
         self.dataset.close()

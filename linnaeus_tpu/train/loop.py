@@ -328,6 +328,13 @@ class Trainer:
             self.metrics.load_state_dict(sidecar["metrics"])
         if "ops_schedule" in sidecar:
             self.ops_schedule.load_state_dict(sidecar["ops_schedule"])
+        # wandb run continuity (reference: checkpoint.py:1051-1054)
+        run_id = sidecar.get("wandb_run_id")
+        if run_id and self.wandb_run is None and is_main_process():
+            from linnaeus_tpu.metrics.step_logger import initialize_wandb
+
+            self.wandb_run = initialize_wandb(self.config, resume_run_id=run_id)
+            self.step_logger.wandb_run = self.wandb_run
         logger.info(f"Resumed from {latest} at step {self.progress.global_step}")
         # replay validations that were pending when interrupted
         if self.progress.has_pending_validations() and not self.skip_validation:

@@ -130,6 +130,9 @@ def make_train_step(
     def preprocess(batch, rng):
         r_mix, r_meta, r_partial = jax.random.split(rng, 3)
         images = batch["images"]
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            # uint8 host pipeline -> on-device [0, 1] float
+            images = images.astype(jnp.float32) * (1.0 / 255.0)
         targets = _ensure_soft(batch["targets"])
         meta = batch.get("aux") if has_meta else None
         group_ids = batch.get("group_ids")
@@ -293,6 +296,8 @@ def make_eval_step(
         partial_combo_mask: jnp.ndarray,
     ):
         images = batch["images"]
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            images = images.astype(jnp.float32) * (1.0 / 255.0)
         targets = {}
         for t, v in batch["targets"].items():
             if v.ndim == 1:
