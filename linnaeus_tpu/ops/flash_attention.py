@@ -1,21 +1,25 @@
-"""FlashAttention-2 forward kernel in Pallas (TPU).
+"""FlashAttention-2 forward + backward kernels in Pallas (TPU).
 
-Online-softmax blockwise attention (Dao 2023; PAPERS.md) — never
-materializes the (N, N) score matrix in HBM. Replaces the reference's
-flash-attn CUDA dependency (rope_2d_mhsa.py:29-47, 459-491) with a
-TPU-native kernel.
+Online-softmax blockwise attention (Dao 2023; PAPERS.md) — neither the
+forward nor the backward ever materializes the (N, N) score matrix in HBM.
+Replaces the reference's flash-attn CUDA dependency (rope_2d_mhsa.py:29-47,
+459-491) with TPU-native kernels.
 
 Design notes (see /opt/skills/guides/pallas_guide.md):
-  * grid = (batch*heads, num_q_blocks, num_k_blocks); the last grid axis
-    iterates sequentially on TPU, so the running max/denominator/accumulator
-    live in VMEM scratch across k-blocks of one q-block.
+  * forward grid = (batch*heads, num_q_blocks, num_k_blocks); the last grid
+    axis iterates sequentially on TPU, so the running max / denominator /
+    accumulator live in VMEM scratch across k-blocks of one q-block. The
+    forward also emits the per-row logsumexp (lse) residual.
+  * backward runs two kernels: dQ with grid (BH, nq, nk) and dK/dV with grid
+    (BH, nk, nq); each recomputes p = exp(s - lse) blockwise from the saved
+    q/k/v/lse and accumulates into VMEM scratch — classic FlashAttention-2
+    backward, O(N) memory.
   * blocks are (128, head_dim) tiles — MXU-aligned; inputs are zero-padded
-    to block multiples and padded keys are masked to -inf before the online
-    softmax (mask indices are compile-time iota, no dynamic shapes).
+    to block multiples; padded KEY columns are masked to -inf before the
+    softmax (compile-time iota); padded QUERY rows are harmless (their dO is
+    zero-padded, so they contribute nothing to dK/dV, and their dQ rows are
+    sliced away).
   * matmuls accumulate in fp32 (`preferred_element_type`); q/k/v can be bf16.
-  * backward currently recomputes through the jnp reference path via
-    custom_vjp (sequence lengths in this model are <=600, so the backward
-    (N,N) buffer is small; a full flash backward kernel is planned).
 """
 
 from __future__ import annotations
@@ -27,15 +31,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import sdpa_reference
-
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
 
 
+# ---------------------------------------------------------------- forward
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref,
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, scale: float, n_valid: int, block_k: int,
 ):
@@ -58,16 +61,15 @@ def _flash_fwd_kernel(
         preferred_element_type=jnp.float32,
     ) * scale  # (BQ, BK)
 
-    # mask padded keys (global col index >= n_valid)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
     s = jnp.where(col < n_valid, s, NEG_INF)
 
-    m_prev = m_scratch[:]          # (BQ, 1)
-    l_prev = l_scratch[:]          # (BQ, 1)
+    m_prev = m_scratch[:]
+    l_prev = l_scratch[:]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)         # (BQ, BK)
+    p = jnp.exp(s - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
     acc = acc_scratch[:] * alpha
@@ -83,11 +85,109 @@ def _flash_fwd_kernel(
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        o_ref[0] = (acc_scratch[:] / jnp.maximum(l_scratch[:], 1e-30)).astype(
-            o_ref.dtype
-        )
+        l = jnp.maximum(l_scratch[:], 1e-30)
+        o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scratch[:] + jnp.log(l))[:, 0]
 
 
+# --------------------------------------------------------------- backward
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    dq_scratch,
+    *, scale: float, n_valid: int, block_k: int,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0][:, None]      # (BQ, 1)
+    delta = delta_ref[0, 0][:, None]  # (BQ, 1)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (BQ, BK)
+
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, BK)
+    ds = p * (dp - delta)
+    dq_scratch[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0] = (dq_scratch[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, scale: float, n_valid: int, block_k: int,
+):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BQ, BK)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse)
+
+    # dV += P^T @ dO
+    dv_scratch[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    # dK += dS^T @ Q
+    dk_scratch[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0] = (dk_scratch[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+# ----------------------------------------------------------------- driver
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     size = x.shape[axis]
     rem = size % multiple
@@ -96,6 +196,67 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, multiple - rem)
     return jnp.pad(x, pad)
+
+
+def _qkv_spec(block, D, is_q):
+    if is_q:
+        return pl.BlockSpec(
+            (1, block, D), lambda bh, qi, ki: (bh, qi, 0),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        (1, block, D), lambda bh, qi, ki: (bh, ki, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _vec_spec(block, is_q):
+    # per-row vectors are stored 3D as (BH, n_blocks, block) so the block
+    # shape (1, 1, block) satisfies Mosaic's (8, 128)-or-full tiling rule
+    idx = (
+        (lambda bh, qi, ki: (bh, qi, 0)) if is_q
+        else (lambda bh, qi, ki: (bh, ki, 0))
+    )
+    return pl.BlockSpec((1, 1, block), idx, memory_space=pltpu.VMEM)
+
+
+def _flash_forward_padded(qf, kf, vf, scale, n_valid, block_q, block_k):
+    BH, nq_pad, D = qf.shape
+    nk_pad = kf.shape[1]
+    grid = (BH, nq_pad // block_q, nk_pad // block_k)
+    kernel = functools.partial(
+        _flash_fwd_kernel, scale=float(scale), n_valid=n_valid, block_k=block_k
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(qf.shape, qf.dtype),
+            jax.ShapeDtypeStruct(
+                (BH, nq_pad // block_q, block_q), jnp.float32
+            ),
+        ),
+        grid=grid,
+        in_specs=[
+            _qkv_spec(block_q, D, True),
+            _qkv_spec(block_k, D, False),
+            _qkv_spec(block_k, D, False),
+        ],
+        out_specs=(
+            _qkv_spec(block_q, D, True),
+            _vec_spec(block_q, True),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * n_valid * n_valid * D,
+            bytes_accessed=4 * BH * nq_pad * D * qf.dtype.itemsize,
+            transcendentals=BH * n_valid * n_valid,
+        ),
+    )(qf, kf, vf)
+    return out, lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -108,72 +269,109 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
     """Fused attention. q, k, v: (B, H, N, D). Returns (B, H, N, D)."""
-    return _flash_forward(q, k, v, scale, block_q, block_k)
-
-
-def _flash_forward(q, k, v, scale, block_q, block_k):
-    B, H, N, D = q.shape
-    if scale is None:
-        scale = D**-0.5
-
-    qf = _pad_to(q.reshape(B * H, N, D), 1, block_q)
-    kf = _pad_to(k.reshape(B * H, N, D), 1, block_k)
-    vf = _pad_to(v.reshape(B * H, N, D), 1, block_k)
-    nq_pad, nk_pad = qf.shape[1], kf.shape[1]
-    grid = (B * H, nq_pad // block_q, nk_pad // block_k)
-
-    kernel = functools.partial(
-        _flash_fwd_kernel, scale=float(scale), n_valid=N, block_k=block_k
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_q, D), lambda bh, qi, ki: (bh, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_k, D), lambda bh, qi, ki: (bh, ki, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_k, D), lambda bh, qi, ki: (bh, ki, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, D), lambda bh, qi, ki: (bh, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * N * N * D,
-            bytes_accessed=(3 * B * H * N * D + B * H * N * D) * q.dtype.itemsize,
-            transcendentals=B * H * N * N,
-        ),
-    )(qf, kf, vf)
-    return out[:, :N, :].reshape(B, H, N, D)
+    out, _ = _flash_fwd_rule(q, k, v, scale, block_q, block_k)
+    return out
 
 
 def _flash_fwd_rule(q, k, v, scale, block_q, block_k):
-    out = _flash_forward(q, k, v, scale, block_q, block_k)
-    return out, (q, k, v)
+    B, H, N, D = q.shape
+    if scale is None:
+        scale = D**-0.5
+    qf = _pad_to(q.reshape(B * H, N, D), 1, block_q)
+    kf = _pad_to(k.reshape(B * H, N, D), 1, block_k)
+    vf = _pad_to(v.reshape(B * H, N, D), 1, block_k)
+    out, lse = _flash_forward_padded(qf, kf, vf, scale, N, block_q, block_k)
+    o = out[:, :N, :].reshape(B, H, N, D)
+    return o, (q, k, v, o, lse)  # lse: (BH, nq_blocks, block_q)
 
 
 def _flash_bwd_rule(scale, block_q, block_k, residuals, g):
-    q, k, v = residuals
-    # Recompute gradients through the reference path (exact same math).
-    def ref(q, k, v):
-        return sdpa_reference(q, k, v, scale=scale)
+    q, k, v, o, lse = residuals
+    B, H, N, D = q.shape
+    if scale is None:
+        scale = D**-0.5
+    qf = _pad_to(q.reshape(B * H, N, D), 1, block_q)
+    kf = _pad_to(k.reshape(B * H, N, D), 1, block_k)
+    vf = _pad_to(v.reshape(B * H, N, D), 1, block_k)
+    dof = _pad_to(g.reshape(B * H, N, D), 1, block_q)
+    of = _pad_to(o.reshape(B * H, N, D), 1, block_q)
+    BH, nq_pad, _ = qf.shape
+    nk_pad = kf.shape[1]
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    # delta_i = rowsum(dO * O) — cheap elementwise, fused by XLA; stored in
+    # the same (BH, nq_blocks, block_q) 3D layout as lse
+    delta = jnp.sum(
+        dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1
+    ).reshape(BH, nq_pad // block_q, block_q)
+    lse_f = lse
+
+    grid_dq = (BH, nq_pad // block_q, nk_pad // block_k)
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=float(scale), n_valid=N, block_k=block_k
+        ),
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        grid=grid_dq,
+        in_specs=[
+            _qkv_spec(block_q, D, True),    # q
+            _qkv_spec(block_k, D, False),   # k
+            _qkv_spec(block_k, D, False),   # v
+            _qkv_spec(block_q, D, True),    # do
+            _vec_spec(block_q, True),       # lse
+            _vec_spec(block_q, True),       # delta
+        ],
+        out_specs=_qkv_spec(block_q, D, True),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+    )(qf, kf, vf, dof, lse_f, delta)
+
+    # dK/dV: grid iterates q blocks innermost for each k block
+    def kspec(block, D):
+        return pl.BlockSpec(
+            (1, block, D), lambda bh, ki, qi: (bh, ki, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def qspec(block, D):
+        return pl.BlockSpec(
+            (1, block, D), lambda bh, ki, qi: (bh, qi, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def qvec(block):
+        return pl.BlockSpec(
+            (1, 1, block), lambda bh, ki, qi: (bh, qi, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_dkv = (BH, nk_pad // block_k, nq_pad // block_q)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=float(scale), n_valid=N, block_k=block_k
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(kf.shape, k.dtype),
+            jax.ShapeDtypeStruct(vf.shape, v.dtype),
+        ),
+        grid=grid_dkv,
+        in_specs=[
+            qspec(block_q, D),   # q
+            kspec(block_k, D),   # k
+            kspec(block_k, D),   # v
+            qspec(block_q, D),   # do
+            qvec(block_q),       # lse
+            qvec(block_q),       # delta
+        ],
+        out_specs=(kspec(block_k, D), kspec(block_k, D)),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+    )(qf, kf, vf, dof, lse_f, delta)
+
+    dq = dq[:, :N, :].reshape(B, H, N, D)
+    dk = dk[:, :N, :].reshape(B, H, N, D)
+    dv = dv[:, :N, :].reshape(B, H, N, D)
+    return dq, dk, dv
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -229,3 +229,145 @@ def jax_to_py(tree):
     import jax
 
     return jax.tree.map(np.asarray, dict(tree))
+
+
+# --------------------------------------------------------------- mFormerV0
+def _bn_entries(src: str, dst: list[str]):
+    return [
+        (f"{src}.weight", dst + ["scale"], None),
+        (f"{src}.bias", dst + ["bias"], None),
+        (f"{src}.running_mean", dst + ["mean"], None),
+        (f"{src}.running_var", dst + ["var"], None),
+    ]
+
+
+def load_metaformer_into_mformer_v0(
+    params: dict,
+    batch_stats: dict,
+    state_dict: dict[str, np.ndarray],
+    mbconv_depths: tuple[int, int] = (2, 3),
+    attn_depths: tuple[int, int] = (5, 2),
+) -> tuple[dict, dict]:
+    """Map a MetaFG ("MetaFormer") torch checkpoint onto mFormerV0.
+
+    Reference parity: utils/checkpoint.py:117 (map_metaformer_checkpoint).
+    Covers: 3-conv stem (+BNs), MBConv stages (expand/depthwise/SE/project
+    convs + BNs), RelativeAttention stages (patch_embed, qkv/proj,
+    bias tables, MLPs), CLS tokens, meta heads, aggregator. Non-strict:
+    anything absent/shape-mismatched keeps its init.
+    """
+    import copy
+
+    params = copy.deepcopy(jax_to_py(params))
+    batch_stats = copy.deepcopy(jax_to_py(batch_stats)) if batch_stats else {}
+    p_report = {"loaded": [], "missing": [], "shape_mismatch": []}
+    b_report = {"loaded": [], "missing": [], "shape_mismatch": []}
+
+    # stem (stage_0.{0,3,6} convs + bns 1,4 + bn1)
+    p_entries = [
+        ("stage_0.0.weight", ["stem_conv0", "kernel"], convert_conv_kernel),
+        ("stage_0.3.weight", ["stem_conv1", "kernel"], convert_conv_kernel),
+        ("stage_0.6.weight", ["stem_conv2", "kernel"], convert_conv_kernel),
+    ]
+    b_entries = []
+    for src, dst in (("stage_0.1", "stem_bn0"), ("stage_0.4", "stem_bn1"),
+                     ("bn1", "bn1")):
+        p_entries += [
+            (f"{src}.weight", [dst, "scale"], None),
+            (f"{src}.bias", [dst, "bias"], None),
+        ]
+        b_entries += [
+            (f"{src}.running_mean", [dst, "mean"], None),
+            (f"{src}.running_var", [dst, "var"], None),
+        ]
+
+    # MBConv stages
+    for stage_idx, (name, depth) in enumerate(
+        (("stage1", mbconv_depths[0]), ("stage2", mbconv_depths[1])), start=1
+    ):
+        for j in range(depth):
+            src = f"stage_{stage_idx}.{j}"
+            dst = f"{name}_block{j}"
+            p_entries += [
+                (f"{src}._expand_conv.weight",
+                 [dst, "expand_conv", "kernel"], convert_conv_kernel),
+                (f"{src}._depthwise_conv.weight",
+                 [dst, "depthwise_conv", "kernel"],
+                 lambda w: convert_conv_kernel(w, depthwise=True)),
+                (f"{src}._se_reduce.weight",
+                 [dst, "se", "reduce", "kernel"], convert_conv_kernel),
+                (f"{src}._se_reduce.bias", [dst, "se", "reduce", "bias"], None),
+                (f"{src}._se_expand.weight",
+                 [dst, "se", "expand", "kernel"], convert_conv_kernel),
+                (f"{src}._se_expand.bias", [dst, "se", "expand", "bias"], None),
+                (f"{src}._project_conv.weight",
+                 [dst, "project_conv", "kernel"], convert_conv_kernel),
+            ]
+            for bn_src, bn_dst in ((f"{src}._bn0", "bn0"), (f"{src}._bn1", "bn1"),
+                                   (f"{src}._bn2", "bn2")):
+                p_entries += [
+                    (f"{bn_src}.weight", [dst, bn_dst, "scale"], None),
+                    (f"{bn_src}.bias", [dst, bn_dst, "bias"], None),
+                ]
+                b_entries += [
+                    (f"{bn_src}.running_mean", [dst, bn_dst, "mean"], None),
+                    (f"{bn_src}.running_var", [dst, bn_dst, "var"], None),
+                ]
+
+    # attention stages
+    for stage_idx, (name, depth) in enumerate(
+        (("stage3", attn_depths[0]), ("stage4", attn_depths[1])), start=3
+    ):
+        for j in range(depth):
+            src = f"stage_{stage_idx}.{j}"
+            dst = f"{name}_block{j}"
+            if j == 0:
+                p_entries += [
+                    (f"{src}.patch_embed.proj.weight",
+                     [dst, "patch_embed", "proj", "kernel"], convert_conv_kernel),
+                    (f"{src}.patch_embed.proj.bias",
+                     [dst, "patch_embed", "proj", "bias"], None),
+                    (f"{src}.patch_embed.norm.weight",
+                     [dst, "patch_embed", "LayerNorm_0", "scale"], None),
+                    (f"{src}.patch_embed.norm.bias",
+                     [dst, "patch_embed", "LayerNorm_0", "bias"], None),
+                ]
+            p_entries += [
+                (f"{src}.norm1.weight", [dst, "norm1", "scale"], None),
+                (f"{src}.norm1.bias", [dst, "norm1", "bias"], None),
+                (f"{src}.attn.qkv.weight",
+                 [dst, "attn", "qkv", "kernel"], convert_linear_kernel),
+                (f"{src}.attn.qkv.bias", [dst, "attn", "qkv", "bias"], None),
+                (f"{src}.attn.proj.weight",
+                 [dst, "attn", "proj", "kernel"], convert_linear_kernel),
+                (f"{src}.attn.proj.bias", [dst, "attn", "proj", "bias"], None),
+                (f"{src}.attn.relative_position_bias_table",
+                 [dst, "attn", "relative_position_bias_table"], None),
+                (f"{src}.norm2.weight", [dst, "norm2", "scale"], None),
+                (f"{src}.norm2.bias", [dst, "norm2", "bias"], None),
+                (f"{src}.mlp.fc1.weight",
+                 [dst, "mlp", "Dense_0", "kernel"], convert_linear_kernel),
+                (f"{src}.mlp.fc1.bias", [dst, "mlp", "Dense_0", "bias"], None),
+                (f"{src}.mlp.fc2.weight",
+                 [dst, "mlp", "Dense_1", "kernel"], convert_linear_kernel),
+                (f"{src}.mlp.fc2.bias", [dst, "mlp", "Dense_1", "bias"], None),
+            ]
+
+    # norms, cls tokens, aggregator
+    p_entries += [
+        ("norm_1.weight", ["norm_1", "scale"], None),
+        ("norm_1.bias", ["norm_1", "bias"], None),
+        ("norm_2.weight", ["norm_2", "scale"], None),
+        ("norm_2.bias", ["norm_2", "bias"], None),
+        ("cls_token_1", ["cls_token_1"], None),
+        ("cls_token_2", ["cls_token_2"], None),
+        ("norm.weight", ["final_norm", "scale"], None),
+        ("norm.bias", ["final_norm", "bias"], None),
+    ]
+
+    _apply_entries(params, state_dict, p_entries, p_report)
+    if batch_stats:
+        _apply_entries(batch_stats, state_dict, b_entries, b_report)
+    _log_report("MetaFormer", p_report)
+    _log_report("MetaFormer/bn-stats", b_report)
+    return params, batch_stats
