@@ -44,6 +44,7 @@ def _flash_fwd_kernel(
 ):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+    qi = pl.program_id(1)
 
     @pl.when(ki == 0)
     def _init():
@@ -87,7 +88,7 @@ def _flash_fwd_kernel(
     def _finalize():
         l = jnp.maximum(l_scratch[:], 1e-30)
         o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_scratch[:] + jnp.log(l))[:, 0]
+        lse_ref[0, qi] = (m_scratch[:] + jnp.log(l))[:, 0]
 
 
 # --------------------------------------------------------------- backward
@@ -107,8 +108,9 @@ def _flash_bwd_dq_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0, 0][:, None]      # (BQ, 1)
-    delta = delta_ref[0, 0][:, None]  # (BQ, 1)
+    qi = pl.program_id(1)
+    lse = lse_ref[0, qi][:, None]      # (BQ, 1)
+    delta = delta_ref[0, qi][:, None]  # (BQ, 1)
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -152,8 +154,8 @@ def _flash_bwd_dkv_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0, 0][:, None]
-    delta = delta_ref[0, 0][:, None]
+    lse = lse_ref[0, qi][:, None]
+    delta = delta_ref[0, qi][:, None]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -210,14 +212,14 @@ def _qkv_spec(block, D, is_q):
     )
 
 
-def _vec_spec(block, is_q):
-    # per-row vectors are stored 3D as (BH, n_blocks, block) so the block
-    # shape (1, 1, block) satisfies Mosaic's (8, 128)-or-full tiling rule
-    idx = (
-        (lambda bh, qi, ki: (bh, qi, 0)) if is_q
-        else (lambda bh, qi, ki: (bh, ki, 0))
+def _vec_spec(block, n_blocks):
+    # per-row vectors are stored 3D as (BH, n_blocks, block); the block spec
+    # covers the FULL (n_blocks, block) tail so Mosaic's (8, 128)-or-full
+    # tiling rule is satisfied; kernels index the row by program_id
+    return pl.BlockSpec(
+        (1, n_blocks, block), lambda bh, qi, ki: (bh, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    return pl.BlockSpec((1, 1, block), idx, memory_space=pltpu.VMEM)
 
 
 def _flash_forward_padded(qf, kf, vf, scale, n_valid, block_q, block_k):
@@ -243,7 +245,7 @@ def _flash_forward_padded(qf, kf, vf, scale, n_valid, block_q, block_k):
         ],
         out_specs=(
             _qkv_spec(block_q, D, True),
-            _vec_spec(block_q, True),
+            _vec_spec(block_q, nq_pad // block_q),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -317,8 +319,8 @@ def _flash_bwd_rule(scale, block_q, block_k, residuals, g):
             _qkv_spec(block_k, D, False),   # k
             _qkv_spec(block_k, D, False),   # v
             _qkv_spec(block_q, D, True),    # do
-            _vec_spec(block_q, True),       # lse
-            _vec_spec(block_q, True),       # delta
+            _vec_spec(block_q, nq_pad // block_q),  # lse
+            _vec_spec(block_q, nq_pad // block_q),  # delta
         ],
         out_specs=_qkv_spec(block_q, D, True),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
@@ -337,9 +339,9 @@ def _flash_bwd_rule(scale, block_q, block_k, residuals, g):
             memory_space=pltpu.VMEM,
         )
 
-    def qvec(block):
+    def qvec(block, n_blocks):
         return pl.BlockSpec(
-            (1, 1, block), lambda bh, ki, qi: (bh, qi, 0),
+            (1, n_blocks, block), lambda bh, ki, qi: (bh, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -358,8 +360,8 @@ def _flash_bwd_rule(scale, block_q, block_k, residuals, g):
             kspec(block_k, D),   # k
             kspec(block_k, D),   # v
             qspec(block_q, D),   # do
-            qvec(block_q),       # lse
-            qvec(block_q),       # delta
+            qvec(block_q, nq_pad // block_q),  # lse
+            qvec(block_q, nq_pad // block_q),  # delta
         ],
         out_specs=(kspec(block_k, D), kspec(block_k, D)),
         scratch_shapes=[
