@@ -261,7 +261,14 @@ def _flash_forward_padded(qf, kf, vf, scale, n_valid, block_q, block_k):
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+# Backward strategy threshold: below this sequence length XLA's AD through
+# the jnp softmax path beats the blockwise backward kernels (kernel-launch
+# and pad overhead dominate at tiny N; measured 0.78 vs 3.46 ms/iter at
+# N=199 on v5e). Above it, the O(N^2) fp32 residual traffic makes the
+# kernels win.
+KERNEL_BWD_MIN_SEQ = 512
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -269,8 +276,52 @@ def flash_attention(
     scale: float | None = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    bwd: str = "auto",
 ) -> jnp.ndarray:
-    """Fused attention. q, k, v: (B, H, N, D). Returns (B, H, N, D)."""
+    """Fused attention. q, k, v: (B, H, N, D). Returns (B, H, N, D).
+
+    ``bwd``: 'kernel' (blockwise FlashAttention-2 backward kernels),
+    'recompute' (XLA AD through the jnp path — fastest at small N), or
+    'auto' (pick by sequence length).
+    """
+    if bwd == "auto":
+        bwd = "kernel" if q.shape[2] >= KERNEL_BWD_MIN_SEQ else "recompute"
+    if bwd == "recompute":
+        return _flash_attention_recompute(q, k, v, scale, block_q, block_k)
+    return _flash_attention_kernelbwd(q, k, v, scale, block_q, block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_recompute(q, k, v, scale, block_q, block_k):
+    out, _ = _flash_fwd_rule(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _recompute_fwd_rule(q, k, v, scale, block_q, block_k):
+    out = _flash_attention_recompute(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v)
+
+
+def _recompute_bwd_rule(scale, block_q, block_k, residuals, g):
+    from .attention import sdpa_reference
+
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: sdpa_reference(q, k, v, scale=scale), q, k, v)
+    return vjp(g)
+
+
+_flash_attention_recompute.defvjp(_recompute_fwd_rule, _recompute_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_kernelbwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
     out, _ = _flash_fwd_rule(q, k, v, scale, block_q, block_k)
     return out
 
@@ -376,4 +427,4 @@ def _flash_bwd_rule(scale, block_q, block_k, residuals, g):
     return dq, dk, dv
 
 
-flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+_flash_attention_kernelbwd.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -73,3 +73,15 @@ def test_gradients_match_reference():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("bwd", ["recompute", "kernel"])
+def test_both_backward_strategies_match(bwd):
+    B, H, N, D = 1, 2, 200, 32
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q, k, v = [jax.random.normal(kk, (B, H, N, D)) for kk in ks]
+    g = jax.grad(
+        lambda q: (fa.flash_attention(q, k, v, bwd=bwd) ** 2).sum()
+    )(q)
+    g_ref = jax.grad(lambda q: (sdpa_reference(q, k, v) ** 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-3)
