@@ -122,9 +122,11 @@ def train_step_throughput(
         )
         return last_loss
 
+    del warmup_iters
     timings = {}
-    for n in (warmup_iters, iters // 4 or 1, iters):
+    for n in (iters // 4 or 1, iters):
         fn = jax.jit(lambda s, b, _n=n: run(s, b, _n))
+        float(fn(state, batch))  # compile + warm (remote compile time varies)
         t0 = _time.perf_counter()
         loss = float(fn(state, batch))
         timings[n] = _time.perf_counter() - t0
