@@ -33,7 +33,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
+# cap on adaptive block sizes: a (1024, 1024) fp32 score tile is 4 MB of the
+# ~16 MB VMEM budget, leaving room for q/k/v/o tiles and double buffering
+MAX_BLOCK = 1024
 NEG_INF = -1e30
+
+
+def _auto_blocks(n: int) -> tuple[int, int]:
+    """Pick block sizes for sequence length n.
+
+    Per-program grid overhead dominates at small tile counts (measured: at
+    N=580, 128x128 blocks -> 19200 programs -> 12.8 ms fwd, while full-row
+    640x640 blocks -> 768 programs -> 3.97 ms). Use the full padded row up
+    to MAX_BLOCK, then tile.
+    """
+    import math
+
+    padded = ((n + 127) // 128) * 128
+    block = min(padded, MAX_BLOCK)
+    return block, block
 
 
 # ---------------------------------------------------------------- forward
@@ -277,15 +295,20 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     bwd: str = "auto",
+    auto_blocks: bool = True,
 ) -> jnp.ndarray:
     """Fused attention. q, k, v: (B, H, N, D). Returns (B, H, N, D).
 
     ``bwd``: 'kernel' (blockwise FlashAttention-2 backward kernels),
-    'recompute' (XLA AD through the jnp path — fastest at small N), or
-    'auto' (pick by sequence length).
+    'recompute' (XLA AD through the jnp path), or 'auto' (by seq length).
+    ``auto_blocks``: size blocks to the full padded row (<= MAX_BLOCK) —
+    measured much faster than fixed 128 tiles (fewer grid programs).
     """
+    n = q.shape[2]
+    if auto_blocks and block_q == DEFAULT_BLOCK_Q and block_k == DEFAULT_BLOCK_K:
+        block_q, block_k = _auto_blocks(n)
     if bwd == "auto":
-        bwd = "kernel" if q.shape[2] >= KERNEL_BWD_MIN_SEQ else "recompute"
+        bwd = "kernel" if n >= KERNEL_BWD_MIN_SEQ else "recompute"
     if bwd == "recompute":
         return _flash_attention_recompute(q, k, v, scale, block_q, block_k)
     return _flash_attention_kernelbwd(q, k, v, scale, block_q, block_k)
