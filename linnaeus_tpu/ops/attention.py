@@ -48,15 +48,23 @@ def scaled_dot_product_attention(
 ) -> jnp.ndarray:
     """Dispatch between the reference path and the Pallas flash kernel.
 
-    The Pallas kernel compiles through Mosaic, which is TPU-only; on other
-    backends (CPU tests, compile checks) we silently fall back to the jnp
-    path rather than failing — mirroring the reference's flash-attn
+    ``use_flash`` enables the kernel where it is PROFITABLE: measured on
+    v5e, XLA's fused sdpa wins below ~512 tokens while the full-row-block
+    Pallas kernels win above (docs/performance.md) — so short-sequence
+    stages (e.g. mFormerV1 stage 4) keep the jnp path even when the config
+    enables flash. The kernel also requires a TPU backend (Mosaic); other
+    backends fall back silently, mirroring the reference's flash-attn
     availability fallback (rope_2d_mhsa.py:493-498).
     """
     if use_flash:
         import jax
 
-        if jax.default_backend() == "tpu":
+        from linnaeus_tpu.ops.flash_attention import KERNEL_BWD_MIN_SEQ
+
+        if (
+            jax.default_backend() == "tpu"
+            and q.shape[2] >= KERNEL_BWD_MIN_SEQ
+        ):
             from linnaeus_tpu.ops.flash_attention import flash_attention
 
             return flash_attention(q, k, v, scale=scale)
