@@ -38,6 +38,7 @@ from linnaeus_tpu.parallel.mesh import (
     initialize_multi_host,
     is_main_process,
     replicate,
+    replicated_sharding,
     shard_batch,
 )
 from linnaeus_tpu.train.state import create_train_state
@@ -171,7 +172,30 @@ class Trainer:
             init_task_weights=init_weights if init_weights else None,
             batch_stats=batch_stats,
         )
-        self.state = replicate(self.state, self.mesh)
+        if str(config.PARALLEL.get("PARAM_SHARDING", "replicated")) == "fsdp":
+            # FSDP-style: shard each param's largest divisible axis along the
+            # data axis; optimizer state follows via the same tree structure.
+            from linnaeus_tpu.parallel.mesh import fsdp_param_sharding
+
+            param_shardings = fsdp_param_sharding(self.mesh, self.state.params)
+            sharded_params = jax.tree.map(
+                lambda p, s: jax.device_put(p, s),
+                self.state.params, param_shardings,
+            )
+            # optimizer state re-inits on the sharded params, so its moments
+            # inherit the param shardings; small leaves replicate
+            repl = replicated_sharding(self.mesh)
+            self.state = self.state.replace(
+                params=sharded_params,
+                opt_state=self.tx.init(sharded_params),
+                step=jax.device_put(self.state.step, repl),
+                rng=jax.device_put(self.state.rng, repl),
+                gradnorm=jax.tree.map(
+                    lambda x: jax.device_put(x, repl), self.state.gradnorm
+                ),
+            )
+        else:
+            self.state = replicate(self.state, self.mesh)
 
         # ---------------- losses & steps
         self.train_criteria, self.val_criteria = prepare_loss_functions(

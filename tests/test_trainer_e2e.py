@@ -150,3 +150,24 @@ def test_trainer_mformer_v0_end_to_end(data_dir, tmp_path):
     assert not np.allclose(before, after)  # BN stats advanced during training
     assert trainer.metrics.get("val", "loss") is not None
     trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_trainer_fsdp_param_sharding(data_dir, tmp_path):
+    """FSDP-style param sharding over the 8-device CPU mesh."""
+    import jax
+
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_fsdp", epochs=1)
+    cfg.PARALLEL.PARAM_SHARDING = "fsdp"
+    trainer = Trainer(cfg)
+    # at least one large param should actually be sharded across devices
+    sharded = [
+        p for p in jax.tree.leaves(trainer.state.params)
+        if hasattr(p, "sharding") and not p.sharding.is_fully_replicated
+    ]
+    assert sharded, "no parameter was sharded under fsdp mode"
+    trainer.train()
+    assert trainer.metrics.get("val", "loss") is not None
+    trainer.train_loader.close()
