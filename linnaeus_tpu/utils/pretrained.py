@@ -209,6 +209,9 @@ def _apply_entries(params, state_dict, entries, report):
             report["missing"].append(f"src:{src_key}")
             continue
         value = state_dict[src_key]
+        if hasattr(value, "detach"):  # raw torch tensor
+            value = value.detach().cpu().numpy()
+        value = np.asarray(value)
         if conv is not None:
             value = conv(value)
         _set(params, dst_path, value, report)

@@ -160,3 +160,67 @@ def test_shape_mismatch_skipped(tmp_path):
         np.asarray(loaded["stem"]["Conv_0"]["kernel"]),
         np.asarray(params["stem"]["Conv_0"]["kernel"]),
     )
+
+
+def test_metaformer_v0_remap(tmp_path):
+    from linnaeus_tpu.models import MFormerV0
+    from linnaeus_tpu.utils.pretrained import load_metaformer_into_mformer_v0
+
+    model = MFormerV0(
+        img_size=(64, 64),
+        stage_dims=(8, 12, 24, 32, 64),
+        mbconv_depths=(1, 1),
+        attn_depths=(1, 1),
+        num_heads=(2, 2),
+        drop_path_rate=0.0,
+        task_keys=("t1",),
+        num_classes={"t1": 4},
+        head_configs={"t1": {"TYPE": "Linear"}},
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), None
+    )
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    # minimal MetaFG-style state dict: stem conv0 + bn, one attention block
+    sd = {
+        "stage_0.0.weight": t(6, 3, 3, 3),  # 3*(8//4)=6 out
+        "stage_0.1.weight": t(6),
+        "stage_0.1.bias": t(6),
+        "stage_0.1.running_mean": t(6),
+        "stage_0.1.running_var": torch.abs(t(6)) + 0.5,
+        "stage_3.0.attn.qkv.weight": t(96, 32),
+        "stage_3.0.attn.qkv.bias": t(96),
+        "norm_1.weight": t(32),
+        "norm_1.bias": t(32),
+        "cls_token_1": t(1, 1, 32),
+    }
+    new_params, new_stats = load_metaformer_into_mformer_v0(
+        variables["params"], variables["batch_stats"], sd,
+        mbconv_depths=(1, 1), attn_depths=(1, 1),
+    )
+    from linnaeus_tpu.utils.pretrained import convert_conv_kernel
+
+    np.testing.assert_allclose(
+        np.asarray(new_params["stem_conv0"]["kernel"]),
+        convert_conv_kernel(sd["stage_0.0.weight"].numpy()),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_stats["stem_bn0"]["mean"]),
+        sd["stage_0.1.running_mean"].numpy(),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_params["cls_token_1"]),
+        sd["cls_token_1"].numpy(), rtol=1e-6,
+    )
+    # model still runs with the grafted params
+    out = model.apply(
+        {"params": new_params, "batch_stats": new_stats},
+        jnp.zeros((1, 64, 64, 3)), None,
+    )
+    assert np.isfinite(np.asarray(out["t1"])).all()
