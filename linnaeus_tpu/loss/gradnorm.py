@@ -96,6 +96,7 @@ def make_gradnorm_update_fn(
     alpha: float,
     zero_aux_info: bool = True,
     use_linear_heads: bool = True,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jittable GradNorm update.
 
@@ -114,6 +115,8 @@ def make_gradnorm_update_fn(
         ``update(params, batch, gradnorm_state) -> (new_state, metrics)``.
     """
 
+    accum = max(int(accum_steps), 1)
+
     def update(params, images, targets, meta, state: GradNormState,
                batch_stats=None):
         if zero_aux_info and meta is not None:
@@ -123,19 +126,53 @@ def make_gradnorm_update_fn(
 
         mask = trunk_filter(params)
 
-        norms, losses = [], []
-        for ti, task in enumerate(task_keys):
+        def task_grads(ti, task, imgs, tgts, mta):
             def loss_fn(p):
                 outputs = apply_fn(
-                    p, images, meta_in,
+                    p, imgs, mta,
                     deterministic=True, gradnorm_mode=use_linear_heads,
                     batch_stats=batch_stats,
                 )
-                per_sample = criteria[task](outputs[task], targets[task])
+                per_sample = criteria[task](outputs[task], tgts)
                 unweighted = per_sample.mean()
                 return state.task_weights[ti] * unweighted, unweighted
 
-            grads, unweighted = jax.grad(loss_fn, has_aux=True)(params)
+            return jax.grad(loss_fn, has_aux=True)(params)
+
+        norms, losses = [], []
+        for ti, task in enumerate(task_keys):
+            if accum == 1:
+                grads, unweighted = task_grads(
+                    ti, task, images, targets[task], meta_in
+                )
+            else:
+                # GRADNORM_ACCUM_STEPS sub-batching (reference:
+                # gradient_weighting.py GRADNORM_ACCUM_STEPS): scan over
+                # microbatches, averaging gradients — caps activation memory
+                # at 1/accum of the full re-forward.
+                def split(x):
+                    return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+                micro = (
+                    split(images),
+                    split(targets[task]),
+                    split(meta_in) if meta_in is not None else None,
+                )
+
+                def body(carry, mb):
+                    acc_g, acc_l = carry
+                    imgs_mb, tgt_mb, meta_mb = mb
+                    g, unw = task_grads(ti, task, imgs_mb, tgt_mb, meta_mb)
+                    acc_g = jax.tree.map(jnp.add, acc_g, g)
+                    return (acc_g, acc_l + unw), None
+
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (grads, total_l), _ = jax.lax.scan(
+                    body, (zero, jnp.float32(0.0)), micro
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads)
+                unweighted = total_l / accum
+
             masked = jax.tree.map(
                 lambda g, m: g.astype(jnp.float32) * m, grads, mask
             )

@@ -259,6 +259,7 @@ class Trainer:
                 alpha=float(gw.ALPHA),
                 zero_aux_info=bool(gw.ZERO_AUX_INFO),
                 use_linear_heads=bool(gw.USE_LINEAR_HEADS_FOR_GRADNORM_REFORWARD),
+                accum_steps=max(int(gw.get("GRADNORM_ACCUM_STEPS", 1) or 1), 1),
             )
 
             def gradnorm_step(state, batch):

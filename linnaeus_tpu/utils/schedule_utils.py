@@ -162,3 +162,54 @@ def schedule_summary(config, total_steps: int, steps_per_epoch: int) -> str:
         f" (top {c.KEEP_TOP_N} / last {c.KEEP_LAST_N})"
     )
     return "\n".join(lines)
+
+
+def generate_schedule_plot(config, total_steps: int, output_path: str) -> str | None:
+    """Render the masking/mix/LR schedules to a PNG (schedule_utils.py:1118).
+
+    Returns the path written, or None when matplotlib is unavailable.
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        logger.warning("matplotlib unavailable; skipping schedule plot")
+        return None
+
+    from linnaeus_tpu.ops_schedule import OpsSchedule, TrainingProgress
+    from linnaeus_tpu.optim.schedules import build_schedule
+
+    tp = TrainingProgress(expected_total_steps=total_steps)
+    sched = OpsSchedule(config, tp)
+    lr_fn = build_schedule(config, total_steps)
+
+    steps = list(range(0, max(total_steps, 1), max(total_steps // 200, 1)))
+    fig, axes = plt.subplots(2, 1, figsize=(10, 7), sharex=True)
+    axes[0].plot(steps, [sched.get_meta_mask_prob(s) for s in steps],
+                 label="meta mask prob")
+    axes[0].plot(steps, [sched.get_mixup_prob(s) for s in steps],
+                 label="mix prob")
+    axes[0].plot(steps, [sched.get_null_mask_prob(s) for s in steps],
+                 label="null include prob")
+    axes[0].plot(steps, [sched.get_partial_meta_mask_prob(s) for s in steps],
+                 label="partial mask prob")
+    axes[0].set_ylabel("probability")
+    axes[0].set_ylim(-0.05, 1.05)
+    axes[0].legend(loc="best")
+    axes[0].set_title("schedule-driven probabilities")
+
+    axes[1].plot(steps, [float(lr_fn(s)) for s in steps], label="lr")
+    axes[1].set_yscale("log")
+    axes[1].set_ylabel("learning rate")
+    axes[1].set_xlabel("optimizer step")
+    axes[1].legend(loc="best")
+    fig.tight_layout()
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    fig.savefig(output_path, dpi=110)
+    plt.close(fig)
+    logger.info(f"Wrote schedule plot to {output_path}")
+    return output_path

@@ -53,3 +53,15 @@ def test_summary_renders():
     text = schedule_summary(cfg, 1000, 100)
     assert "total steps: 1000" in text
     assert "gradnorm" in text
+
+
+def test_generate_schedule_plot(tmp_path):
+    from linnaeus_tpu.utils.schedule_utils import generate_schedule_plot
+
+    cfg = get_default_config()
+    resolve_all_schedule_params(cfg, 1000)
+    out = generate_schedule_plot(cfg, 1000, str(tmp_path / "sched.png"))
+    assert out is not None
+    import os
+
+    assert os.path.getsize(out) > 1000
