@@ -12,6 +12,13 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+
+def gelu_exact(x):
+    """erf-based GELU (parity with torch nn.GELU's default; flax's
+    nn.gelu defaults to the tanh approximation)."""
+    return nn.gelu(x, approximate=False)
+
+
 # trunc_normal(std=0.02) — the ViT/ConvNeXt init used throughout the reference
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -49,7 +56,7 @@ class Mlp(nn.Module):
 
     hidden_features: int
     out_features: int
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
@@ -80,10 +87,10 @@ class ResNormLayer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = nn.Dense(self.dim, kernel_init=trunc_normal_init, dtype=self.dtype)(x)
         y = nn.relu(y)
-        y = nn.LayerNorm(dtype=self.dtype)(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
         y = nn.Dense(self.dim, kernel_init=trunc_normal_init, dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.LayerNorm(dtype=self.dtype)(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
         return x + y
 
 
@@ -115,6 +122,6 @@ class MetaHead(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.out_dim, kernel_init=trunc_normal_init, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = ResNormLayer(self.out_dim, dtype=self.dtype)(x)
         return x

@@ -36,7 +36,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = nn.Dense(4 * self.dim, kernel_init=trunc_normal_init, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, kernel_init=trunc_normal_init, dtype=self.dtype)(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(

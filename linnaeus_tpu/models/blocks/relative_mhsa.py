@@ -57,7 +57,7 @@ class OverlapPatchEmbed(nn.Module):
         )(x)
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return x, H, W
 
 
@@ -164,7 +164,7 @@ class RelativeMHSABlock(nn.Module):
             proj_drop=self.proj_drop,
             dtype=self.dtype,
             name="attn",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic)
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), deterministic)
         x = x + DropPath(self.drop_path)(attn_out, deterministic=deterministic)
         mlp_out = Mlp(
             hidden_features=int(dim * self.mlp_ratio),
@@ -172,6 +172,6 @@ class RelativeMHSABlock(nn.Module):
             drop=self.proj_drop,
             dtype=self.dtype,
             name="mlp",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic)
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), deterministic)
         x = x + DropPath(self.drop_path)(mlp_out, deterministic=deterministic)
         return x

@@ -48,6 +48,12 @@ class RoPE2DAttention(nn.Module):
     num_heads: int = 8
     rope_theta: float = 10000.0
     rope_mixed: bool = True
+    # 'rotate' = correct 2D RoPE. 'reference_cos' reproduces the reference
+    # implementation's silent complex->real cast (rope_2d_mhsa.py:408
+    # `freqs_cis.to(self.freqs.dtype)` discards the imaginary part), which
+    # turns the rotation into per-position cos(theta) scaling. Use it when
+    # migrating checkpoints trained with the reference.
+    rope_fidelity: str = "rotate"
     qkv_bias: bool = True
     qk_scale: float | None = None
     attn_drop: float = 0.0
@@ -94,6 +100,8 @@ class RoPE2DAttention(nn.Module):
                 )
             )
         cos, sin = rope.angles_to_cos_sin(angles)
+        if self.rope_fidelity == "reference_cos":
+            sin = jnp.zeros_like(sin)
 
         q_img, k_img = q[:, :, n_extra:], k[:, :, n_extra:]
         q_img, k_img = rope.apply_rotary_emb(q_img, k_img, cos, sin)
@@ -133,6 +141,7 @@ class RoPE2DMHSABlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_flash_attn: bool = False
+    rope_fidelity: str = "rotate"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -148,9 +157,10 @@ class RoPE2DMHSABlock(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             use_flash_attn=self.use_flash_attn,
+            rope_fidelity=self.rope_fidelity,
             dtype=self.dtype,
             name="attn",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic)
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), deterministic)
         x = x + DropPath(self.drop_path)(attn_out, deterministic=deterministic)
 
         mlp_out = Mlp(
@@ -159,6 +169,6 @@ class RoPE2DMHSABlock(nn.Module):
             drop=self.drop,
             dtype=self.dtype,
             name="mlp",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic)
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), deterministic)
         x = x + DropPath(self.drop_path)(mlp_out, deterministic=deterministic)
         return x

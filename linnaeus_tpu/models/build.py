@@ -117,6 +117,7 @@ def build_model(
             rope_mlp_ratio=tuple(float(r) for r in rs.MLP_RATIO),
             rope_theta=float(rs.get("ROPE_THETA", 10000.0)),
             rope_mixed=bool(rs.get("ROPE_MIXED", True)),
+            rope_fidelity=str(config.MODEL.get("ROPE_FIDELITY", "rotate")),
             **common,
         )
     elif model_type == "mFormerV0":

@@ -155,7 +155,7 @@ class MFormerV0(nn.Module):
                 dtype=self.dtype,
                 name=f"stage3_block{i}",
             )(y, extras(1, dims[3]) if i == 0 else None, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm_1")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_1")(y)
 
         if not self.only_last_cls:
             cls_1 = y[:, 0:1, :]
@@ -163,7 +163,7 @@ class MFormerV0(nn.Module):
                 hidden_features=dims[3], out_features=dims[4],
                 drop=0.0, dtype=self.dtype, name="cl_1_fc",
             )(cls_1, deterministic)
-            cls_1 = nn.LayerNorm(dtype=self.dtype, name="cl_1_norm")(cls_1)
+            cls_1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cl_1_norm")(cls_1)
 
         # ---- stage 4 (/32 grid)
         patches = y[:, self.extra_token_num:, :]
@@ -186,16 +186,16 @@ class MFormerV0(nn.Module):
                 dtype=self.dtype,
                 name=f"stage4_block{i}",
             )(y, extras(2, dims[4]) if i == 0 else None, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm_2")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_2")(y)
         cls_2 = y[:, 0:1, :]
 
         if not self.only_last_cls:
             cat = jnp.concatenate([cls_1, cls_2], axis=1)  # (B, 2, D4)
             agg = nn.Dense(1, kernel_init=trunc_normal_init, dtype=self.dtype,
                            name="aggregate")(jnp.transpose(cat, (0, 2, 1)))[..., 0]
-            feats = nn.LayerNorm(dtype=self.dtype, name="final_norm")(agg)
+            feats = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(agg)
         else:
-            feats = nn.LayerNorm(dtype=self.dtype, name="final_norm")(cls_2[:, 0, :])
+            feats = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(cls_2[:, 0, :])
 
         heads = MultiTaskHeads(
             task_keys=tuple(self.task_keys),

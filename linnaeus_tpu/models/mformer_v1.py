@@ -52,6 +52,9 @@ class MFormerV1(nn.Module):
     rope_mlp_ratio: tuple[float, float] = (4.0, 4.0)
     rope_theta: float = 10000.0
     rope_mixed: bool = True
+    # see RoPE2DAttention.rope_fidelity: 'rotate' (correct) or
+    # 'reference_cos' (bit-compatible with reference-trained checkpoints)
+    rope_fidelity: str = "rotate"
     use_flash_attn: bool = False
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
@@ -136,6 +139,7 @@ class MFormerV1(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 drop_path=float(next(dp)),
                 use_flash_attn=self.use_flash_attn,
+                rope_fidelity=self.rope_fidelity,
                 dtype=self.dtype,
                 name=f"stage3_block{i}",
             )
@@ -155,14 +159,15 @@ class MFormerV1(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 drop_path=float(next(dp)),
                 use_flash_attn=self.use_flash_attn,
+                rope_fidelity=self.rope_fidelity,
                 dtype=self.dtype,
                 name=f"stage4_block{i}",
             )
             for i in range(self.rope_depths[1])
         ]
 
-        self.norm_1 = nn.LayerNorm(dtype=self.dtype)
-        self.norm_2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm_1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm_2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 
         self.cls_token_1 = self.param(
             "cls_token_1", trunc_normal_init, (1, 1, self.rope_dims[0])
@@ -190,12 +195,12 @@ class MFormerV1(nn.Module):
                 dtype=self.dtype,
                 name="cl_1_fc",
             )
-            self.cl_1_norm = nn.LayerNorm(dtype=self.dtype, name="cl_1_norm")
+            self.cl_1_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cl_1_norm")
             # dual-CLS aggregation: 2->1 channel 1x1 Conv1d over the feature axis
             self.aggregate = nn.Dense(
                 1, kernel_init=trunc_normal_init, dtype=self.dtype, name="aggregate"
             )
-        self.final_norm = nn.LayerNorm(dtype=self.dtype, name="final_norm")
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")
 
         self.head = MultiTaskHeads(
             task_keys=tuple(self.task_keys),

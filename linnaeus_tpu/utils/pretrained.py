@@ -374,3 +374,118 @@ def load_metaformer_into_mformer_v0(
     _log_report("MetaFormer", p_report)
     _log_report("MetaFormer/bn-stats", b_report)
     return params, batch_stats
+
+
+# ------------------------------------------------- reference-native mFormerV1
+def load_reference_mformer_v1(
+    params: dict,
+    state_dict: dict[str, np.ndarray],
+    convnext_depths: tuple[int, ...],
+    rope_depths: tuple[int, int],
+    meta_names: tuple[str, ...] = (),
+    task_keys: tuple[str, ...] = (),
+) -> dict:
+    """Map the reference framework's OWN mFormerV1 state_dict (torch) onto
+    this framework's Flax params — used for logit-parity verification and for
+    migrating checkpoints trained with the reference.
+
+    Key layout (reference mFormerV1.py): stem.{0,1}, stages.{0,1}.{j} ConvNeXt
+    blocks, downsample_layers.{0,1,2}, stages.{2,3}.{j} RoPE blocks (attn.qkv/
+    proj/freqs), norm_1/norm_2, cls_token_{1,2},
+    meta_{name}_head_{s}.{0=Linear,2=LN,3=ResNormLayer}, cl_1_fc.{0=Mlp,1=LN},
+    aggregate (Conv1d 2->1), final_norm, head.{task}.fc.
+    """
+    import copy
+
+    params = copy.deepcopy(jax_to_py(params))
+    report = {"loaded": [], "missing": [], "shape_mismatch": []}
+    entries = [
+        ("stem.0.weight", ["stem", "Conv_0", "kernel"], convert_conv_kernel),
+        ("stem.0.bias", ["stem", "Conv_0", "bias"], None),
+        ("stem.1.weight", ["stem", "LayerNorm_0", "scale"], None),
+        ("stem.1.bias", ["stem", "LayerNorm_0", "bias"], None),
+    ]
+    for stage_idx, flax_stage in ((0, "stage1"), (1, "stage2")):
+        for j in range(convnext_depths[stage_idx]):
+            entries += _convnext_block_entries(
+                f"stages.{stage_idx}.{j}", f"{flax_stage}_block{j}"
+            )
+    for t_idx, flax_name in ((0, "downsample1"), (1, "downsample2"),
+                             (2, "downsample3")):
+        entries += [
+            (f"downsample_layers.{t_idx}.norm.weight",
+             [flax_name, "LayerNorm_0", "scale"], None),
+            (f"downsample_layers.{t_idx}.norm.bias",
+             [flax_name, "LayerNorm_0", "bias"], None),
+            (f"downsample_layers.{t_idx}.conv.weight",
+             [flax_name, "Conv_0", "kernel"], convert_conv_kernel),
+            (f"downsample_layers.{t_idx}.conv.bias",
+             [flax_name, "Conv_0", "bias"], None),
+        ]
+    for stage_idx, (flax_stage, depth) in (
+        (2, ("stage3", rope_depths[0])), (3, ("stage4", rope_depths[1]))
+    ):
+        for j in range(depth):
+            src = f"stages.{stage_idx}.{j}"
+            dst = f"{flax_stage}_block{j}"
+            entries += _rope_block_entries(src, dst)
+            entries.append((f"{src}.attn.freqs", [dst, "attn", "freqs"], None))
+    entries += [
+        ("norm_1.weight", ["norm_1", "scale"], None),
+        ("norm_1.bias", ["norm_1", "bias"], None),
+        ("norm_2.weight", ["norm_2", "scale"], None),
+        ("norm_2.bias", ["norm_2", "bias"], None),
+        ("cls_token_1", ["cls_token_1"], None),
+        ("cls_token_2", ["cls_token_2"], None),
+        ("cl_1_fc.0.fc1.weight", ["cl_1_fc", "Dense_0", "kernel"],
+         convert_linear_kernel),
+        ("cl_1_fc.0.fc1.bias", ["cl_1_fc", "Dense_0", "bias"], None),
+        ("cl_1_fc.0.fc2.weight", ["cl_1_fc", "Dense_1", "kernel"],
+         convert_linear_kernel),
+        ("cl_1_fc.0.fc2.bias", ["cl_1_fc", "Dense_1", "bias"], None),
+        ("cl_1_fc.1.weight", ["cl_1_norm", "scale"], None),
+        ("cl_1_fc.1.bias", ["cl_1_norm", "bias"], None),
+        # Conv1d(2->1, k=1) weight (1, 2, 1) -> Dense kernel (2, 1)
+        ("aggregate.weight", ["aggregate", "kernel"],
+         lambda w: np.transpose(w[:, :, 0], (1, 0))),
+        ("aggregate.bias", ["aggregate", "bias"], None),
+        ("final_norm.weight", ["final_norm", "scale"], None),
+        ("final_norm.bias", ["final_norm", "bias"], None),
+    ]
+    for s in (1, 2):
+        for name in meta_names:
+            src = f"meta_{name.lower()}_head_{s}"
+            dst = f"meta_{name.lower()}_head_{s}"
+            entries += [
+                (f"{src}.0.weight", [dst, "Dense_0", "kernel"],
+                 convert_linear_kernel),
+                (f"{src}.0.bias", [dst, "Dense_0", "bias"], None),
+                (f"{src}.2.weight", [dst, "LayerNorm_0", "scale"], None),
+                (f"{src}.2.bias", [dst, "LayerNorm_0", "bias"], None),
+                (f"{src}.3.w1.weight",
+                 [dst, "ResNormLayer_0", "Dense_0", "kernel"],
+                 convert_linear_kernel),
+                (f"{src}.3.w1.bias", [dst, "ResNormLayer_0", "Dense_0", "bias"], None),
+                (f"{src}.3.norm_fn1.weight",
+                 [dst, "ResNormLayer_0", "LayerNorm_0", "scale"], None),
+                (f"{src}.3.norm_fn1.bias",
+                 [dst, "ResNormLayer_0", "LayerNorm_0", "bias"], None),
+                (f"{src}.3.w2.weight",
+                 [dst, "ResNormLayer_0", "Dense_1", "kernel"],
+                 convert_linear_kernel),
+                (f"{src}.3.w2.bias", [dst, "ResNormLayer_0", "Dense_1", "bias"], None),
+                (f"{src}.3.norm_fn2.weight",
+                 [dst, "ResNormLayer_0", "LayerNorm_1", "scale"], None),
+                (f"{src}.3.norm_fn2.bias",
+                 [dst, "ResNormLayer_0", "LayerNorm_1", "bias"], None),
+            ]
+    for task in task_keys:
+        entries += [
+            (f"head.{task}.fc.weight",
+             ["head", f"head_{task}", "Dense_0", "kernel"], convert_linear_kernel),
+            (f"head.{task}.fc.bias",
+             ["head", f"head_{task}", "Dense_0", "bias"], None),
+        ]
+    _apply_entries(params, state_dict, entries, report)
+    _log_report("reference-mFormerV1", report)
+    return params

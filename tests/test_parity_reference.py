@@ -1,0 +1,221 @@
+"""Logit parity vs the PyTorch reference implementation.
+
+The v0 acceptance gate (BASELINE.md): fp32 logits matching the reference.
+The reference package at /root/reference imports cleanly once our CfgNode is
+shimmed in as yacs; we build the reference mFormerV1 in torch-cpu, export
+its randomly-initialized state_dict, map it onto the Flax model
+(utils/pretrained.py::load_reference_mformer_v1), and compare forward logits
+on identical inputs.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def reference_pkg():
+    import linnaeus_tpu.configuration.cfg_node as cfgmod
+
+    if "yacs" not in sys.modules:
+        yacs = types.ModuleType("yacs")
+        yacs_config = types.ModuleType("yacs.config")
+        yacs_config.CfgNode = cfgmod.CfgNode
+        yacs.config = yacs_config
+        sys.modules["yacs"] = yacs
+        sys.modules["yacs.config"] = yacs_config
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import linnaeus.config as ref_config
+    from linnaeus.models.mFormerV1 import mFormerV1 as RefMFormerV1
+
+    return ref_config, RefMFormerV1
+
+
+TASKS = ["taxa_L10", "taxa_L20"]
+NC = {"taxa_L10": 7, "taxa_L20": 3}
+DIMS = [8, 16, 32, 64]
+ROPE_DIMS = [32, 64]
+
+
+def _ref_config(ref_config):
+    cfg = ref_config.get_default_config()
+    cfg.MODEL.TYPE = "mFormerV1"
+    cfg.MODEL.IMG_SIZE = 64
+    cfg.MODEL.IN_CHANS = 3
+    cfg.MODEL.DROP_RATE = 0.0
+    cfg.MODEL.DROP_PATH_RATE = 0.0
+    cfg.MODEL.ATTN_DROP_RATE = 0.0
+    cfg.MODEL.ONLY_LAST_CLS = False
+    cfg.MODEL.USE_FLASH_ATTN = False
+    CN = type(cfg)
+    cfg.MODEL.CONVNEXT_STAGES = CN(new_allowed=True)
+    cfg.MODEL.ROPE_STAGES = CN(new_allowed=True)
+    cfg.MODEL.CONVNEXT_STAGES.DEPTHS = [1, 1, 1, 1]
+    cfg.MODEL.CONVNEXT_STAGES.DIMS = list(DIMS)
+    cfg.MODEL.CONVNEXT_STAGES.LAYER_SCALE_INIT_VALUE = 1e-6
+    cfg.MODEL.ROPE_STAGES.DEPTHS = [1, 1]
+    cfg.MODEL.ROPE_STAGES.DIMS = list(ROPE_DIMS)
+    cfg.MODEL.ROPE_STAGES.NUM_HEADS = [2, 2]
+    cfg.MODEL.ROPE_STAGES.MLP_RATIO = [4.0, 4.0]
+    cfg.MODEL.ROPE_STAGES.ROPE_THETA = 10000.0
+    cfg.MODEL.ROPE_STAGES.ROPE_MIXED = True
+    cfg.DATA.TASK_KEYS_H5 = list(TASKS)
+    # TEMPORAL(2) + SPATIAL(3) enabled by default in the reference config
+    for task in TASKS:
+        cfg.MODEL.CLASSIFICATION.HEADS[task] = type(cfg)(
+            {"TYPE": "Linear"}, new_allowed=True
+        )
+    cfg.TRAIN.GRADIENT_CHECKPOINTING.ENABLED_NORMAL_STEPS = False
+    return cfg
+
+
+def test_mformer_v1_logit_parity(reference_pkg):
+    ref_config, RefMFormerV1 = reference_pkg
+    import jax
+    import jax.numpy as jnp
+
+    from linnaeus_tpu.models import MFormerV1
+    from linnaeus_tpu.utils.pretrained import load_reference_mformer_v1
+
+    torch.manual_seed(0)
+    cfg = _ref_config(ref_config)
+    ref_model = RefMFormerV1(cfg, num_classes=NC, taxonomy_tree=None)
+    ref_model.eval()
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    meta = rng.normal(size=(2, 5)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(images).permute(0, 3, 1, 2).contiguous(),
+            torch.from_numpy(meta),
+        )
+    ref_logits = {t: ref_out[t].numpy() for t in TASKS}
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    flax_model = MFormerV1(
+        img_size=(64, 64),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=tuple(DIMS),
+        rope_depths=(1, 1),
+        rope_dims=tuple(ROPE_DIMS),
+        rope_num_heads=(2, 2),
+        rope_mlp_ratio=(4.0, 4.0),
+        drop_path_rate=0.0,
+        rope_mixed=True,
+        meta_components=(("TEMPORAL", 2), ("SPATIAL", 3)),
+        task_keys=tuple(TASKS),
+        num_classes=NC,
+        head_configs={t: {"TYPE": "Linear"} for t in TASKS},
+        # bit-compatibility with the reference's silent complex->real cast
+        rope_fidelity="reference_cos",
+    )
+    params = flax_model.init(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(meta)
+    )["params"]
+    loaded = load_reference_mformer_v1(
+        params, sd,
+        convnext_depths=(1, 1, 1, 1),
+        rope_depths=(1, 1),
+        meta_names=("TEMPORAL", "SPATIAL"),
+        task_keys=tuple(TASKS),
+    )
+    out = flax_model.apply(
+        {"params": loaded}, jnp.asarray(images), jnp.asarray(meta)
+    )
+    for t in TASKS:
+        ours = np.asarray(out[t], np.float32)
+        theirs = ref_logits[t]
+        max_diff = np.abs(ours - theirs).max()
+        scale = max(np.abs(theirs).max(), 1e-6)
+        assert max_diff < 1e-4 or max_diff / scale < 2e-4, (
+            f"{t}: max abs diff {max_diff:.3e} (scale {scale:.3e})"
+        )
+
+
+def test_every_reference_tensor_is_consumed(reference_pkg):
+    """All reference mFormerV1 parameters must map onto flax params — catches
+    silent drift in either architecture."""
+    ref_config, RefMFormerV1 = reference_pkg
+    import jax
+    import jax.numpy as jnp
+
+    from linnaeus_tpu.models import MFormerV1
+    from linnaeus_tpu.utils import pretrained as P
+
+    torch.manual_seed(0)
+    cfg = _ref_config(ref_config)
+    ref_model = RefMFormerV1(cfg, num_classes=NC, taxonomy_tree=None)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    flax_model = MFormerV1(
+        img_size=(64, 64),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=tuple(DIMS),
+        rope_depths=(1, 1),
+        rope_dims=tuple(ROPE_DIMS),
+        rope_num_heads=(2, 2),
+        drop_path_rate=0.0,
+        meta_components=(("TEMPORAL", 2), ("SPATIAL", 3)),
+        task_keys=tuple(TASKS),
+        num_classes=NC,
+        head_configs={t: {"TYPE": "Linear"} for t in TASKS},
+    )
+    params = flax_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 5))
+    )["params"]
+
+    # count params on both sides: they must be identical in total size
+    ref_total = sum(int(np.prod(v.shape)) for v in sd.values())
+    flax_total = sum(int(p.size) for p in jax.tree.leaves(params))
+    assert ref_total == flax_total, (ref_total, flax_total)
+
+
+def test_rope_attention_block_parity(reference_pkg):
+    """Block-level parity with large-magnitude inputs — exposes the RoPE
+    path directly. The reference's mixed-RoPE silently casts the complex
+    phases to real (rope_2d_mhsa.py:408), degrading rotation to cos(theta)
+    scaling; rope_fidelity='reference_cos' reproduces that exactly, while
+    the default 'rotate' applies correct RoPE (and intentionally diverges).
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax.core import unfreeze
+
+    from linnaeus.models.blocks.rope_2d_mhsa import RoPE2DAttention as RefAttn
+    from linnaeus_tpu.models.blocks.rope_mhsa import RoPE2DAttention as MyAttn
+
+    torch.manual_seed(0)
+    ref = RefAttn(dim=16, img_grid_size=(4, 4), extra_token_num=1,
+                  num_heads=2, rope_mixed=True, qkv_bias=True)
+    ref.eval()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 17, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), H=4, W=4).numpy()
+
+    def run(fidelity):
+        mine = MyAttn(dim=16, img_grid_size=(4, 4), extra_token_num=1,
+                      num_heads=2, rope_mixed=True, qkv_bias=True,
+                      rope_fidelity=fidelity)
+        p = unfreeze(mine.init(jax.random.PRNGKey(0), jnp.asarray(x)))["params"]
+        p["qkv"]["kernel"] = ref.qkv.weight.detach().numpy().T
+        p["qkv"]["bias"] = ref.qkv.bias.detach().numpy()
+        p["proj"]["kernel"] = ref.proj.weight.detach().numpy().T
+        p["proj"]["bias"] = ref.proj.bias.detach().numpy()
+        p["freqs"] = ref.freqs.detach().numpy()
+        return np.asarray(mine.apply({"params": p}, jnp.asarray(x)))
+
+    compat = run("reference_cos")
+    np.testing.assert_allclose(compat, ref_out, atol=2e-6)
+
+    correct = run("rotate")
+    # correct rotation must differ measurably from the buggy reference here
+    assert np.abs(correct - ref_out).max() > 1e-3
