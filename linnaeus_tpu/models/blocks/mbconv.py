@@ -18,13 +18,17 @@ from .common import drop_path
 
 class SqueezeExcite(nn.Module):
     channels: int
+    # reference MBConv squeezes to input_filters * se_ratio (NOT the expanded
+    # channel count) — mb_conv.py:182,216
+    squeeze_base: int | None = None
     se_ratio: float = 0.25
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         squeezed = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,C)
-        reduced = max(1, int(self.channels * self.se_ratio))
+        base = self.squeeze_base if self.squeeze_base is not None else self.channels
+        reduced = max(1, int(base * self.se_ratio))
         s = nn.Conv(reduced, (1, 1), dtype=self.dtype, name="reduce")(squeezed)
         s = nn.swish(s)
         s = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="expand")(s)
@@ -70,7 +74,10 @@ class MBConvBlock(nn.Module):
         x = bn("bn1")(x)
         x = nn.swish(x)
         if self.se_ratio > 0:
-            x = SqueezeExcite(oup, self.se_ratio, dtype=self.dtype, name="se")(x)
+            x = SqueezeExcite(
+                oup, squeeze_base=self.input_filters, se_ratio=self.se_ratio,
+                dtype=self.dtype, name="se",
+            )(x)
         x = nn.Conv(
             self.output_filters, (1, 1), use_bias=False, dtype=self.dtype,
             name="project_conv",

@@ -250,6 +250,8 @@ def load_metaformer_into_mformer_v0(
     state_dict: dict[str, np.ndarray],
     mbconv_depths: tuple[int, int] = (2, 3),
     attn_depths: tuple[int, int] = (5, 2),
+    meta_names: tuple[str, ...] = (),
+    task_keys: tuple[str, ...] = (),
 ) -> tuple[dict, dict]:
     """Map a MetaFG ("MetaFormer") torch checkpoint onto mFormerV0.
 
@@ -366,7 +368,55 @@ def load_metaformer_into_mformer_v0(
         ("cls_token_2", ["cls_token_2"], None),
         ("norm.weight", ["final_norm", "scale"], None),
         ("norm.bias", ["final_norm", "bias"], None),
+        ("cl_1_fc.0.fc1.weight", ["cl_1_fc", "Dense_0", "kernel"],
+         convert_linear_kernel),
+        ("cl_1_fc.0.fc1.bias", ["cl_1_fc", "Dense_0", "bias"], None),
+        ("cl_1_fc.0.fc2.weight", ["cl_1_fc", "Dense_1", "kernel"],
+         convert_linear_kernel),
+        ("cl_1_fc.0.fc2.bias", ["cl_1_fc", "Dense_1", "bias"], None),
+        ("cl_1_fc.1.weight", ["cl_1_norm", "scale"], None),
+        ("cl_1_fc.1.bias", ["cl_1_norm", "bias"], None),
+        ("aggregate.weight", ["aggregate", "kernel"],
+         lambda w: np.transpose(w[:, :, 0], (1, 0))),
+        ("aggregate.bias", ["aggregate", "bias"], None),
     ]
+    for s_idx in (1, 2):
+        for mname in meta_names:
+            src = f"meta_{mname.lower()}_head_{s_idx}"
+            dst = src
+            p_entries += [
+                (f"{src}.0.weight", [dst, "Dense_0", "kernel"],
+                 convert_linear_kernel),
+                (f"{src}.0.bias", [dst, "Dense_0", "bias"], None),
+                (f"{src}.2.weight", [dst, "LayerNorm_0", "scale"], None),
+                (f"{src}.2.bias", [dst, "LayerNorm_0", "bias"], None),
+                (f"{src}.3.w1.weight",
+                 [dst, "ResNormLayer_0", "Dense_0", "kernel"],
+                 convert_linear_kernel),
+                (f"{src}.3.w1.bias",
+                 [dst, "ResNormLayer_0", "Dense_0", "bias"], None),
+                (f"{src}.3.norm_fn1.weight",
+                 [dst, "ResNormLayer_0", "LayerNorm_0", "scale"], None),
+                (f"{src}.3.norm_fn1.bias",
+                 [dst, "ResNormLayer_0", "LayerNorm_0", "bias"], None),
+                (f"{src}.3.w2.weight",
+                 [dst, "ResNormLayer_0", "Dense_1", "kernel"],
+                 convert_linear_kernel),
+                (f"{src}.3.w2.bias",
+                 [dst, "ResNormLayer_0", "Dense_1", "bias"], None),
+                (f"{src}.3.norm_fn2.weight",
+                 [dst, "ResNormLayer_0", "LayerNorm_1", "scale"], None),
+                (f"{src}.3.norm_fn2.bias",
+                 [dst, "ResNormLayer_0", "LayerNorm_1", "bias"], None),
+            ]
+    for task in task_keys:
+        p_entries += [
+            (f"head.{task}.fc.weight",
+             ["head", f"head_{task}", "Dense_0", "kernel"],
+             convert_linear_kernel),
+            (f"head.{task}.fc.bias",
+             ["head", f"head_{task}", "Dense_0", "bias"], None),
+        ]
 
     _apply_entries(params, state_dict, p_entries, p_report)
     if batch_stats:

@@ -219,3 +219,90 @@ def test_rope_attention_block_parity(reference_pkg):
     correct = run("rotate")
     # correct rotation must differ measurably from the buggy reference here
     assert np.abs(correct - ref_out).max() > 1e-3
+
+
+def test_mformer_v0_logit_parity(reference_pkg):
+    """mFormerV0 parity: exercises BN running stats, MBConv+SE, maxpool,
+    OverlapPatchEmbed, and RelativeAttention bias tables."""
+    ref_config, _ = reference_pkg
+    from linnaeus.models.mFormerV0 import mFormerV0 as RefV0
+
+    import jax
+    import jax.numpy as jnp
+
+    from linnaeus_tpu.models import MFormerV0
+    from linnaeus_tpu.utils.pretrained import load_metaformer_into_mformer_v0
+
+    torch.manual_seed(0)
+    cfg = ref_config.get_default_config()
+    CN = type(cfg)
+    cfg.MODEL.TYPE = "mFormerV0"
+    cfg.MODEL.IMG_SIZE = 64
+    cfg.MODEL.DROP_RATE = 0.0
+    cfg.MODEL.DROP_PATH_RATE = 0.0
+    cfg.MODEL.ATTN_DROP_RATE = 0.0
+    cfg.MODEL.ONLY_LAST_CLS = False
+    cfg.MODEL.CONV_STAGES = CN(new_allowed=True)
+    cfg.MODEL.CONV_STAGES.STEM_OUT = 8
+    cfg.MODEL.CONV_STAGES.EMBED_DIMS = [8, 12]
+    cfg.MODEL.CONV_STAGES.OUT_CHANNELS = [12, 24]
+    cfg.MODEL.CONV_STAGES.DEPTHS = [1, 1]
+    cfg.MODEL.CONV_STAGES.STRIDE_SEQS = [[1], [2]]
+    cfg.MODEL.ATTENTION_STAGES = CN(new_allowed=True)
+    cfg.MODEL.ATTENTION_STAGES.EMBED_DIMS = [32, 64]
+    cfg.MODEL.ATTENTION_STAGES.DEPTHS = [1, 1]
+    cfg.MODEL.ATTENTION_STAGES.STRIDE_SEQS = [[2], [2]]
+    cfg.MODEL.ATTENTION_STAGES.NUM_HEADS = [2, 2]
+    cfg.MODEL.ATTENTION_STAGES.MLP_RATIO = [4.0, 4.0]
+    cfg.DATA.TASK_KEYS_H5 = list(TASKS)
+    for task in TASKS:
+        cfg.MODEL.CLASSIFICATION.HEADS[task] = CN(
+            {"TYPE": "Linear"}, new_allowed=True
+        )
+    cfg.TRAIN.GRADIENT_CHECKPOINTING.ENABLED_NORMAL_STEPS = False
+
+    ref_model = RefV0(cfg, num_classes=NC, taxonomy_tree=None)
+    ref_model.eval()
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    meta = rng.normal(size=(2, 5)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(images).permute(0, 3, 1, 2).contiguous(),
+            torch.from_numpy(meta),
+        )
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    flax_model = MFormerV0(
+        img_size=(64, 64),
+        stage_dims=(8, 12, 24, 32, 64),
+        mbconv_depths=(1, 1),
+        attn_depths=(1, 1),
+        num_heads=(2, 2),
+        mlp_ratio=(4.0, 4.0),
+        drop_path_rate=0.0,
+        meta_components=(("TEMPORAL", 2), ("SPATIAL", 3)),
+        task_keys=tuple(TASKS),
+        num_classes=NC,
+        head_configs={t: {"TYPE": "Linear"} for t in TASKS},
+    )
+    variables = flax_model.init(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(meta)
+    )
+    params, stats = load_metaformer_into_mformer_v0(
+        variables["params"], variables["batch_stats"], sd,
+        mbconv_depths=(1, 1), attn_depths=(1, 1),
+        meta_names=("TEMPORAL", "SPATIAL"), task_keys=tuple(TASKS),
+    )
+    out = flax_model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(images), jnp.asarray(meta),
+    )
+    for t in TASKS:
+        ours = np.asarray(out[t], np.float32)
+        theirs = ref_out[t].numpy()
+        max_diff = np.abs(ours - theirs).max()
+        scale = max(np.abs(theirs).max(), 1e-6)
+        assert max_diff < 1e-4 or max_diff / scale < 2e-4, (
+            f"{t}: max abs diff {max_diff:.3e} (scale {scale:.3e})"
+        )
