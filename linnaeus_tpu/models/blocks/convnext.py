@@ -20,6 +20,7 @@ class ConvNeXtBlock(nn.Module):
     dim: int
     drop_path: float = 0.0
     layer_scale_init_value: float = 1e-6
+    act_exact: bool = False  # erf GELU for torch parity; tanh is TPU-faster
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -36,7 +37,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = nn.Dense(4 * self.dim, kernel_init=trunc_normal_init, dtype=self.dtype)(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=not self.act_exact)
         x = nn.Dense(self.dim, kernel_init=trunc_normal_init, dtype=self.dtype)(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(

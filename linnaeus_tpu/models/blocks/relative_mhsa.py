@@ -133,6 +133,7 @@ class RelativeMHSABlock(nn.Module):
     qkv_bias: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    act_exact: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -170,6 +171,7 @@ class RelativeMHSABlock(nn.Module):
             hidden_features=int(dim * self.mlp_ratio),
             out_features=dim,
             drop=self.proj_drop,
+            act_exact=self.act_exact,
             dtype=self.dtype,
             name="mlp",
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), deterministic)

@@ -142,6 +142,7 @@ class RoPE2DMHSABlock(nn.Module):
     drop_path: float = 0.0
     use_flash_attn: bool = False
     rope_fidelity: str = "rotate"
+    act_exact: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -167,6 +168,7 @@ class RoPE2DMHSABlock(nn.Module):
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=self.dim,
             drop=self.drop,
+            act_exact=self.act_exact,
             dtype=self.dtype,
             name="mlp",
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), deterministic)

@@ -100,6 +100,7 @@ def build_model(
         gradient_checkpointing=bool(
             config.TRAIN.GRADIENT_CHECKPOINTING.get("ENABLED_NORMAL_STEPS", False)
         ),
+        act_exact=bool(config.MODEL.get("ACT_EXACT_GELU", False)),
         use_flash_attn=bool(config.MODEL.get("USE_FLASH_ATTN", False)),
         dtype=dtype,
     )

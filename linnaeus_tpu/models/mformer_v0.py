@@ -47,6 +47,7 @@ class MFormerV0(nn.Module):
     head_configs: Mapping[str, Mapping[str, Any]] | None = None
     hierarchy_matrices: Mapping[str, np.ndarray] | None = None
     gradient_checkpointing: bool = False  # parity field; remat handled by XLA
+    act_exact: bool = False  # erf GELU for torch parity
     use_flash_attn: bool = False  # relative attention has no flash variant
     dtype: jnp.dtype = jnp.float32
 
@@ -152,6 +153,7 @@ class MFormerV0(nn.Module):
                 qkv_bias=True,
                 attn_drop=self.attn_drop_rate,
                 proj_drop=self.drop_rate,
+                act_exact=self.act_exact,
                 dtype=self.dtype,
                 name=f"stage3_block{i}",
             )(y, extras(1, dims[3]) if i == 0 else None, deterministic)
@@ -161,7 +163,8 @@ class MFormerV0(nn.Module):
             cls_1 = y[:, 0:1, :]
             cls_1 = Mlp(
                 hidden_features=dims[3], out_features=dims[4],
-                drop=0.0, dtype=self.dtype, name="cl_1_fc",
+                drop=0.0, act_exact=self.act_exact, dtype=self.dtype,
+                name="cl_1_fc",
             )(cls_1, deterministic)
             cls_1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cl_1_norm")(cls_1)
 
@@ -183,6 +186,7 @@ class MFormerV0(nn.Module):
                 qkv_bias=True,
                 attn_drop=self.attn_drop_rate,
                 proj_drop=self.drop_rate,
+                act_exact=self.act_exact,
                 dtype=self.dtype,
                 name=f"stage4_block{i}",
             )(y, extras(2, dims[4]) if i == 0 else None, deterministic)

@@ -55,6 +55,8 @@ class MFormerV1(nn.Module):
     # see RoPE2DAttention.rope_fidelity: 'rotate' (correct) or
     # 'reference_cos' (bit-compatible with reference-trained checkpoints)
     rope_fidelity: str = "rotate"
+    # erf GELU for torch parity; tanh-approx is the fast TPU default
+    act_exact: bool = False
     use_flash_attn: bool = False
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
@@ -101,6 +103,7 @@ class MFormerV1(nn.Module):
                 dim=self.convnext_dims[0],
                 drop_path=float(next(dp)),
                 layer_scale_init_value=self.convnext_ls_init,
+                act_exact=self.act_exact,
                 dtype=self.dtype,
                 name=f"stage1_block{i}",
             )
@@ -112,6 +115,7 @@ class MFormerV1(nn.Module):
                 dim=self.convnext_dims[1],
                 drop_path=float(next(dp)),
                 layer_scale_init_value=self.convnext_ls_init,
+                act_exact=self.act_exact,
                 dtype=self.dtype,
                 name=f"stage2_block{i}",
             )
@@ -140,6 +144,7 @@ class MFormerV1(nn.Module):
                 drop_path=float(next(dp)),
                 use_flash_attn=self.use_flash_attn,
                 rope_fidelity=self.rope_fidelity,
+                act_exact=self.act_exact,
                 dtype=self.dtype,
                 name=f"stage3_block{i}",
             )
@@ -160,6 +165,7 @@ class MFormerV1(nn.Module):
                 drop_path=float(next(dp)),
                 use_flash_attn=self.use_flash_attn,
                 rope_fidelity=self.rope_fidelity,
+                act_exact=self.act_exact,
                 dtype=self.dtype,
                 name=f"stage4_block{i}",
             )
@@ -192,6 +198,7 @@ class MFormerV1(nn.Module):
                 hidden_features=self.rope_dims[0],
                 out_features=self.rope_dims[1],
                 drop=0.0,
+                act_exact=self.act_exact,
                 dtype=self.dtype,
                 name="cl_1_fc",
             )

@@ -116,6 +116,7 @@ def test_mformer_v1_logit_parity(reference_pkg):
         head_configs={t: {"TYPE": "Linear"} for t in TASKS},
         # bit-compatibility with the reference's silent complex->real cast
         rope_fidelity="reference_cos",
+        act_exact=True,
     )
     params = flax_model.init(
         jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(meta)
@@ -285,6 +286,7 @@ def test_mformer_v0_logit_parity(reference_pkg):
         task_keys=tuple(TASKS),
         num_classes=NC,
         head_configs={t: {"TYPE": "Linear"} for t in TASKS},
+        act_exact=True,
     )
     variables = flax_model.init(
         jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(meta)
