@@ -214,6 +214,8 @@ class Trainer:
             null_task_keys=tuple(mix.NULL_TASK_KEYS or []),
             chunk_bounds=self.chunk_bounds,
         )
+        # donate the input state: XLA aliases the new params/opt-state onto
+        # the old buffers instead of allocating fresh ones each step
         self._train_step = jax.jit(
             make_train_step(
                 self.train_criteria,
@@ -225,7 +227,8 @@ class Trainer:
                 has_meta=meta_dim > 0,
                 lr_schedule=self.lr_schedule,
                 num_classes=self.num_classes,
-            )
+            ),
+            donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
             make_eval_step(
