@@ -435,9 +435,19 @@ class Trainer:
             if self.ops_schedule.should_update_gradnorm(self.progress.global_step):
                 if self._gradnorm_update is not None:
                     self.state, gn_metrics = self._gradnorm_update(self.state, batch)
-                    self.metrics.log_gradnorm(
-                        self.progress.global_step, jax.device_get(gn_metrics)
-                    )
+                    gn_host = jax.device_get(gn_metrics)
+                    self.metrics.log_gradnorm(self.progress.global_step, gn_host)
+                    if is_main_process():
+                        flat = {}
+                        for k, v in gn_host.items():
+                            if np.ndim(v) == 0:
+                                flat[k] = float(v)
+                            else:
+                                for i, t in enumerate(self.task_keys):
+                                    flat[f"{k}/{t}"] = float(np.asarray(v)[i])
+                        self.step_logger._emit_wandb(
+                            flat, self.progress.global_step
+                        )
 
             gstep = self.progress.global_step
             if self.ops_schedule.should_log_to_console(
