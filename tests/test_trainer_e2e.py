@@ -171,3 +171,18 @@ def test_trainer_fsdp_param_sharding(data_dir, tmp_path):
     trainer.train()
     assert trainer.metrics.get("val", "loss") is not None
     trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_trainer_with_muon_optimizer(data_dir, tmp_path):
+    """Muon optimizer end-to-end through the Trainer."""
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_muon", epochs=1)
+    cfg.OPTIMIZER.NAME = "muon"
+    cfg.LOSS.GRAD_WEIGHTING.TASK.TYPE = "static"
+    trainer = Trainer(cfg)
+    trainer.train()
+    assert trainer.progress.global_step >= trainer.steps_per_epoch
+    assert trainer.metrics.get("val", "loss") is not None
+    trainer.train_loader.close()
