@@ -140,3 +140,44 @@ def apply_rotary_emb(
 def angles_to_cos_sin(angles: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     angles = angles.astype(jnp.float32)
     return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rotary_emb_bnhd(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    n_extra: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Token-major rotation with extra-token pass-through.
+
+    Same math as :func:`apply_rotary_emb` (reference rope_2d_mhsa.py:118-135)
+    but TPU-shaped: operands stay in the (B, N, H, D) layout a qkv projection
+    emits (no head-major transpose), the leading ``n_extra`` tokens are
+    handled by prepending identity rows (cos=1, sin=0 — bitwise pass-through)
+    instead of slice+concat, and the rotation runs in the input dtype so no
+    (B, N, H, D)-sized fp32 temporary hits HBM.
+
+    Args:
+        query, key: (B, N, H, D) with N = n_extra + N_img.
+        cos, sin: (N_img, H, half) angle tables.
+    """
+    dtype = query.dtype
+    half = cos.shape[-1]
+    if n_extra:
+        pad_c = jnp.ones((n_extra,) + cos.shape[1:], cos.dtype)
+        pad_s = jnp.zeros((n_extra,) + sin.shape[1:], sin.dtype)
+        cos = jnp.concatenate([pad_c, cos], axis=0)
+        sin = jnp.concatenate([pad_s, sin], axis=0)
+    cos_b = cos[None].astype(dtype)  # (1, N, H, half)
+    sin_b = sin[None].astype(dtype)
+
+    def rot(x):
+        b, n, h, d = x.shape
+        xr = x.reshape(b, n, h, half, 2)
+        xe, xo = xr[..., 0], xr[..., 1]
+        re = xe * cos_b - xo * sin_b
+        im = xe * sin_b + xo * cos_b
+        return jnp.stack([re, im], axis=-1).reshape(b, n, h, d)
+
+    return rot(query), rot(key)
