@@ -1,5 +1,5 @@
 from .ademamix import ademamix, scale_by_ademamix  # noqa: F401
-from .build import build_optimizer  # noqa: F401
+from .build import build_optimizer, lr_dict_for_logging, lr_multipliers  # noqa: F401
 from .muon import muon, scale_by_muon, zeropower_via_newtonschulz5  # noqa: F401
 from .schedules import (  # noqa: F401
     apply_lr_scaling,

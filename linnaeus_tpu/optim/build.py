@@ -89,6 +89,32 @@ def _scaled_schedule(schedule, multiplier: float):
     return schedule * multiplier
 
 
+def lr_multipliers(config) -> dict[str, float]:
+    """Group-name -> LR multiplier map; {'default': 1.0} for single-group."""
+    pg = config.OPTIMIZER.get("PARAMETER_GROUPS", {})
+    if not pg or not pg.get("ENABLED", False):
+        return {"default": 1.0}
+    out = {"default": float(pg.get("DEFAULT", {}).get("LR_MULTIPLIER", 1.0))}
+    for gname, gcfg in pg.items():
+        if gname in ("ENABLED", "DEFAULT") or not isinstance(gcfg, dict):
+            continue
+        if not gcfg.get("FILTER"):
+            continue
+        out[gname] = float(gcfg.get("LR_MULTIPLIER", 1.0))
+    return out
+
+
+def lr_dict_for_logging(config, schedule, step: int) -> dict[str, float]:
+    """Per-group learning rates for wandb/console export.
+
+    Reference parity: MultiLRScheduler.get_lr_dict_for_wandb
+    (lr_schedulers/multi_lr_scheduler.py:177). Group LRs here are the base
+    schedule times each group's LR_MULTIPLIER (how optax.multi_transform
+    realizes the reference's per-group schedulers)."""
+    base = float(schedule(step)) if callable(schedule) else float(schedule)
+    return {f"lr/{g}": base * m for g, m in lr_multipliers(config).items()}
+
+
 def build_optimizer(
     config,
     schedule: optax.ScalarOrSchedule,
@@ -142,4 +168,8 @@ def build_optimizer(
         f"Multi-group optimizer with groups: {sorted(transforms)} "
         f"(optax.multi_transform)"
     )
+    # inspection report (reference: unified_filtering.py:150-250)
+    from linnaeus_tpu.utils.param_filters import filtering_report
+
+    logger.info(filtering_report(params, predicates))
     return optax.multi_transform(transforms, labels)

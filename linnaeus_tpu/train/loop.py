@@ -30,7 +30,7 @@ from linnaeus_tpu.loss.gradnorm import make_gradnorm_update_fn
 from linnaeus_tpu.metrics.chain_accuracy import chain_accuracy_counts
 from linnaeus_tpu.metrics.tracker import MetricsTracker
 from linnaeus_tpu.models.build import build_model, resolve_compute_dtype
-from linnaeus_tpu.optim import build_optimizer, build_schedule
+from linnaeus_tpu.optim import build_optimizer, build_schedule, lr_dict_for_logging
 from linnaeus_tpu.ops_schedule import EarlyStopState, OpsSchedule, TrainingProgress
 from linnaeus_tpu.ops_schedule.training_progress import TrainingStage
 from linnaeus_tpu.parallel.mesh import (
@@ -282,6 +282,8 @@ class Trainer:
         self._last_batch = None
         if config.DATA.AUTOBATCH.get("ENABLED", False):
             self._run_autobatch()
+        if config.DATA.AUTOBATCH.get("ENABLED_VAL", False):
+            self._run_autobatch_val()
 
     def _run_autobatch(self) -> None:
         """Compiled-memory AutoBatch (reference: main.py:1249-1396): probe the
@@ -335,6 +337,53 @@ class Trainer:
         self.config.defrost()
         self.config.LR_SCHEDULER.TOTAL_STEPS = total_steps
         self.config.freeze()
+
+    def _run_autobatch_val(self) -> None:
+        """Eval-side AutoBatch (reference: DATA.AUTOBATCH.ENABLED_VAL,
+        utils/autobatch.py:111-173 val mode): probe the largest validation
+        batch by AOT-compiling the eval step — no optimizer state or grads,
+        so the result is typically several times the train batch."""
+        from linnaeus_tpu.train.autobatch import auto_find_batch_size
+
+        ab = self.config.DATA.AUTOBATCH
+        hw = self._img_hw()
+        n_data = self.mesh.devices.shape[0]
+
+        def make_batch(bs: int):
+            return {
+                "images": jnp.zeros((bs, *hw, int(self.config.MODEL.IN_CHANS))),
+                "targets": {
+                    t: jnp.zeros((bs,), jnp.int32) for t in self.task_keys
+                },
+                "aux": jnp.zeros((bs, self.meta_dim)) if self.meta_dim else None,
+                "group_ids": jnp.zeros((bs,), jnp.int32),
+            }
+
+        def compile_step(bs: int):
+            return self._eval_step.lower(
+                self.state,
+                make_batch(bs),
+                jnp.asarray(False),
+                jnp.zeros((self.meta_dim,), jnp.float32),
+            ).compile()
+
+        found = auto_find_batch_size(
+            compile_step,
+            target_memory_fraction=float(ab.TARGET_MEMORY_FRACTION_VAL),
+            min_batch_size=int(ab.MIN_BATCH_SIZE_VAL),
+            max_batch_size=int(ab.MAX_BATCH_SIZE_VAL),
+            multiple_of=max(n_data, 1),
+        )
+        if found == int(self.config.DATA.BATCH_SIZE_VAL):
+            return
+        logger.info(f"AutoBatch(val): updating DATA.BATCH_SIZE_VAL -> {found}")
+        self.config.defrost()
+        self.config.DATA.BATCH_SIZE_VAL = found
+        self.config.freeze()
+        device_put = lambda b: shard_batch(b, self.mesh)  # noqa: E731
+        self.train_loader, self.val_loader = build_loaders(
+            self.config, self.bundle, device_put_fn=device_put
+        )
 
     def _img_hw(self):
         s = self.config.MODEL.IMG_SIZE
@@ -458,14 +507,19 @@ class Trainer:
                 self.consistency.check_step(gstep, loss=float(host.get("loss", 0.0)))
                 if is_main_process():
                     self.step_logger.log_step_metrics(gstep, epoch, host, lr=lr_now)
-                    self.step_logger.log_schedule_values(
-                        gstep,
-                        {
-                            "meta_mask_prob": self.ops_schedule.get_meta_mask_prob(gstep),
-                            "mix_prob": self.ops_schedule.get_mixup_prob(gstep),
-                            "null_mask_prob": self.ops_schedule.get_null_mask_prob(gstep),
-                        },
+                    sched_values = {
+                        "meta_mask_prob": self.ops_schedule.get_meta_mask_prob(gstep),
+                        "mix_prob": self.ops_schedule.get_mixup_prob(gstep),
+                        "null_mask_prob": self.ops_schedule.get_null_mask_prob(gstep),
+                    }
+                    # per-group LR export (reference:
+                    # multi_lr_scheduler.py:177 get_lr_dict_for_wandb)
+                    lr_groups = lr_dict_for_logging(
+                        self.config, self.lr_schedule, gstep
                     )
+                    if len(lr_groups) > 1:
+                        sched_values.update(lr_groups)
+                    self.step_logger.log_schedule_values(gstep, sched_values)
             if self.ops_schedule.should_log_lr(gstep):
                 self.metrics.log_lr(gstep, float(self.lr_schedule(gstep)))
             if self.ops_schedule.should_log_pipeline_metrics(gstep) and is_main_process():
@@ -514,11 +568,16 @@ class Trainer:
                     )
 
     def _run_pending_validations(self) -> None:
+        # Peek-run-pop (not pop-run): if the process dies mid-validation the
+        # entry is still queued in the checkpointed TrainingProgress and the
+        # resume path replays it from its partial index (reference:
+        # training_progress.py:61-130, main.py:1439-1727).
         while self.progress.has_pending_validations():
-            entry = self.progress.pop_validation()
+            entry = self.progress.pending_validations[0]
             stage = TrainingStage(entry["stage"])
             combo = entry.get("partial_combo")
             self._validate(stage, combo)
+            self.progress.pop_validation()
 
     def _validate(self, stage: TrainingStage, combo: list[str] | None = None) -> None:
         if self.val_loader is None:
@@ -536,11 +595,28 @@ class Trainer:
             combo_mask = combo_to_mask(combo, self.bounds_by_name, self.meta_dim)
 
         self.metrics.reset_phase(phase)
-        totals: dict[str, float] = {}
-        count = 0.0
-        chain_correct = 0.0
-        chain_total = 0.0
-        for batch in self.val_loader:
+        # mid-validation resume: restore partial accumulators if this pass
+        # was interrupted (reference: training_progress.py partial indices)
+        partial = self.progress.partial_validation_indices.get(phase)
+        if isinstance(partial, dict):
+            start_index = int(partial.get("next_index", 0))
+            totals = dict(partial.get("totals", {}))
+            count = float(partial.get("count", 0.0))
+            chain_correct = float(partial.get("chain_correct", 0.0))
+            chain_total = float(partial.get("chain_total", 0.0))
+            if start_index:
+                logger.info(
+                    f"[{phase}] resuming validation at batch {start_index}"
+                )
+        else:
+            start_index = 0
+            totals = {}
+            count = 0.0
+            chain_correct = 0.0
+            chain_total = 0.0
+        for i, batch in enumerate(self.val_loader):
+            if i < start_index:
+                continue
             metrics, outputs = self._eval_step(
                 self.state, batch, jnp.asarray(mask_meta), jnp.asarray(combo_mask)
             )
@@ -560,6 +636,14 @@ class Trainer:
             cc, ct = chain_accuracy_counts(outputs, targets_soft, self.task_keys)
             chain_correct += float(jax.device_get(cc))
             chain_total += float(jax.device_get(ct))
+            self.progress.partial_validation_indices[phase] = {
+                "next_index": i + 1,
+                "totals": dict(totals),
+                "count": count,
+                "chain_correct": chain_correct,
+                "chain_total": chain_total,
+            }
+        self.progress.partial_validation_indices.pop(phase, None)
 
         if count == 0:
             return

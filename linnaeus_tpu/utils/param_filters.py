@@ -129,3 +129,43 @@ def list_matching(params, pred: Predicate) -> list[str]:
 
     jax.tree_util.tree_map_with_path(visit, params)
     return sorted(out)
+
+
+def filtering_report(
+    params,
+    groups: dict[str, Predicate],
+    default: str = "default",
+    max_examples: int = 8,
+) -> str:
+    """Human-readable group-assignment report.
+
+    Reference parity: utils/unified_filtering.py:150-250 — the GradNorm /
+    multi-optimizer inspection reports that show, per group, how many params
+    matched, their total size, and example paths. First-match-wins ordering
+    is identical to :func:`param_labels`, so the report shows exactly what
+    optax.multi_transform will do.
+    """
+    labels = param_labels(params, groups, default=default)
+    buckets: dict[str, list[tuple[str, int]]] = {}
+
+    def visit(path, leaf, label):
+        buckets.setdefault(label, []).append(
+            (_path_str(path), int(getattr(leaf, "size", 0)))
+        )
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, params, labels)
+    total = sum(sz for items in buckets.values() for _, sz in items)
+    lines = [f"Parameter filtering report ({total:,} params total):"]
+    for gname in list(groups) + [default]:
+        items = sorted(buckets.get(gname, []))
+        gsize = sum(sz for _, sz in items)
+        pct = 100.0 * gsize / total if total else 0.0
+        lines.append(
+            f"  [{gname}] {len(items)} tensors, {gsize:,} params ({pct:.1f}%)"
+        )
+        for p, sz in items[:max_examples]:
+            lines.append(f"      {p}  ({sz:,})")
+        if len(items) > max_examples:
+            lines.append(f"      ... and {len(items) - max_examples} more")
+    return "\n".join(lines)

@@ -127,3 +127,38 @@ def test_multi_group_optimizer():
     # heads get 10x LR => 10x larger updates (both adamw, same normalized grad)
     ratio = float(jnp.abs(updates["head"]["kernel"]).mean() / jnp.abs(updates["backbone"]["kernel"]).mean())
     assert ratio == pytest.approx(10.0, rel=0.05)
+
+
+def test_lr_dict_for_logging_groups():
+    from linnaeus_tpu.optim import lr_dict_for_logging
+
+    cfg = get_default_config()
+    assert lr_dict_for_logging(cfg, lambda s: 1e-3, 5) == {"lr/default": 1e-3}
+    cfg.OPTIMIZER.PARAMETER_GROUPS.ENABLED = True
+    cfg.OPTIMIZER.PARAMETER_GROUPS.merge_from_other_cfg(
+        type(cfg)(
+            {
+                "HEADS": {
+                    "LR_MULTIPLIER": 10.0,
+                    "FILTER": {"TYPE": "name", "PATTERNS": ["head"]},
+                }
+            },
+            new_allowed=True,
+        )
+    )
+    d = lr_dict_for_logging(cfg, lambda s: 1e-3, 5)
+    assert d["lr/HEADS"] == pytest.approx(1e-2)
+    assert d["lr/default"] == pytest.approx(1e-3)
+
+
+def test_filtering_report():
+    from linnaeus_tpu.utils.param_filters import filtering_report, name_filter
+
+    params = {
+        "backbone": {"kernel": jnp.ones((4, 4))},
+        "head": {"kernel": jnp.ones((4, 2))},
+    }
+    report = filtering_report(params, {"HEADS": name_filter(["head"])})
+    assert "[HEADS] 1 tensors, 8 params" in report
+    assert "[default] 1 tensors, 16 params" in report
+    assert "head/kernel" in report

@@ -186,3 +186,78 @@ def test_trainer_with_muon_optimizer(data_dir, tmp_path):
     assert trainer.progress.global_step >= trainer.steps_per_epoch
     assert trainer.metrics.get("val", "loss") is not None
     trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_trainer_val_autobatch(data_dir, tmp_path):
+    """DATA.AUTOBATCH.ENABLED_VAL probes the eval step's compiled memory and
+    rewrites DATA.BATCH_SIZE_VAL (reference: utils/autobatch.py val mode)."""
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_vab", epochs=1)
+    cfg.DATA.BATCH_SIZE_VAL = 16  # deliberately larger than the search cap
+    cfg.DATA.AUTOBATCH.ENABLED_VAL = True
+    cfg.DATA.AUTOBATCH.MIN_BATCH_SIZE_VAL = 8
+    cfg.DATA.AUTOBATCH.MAX_BATCH_SIZE_VAL = 8
+    trainer = Trainer(cfg)
+    # the probe rewrites BATCH_SIZE_VAL and rebuilds the val loader
+    assert int(cfg.DATA.BATCH_SIZE_VAL) == 8
+    assert int(cfg.DATA.BATCH_SIZE_VAL) % trainer.mesh.devices.shape[0] == 0
+    from linnaeus_tpu.ops_schedule import TrainingStage
+
+    trainer._validate(TrainingStage.VALIDATION_NORMAL)
+    assert trainer.metrics.get("val", "loss") is not None
+    trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_mid_validation_resume(data_dir, tmp_path):
+    """A validation pass interrupted mid-way stays queued with its partial
+    accumulators and replays from the next batch (reference:
+    training_progress.py:61-130 partial indices)."""
+    from linnaeus_tpu.ops_schedule import TrainingStage
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_midval", epochs=1)
+    cfg.DATA.H5.TRAIN_VAL_SPLIT_RATIO = 0.6  # ~19 val samples -> 2 full batches of 8
+    trainer = Trainer(cfg)
+    phase = "val"
+
+    # simulate death after the first eval batch
+    real_step = trainer._eval_step
+    calls = {"n": 0}
+
+    def dying_step(*a, **kw):
+        if calls["n"] >= 1:
+            raise KeyboardInterrupt("preempted")
+        calls["n"] += 1
+        return real_step(*a, **kw)
+
+    trainer._eval_step = dying_step
+    trainer.progress.queue_validation(TrainingStage.VALIDATION_NORMAL)
+    with pytest.raises(KeyboardInterrupt):
+        trainer._run_pending_validations()
+    assert trainer.progress.has_pending_validations()  # still queued
+    partial = trainer.progress.partial_validation_indices[phase]
+    assert partial["next_index"] == 1 and partial["count"] > 0
+
+    # progress state round-trips through serialization (checkpoint path)
+    import copy
+
+    state = copy.deepcopy(trainer.progress.state_dict())
+    trainer.progress.load_state_dict(state)
+
+    # resume: completes from batch 1 without re-running batch 0
+    trainer._eval_step = real_step
+    trainer._run_pending_validations()
+    assert not trainer.progress.has_pending_validations()
+    assert phase not in trainer.progress.partial_validation_indices
+    resumed_loss = trainer.metrics.get(phase, "loss")
+    assert resumed_loss is not None
+
+    # equals an uninterrupted pass over the same loader/state
+    trainer.metrics.reset_phase(phase)
+    trainer._validate(TrainingStage.VALIDATION_NORMAL)
+    full_loss = trainer.metrics.get(phase, "loss")
+    assert abs(resumed_loss - full_loss) < 1e-5
+    trainer.train_loader.close()
