@@ -350,6 +350,24 @@ class DatasetProcessor:
                 bins[sel] = bi
             train.subset_ids[f"rarity_{task}"] = bins
 
+    def rarity_class_bins(self, task: str) -> np.ndarray | None:
+        """Class-index -> rarity-bin table (int32 [num_classes]).
+
+        The per-sample bins above are a pure function of the sample's class
+        count, so a class-level table is equivalent — and it lets the jitted
+        eval step bucket metrics with one device gather instead of threading
+        per-sample subset ids through the input pipeline (reference carries
+        subset_ids per sample: vectorized_dataset_processor.py:1031-1146)."""
+        counts = self.class_label_counts.get(task)
+        thr = self.rarity_thresholds.get(task)
+        if counts is None or not thr:
+            return None
+        bins = np.full(counts.shape, len(self.rarity_percentiles), np.int32)
+        for bi, pct in enumerate(sorted(self.rarity_percentiles)):
+            sel = (counts <= thr[pct]) & (bins == len(self.rarity_percentiles))
+            bins[sel] = bi
+        return bins
+
 
 def process_and_save_dataset_metadata(processor: DatasetProcessor, assets_dir: str):
     """Persist class maps / densities / hierarchy to the assets dir

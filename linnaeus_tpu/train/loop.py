@@ -230,10 +230,25 @@ class Trainer:
             ),
             donate_argnums=(0,),
         )
+        null_tasks = ()
+        if bool(config.METRICS.get("TRACK_NULL_VS_NON_NULL", False)):
+            null_tasks = tuple(
+                t for t in config.METRICS.NULL_VS_NON_NULL_TASKS
+                if t in self.task_keys
+            )
+        subset_bins = None
+        if bool(config.METRICS.get("TRACK_RARITY", False)):
+            proc = self.bundle.get("processor")
+            if proc is not None:
+                subset_bins = {
+                    t: b for t in self.task_keys
+                    if (b := proc.rarity_class_bins(t)) is not None
+                }
         self._eval_step = jax.jit(
             make_eval_step(
                 self.val_criteria, self.task_keys,
                 has_meta=meta_dim > 0, num_classes=self.num_classes,
+                null_tasks=null_tasks, subset_bins=subset_bins,
             )
         )
 
@@ -655,6 +670,13 @@ class Trainer:
                 summary["acc1/" + k.split("/", 1)[1]] = v / count
             elif k.startswith("correct3/"):
                 summary["acc3/" + k.split("/", 1)[1]] = v / count
+            elif k.startswith("subset_correct1/"):
+                # null / non_null / rarity-bin buckets (reference:
+                # tracker.py null-vs-non-null + SubsetMetricWrapper)
+                name = k[len("subset_correct1/"):]
+                denom = totals.get(f"subset_count/{name}", 0.0)
+                if denom > 0:
+                    summary[f"acc1_{name}"] = v / denom
         if chain_total > 0:
             summary["chain_accuracy"] = chain_correct / chain_total
         self.metrics.update(phase, summary, n=count)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -281,12 +282,22 @@ def make_eval_step(
     task_keys: tuple[str, ...],
     has_meta: bool = True,
     num_classes: dict[str, int] | None = None,
+    null_tasks: tuple[str, ...] = (),
+    subset_bins: dict | None = None,
 ):
     """Validation step: deterministic forward + unmasked loss + top-k counts.
 
     ``mask_meta``: zero the entire aux vector (VALIDATION_MASK_META);
     ``partial_combo_mask``: [meta_dim] 0/1 columns to zero
     (VALIDATION_PARTIAL_MASK_META). Both are operands.
+
+    ``null_tasks``: tasks to split top-1 counts by null (class 0) vs
+    non-null labels (reference: METRICS.TRACK_NULL_VS_NON_NULL,
+    utils/metrics/tracker.py null-vs-non-null accumulators).
+    ``subset_bins``: task -> int32 [num_classes] class->rarity-bin table
+    (reference: SubsetMetricWrapper over rarity percentile subsets); bucketed
+    counts come from one gather, keys ``subset_correct1/<name>/<task>`` +
+    matching ``subset_count/``.
     """
 
     def eval_step(
@@ -329,6 +340,28 @@ def make_eval_step(
             metrics[f"correct1/{t}"] = _topk_correct(outputs[t], targets[t], 1)
             k3 = min(3, outputs[t].shape[-1])
             metrics[f"correct3/{t}"] = _topk_correct(outputs[t], targets[t], k3)
+            tgt_idx = jnp.argmax(targets[t], axis=-1)
+            top1 = (jnp.argmax(outputs[t], axis=-1) == tgt_idx).astype(
+                jnp.float32
+            )
+            if t in null_tasks:
+                is_null = (tgt_idx == 0).astype(jnp.float32)
+                metrics[f"subset_correct1/null/{t}"] = jnp.sum(top1 * is_null)
+                metrics[f"subset_count/null/{t}"] = jnp.sum(is_null)
+                metrics[f"subset_correct1/non_null/{t}"] = jnp.sum(
+                    top1 * (1.0 - is_null)
+                )
+                metrics[f"subset_count/non_null/{t}"] = jnp.sum(1.0 - is_null)
+            table = (subset_bins or {}).get(t)
+            if table is not None:
+                n_bins = int(np.max(table)) + 1
+                bins = jnp.asarray(table)[tgt_idx]
+                for bi in range(n_bins):
+                    sel = (bins == bi).astype(jnp.float32)
+                    metrics[f"subset_correct1/rarity_{bi}/{t}"] = jnp.sum(
+                        top1 * sel
+                    )
+                    metrics[f"subset_count/rarity_{bi}/{t}"] = jnp.sum(sel)
         return metrics, outputs
 
     return eval_step

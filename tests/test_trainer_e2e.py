@@ -261,3 +261,29 @@ def test_mid_validation_resume(data_dir, tmp_path):
     full_loss = trainer.metrics.get(phase, "loss")
     assert abs(resumed_loss - full_loss) < 1e-5
     trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_null_and_rarity_validation_metrics(data_dir, tmp_path):
+    """METRICS.TRACK_NULL_VS_NON_NULL and TRACK_RARITY produce bucketed
+    validation accuracies (reference: tracker.py null-vs-non-null counters +
+    SubsetMetricWrapper over rarity percentile subsets)."""
+    from linnaeus_tpu.ops_schedule import TrainingStage
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_subsets", epochs=1)
+    cfg.METRICS.TRACK_NULL_VS_NON_NULL = True
+    cfg.METRICS.NULL_VS_NON_NULL_TASKS = ["taxa_L10"]
+    cfg.METRICS.TRACK_RARITY = True
+    cfg.METRICS.RARITY_PERCENTILES = [50]
+    trainer = Trainer(cfg)
+    trainer._validate(TrainingStage.VALIDATION_NORMAL)
+    summary = trainer.metrics.phase_summary("val")
+    # non-null bucket always present (most labels are non-null)
+    assert "acc1_non_null/taxa_L10" in summary
+    # rarity buckets: at least one bin observed per task
+    assert any(k.startswith("acc1_rarity_") for k in summary)
+    for k, v in summary.items():
+        if k.startswith("acc1_"):
+            assert 0.0 <= v <= 1.0
+    trainer.train_loader.close()
