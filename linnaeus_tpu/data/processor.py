@@ -66,6 +66,9 @@ class DatasetProcessor:
         self.include_oor = bool(config.DATA.OUT_OF_REGION.INCLUDE)
         self.meta_components = dict(get_enabled_meta_components(config))
         self.rarity_percentiles = list(config.METRICS.RARITY_PERCENTILES)
+        # [(name, rank_key, taxon_id), ...] — custom taxa subsets
+        # (reference: vectorized_dataset_processor.py:859-867)
+        self.taxa_subsets = [tuple(s) for s in config.METRICS.get("TAXA_SUBSETS", [])]
 
         self.class_to_idx: dict[str, dict[Any, int]] = {}
         self.num_classes: dict[str, int] = {}
@@ -349,6 +352,27 @@ class DatasetProcessor:
                 )
                 bins[sel] = bi
             train.subset_ids[f"rarity_{task}"] = bins
+
+    def taxa_subset_selectors(self) -> dict[str, tuple[str, int]]:
+        """name -> (rank_key, class_index) for each configured taxa subset.
+
+        Membership in a taxa subset (e.g. "aves" at taxa_L40) is a pure
+        function of the sample's class at that rank, so the jitted eval step
+        can select members by comparing the target index against the class
+        index — no per-sample subset ids in the pipeline (reference builds
+        them per sample: vectorized_dataset_processor.py:859-880)."""
+        out: dict[str, tuple[str, int]] = {}
+        for entry in self.taxa_subsets:
+            if len(entry) != 3:
+                continue
+            name, rank_key, taxon_id = entry
+            cmap = self.class_to_idx.get(rank_key)
+            if not cmap:
+                continue
+            cid = cmap.get(taxon_id, cmap.get(int(taxon_id)))
+            if cid is not None:
+                out[str(name)] = (str(rank_key), int(cid))
+        return out
 
     def rarity_class_bins(self, task: str) -> np.ndarray | None:
         """Class-index -> rarity-bin table (int32 [num_classes]).

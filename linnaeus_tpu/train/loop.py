@@ -237,18 +237,21 @@ class Trainer:
                 if t in self.task_keys
             )
         subset_bins = None
-        if bool(config.METRICS.get("TRACK_RARITY", False)):
-            proc = self.bundle.get("processor")
-            if proc is not None:
-                subset_bins = {
-                    t: b for t in self.task_keys
-                    if (b := proc.rarity_class_bins(t)) is not None
-                }
+        taxa_selectors = None
+        proc = self.bundle.get("processor")
+        if bool(config.METRICS.get("TRACK_RARITY", False)) and proc is not None:
+            subset_bins = {
+                t: b for t in self.task_keys
+                if (b := proc.rarity_class_bins(t)) is not None
+            }
+        if proc is not None and getattr(proc, "taxa_subsets", None):
+            taxa_selectors = proc.taxa_subset_selectors()
         self._eval_step = jax.jit(
             make_eval_step(
                 self.val_criteria, self.task_keys,
                 has_meta=meta_dim > 0, num_classes=self.num_classes,
                 null_tasks=null_tasks, subset_bins=subset_bins,
+                taxa_selectors=taxa_selectors,
             )
         )
 

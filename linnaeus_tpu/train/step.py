@@ -284,6 +284,7 @@ def make_eval_step(
     num_classes: dict[str, int] | None = None,
     null_tasks: tuple[str, ...] = (),
     subset_bins: dict | None = None,
+    taxa_selectors: dict | None = None,
 ):
     """Validation step: deterministic forward + unmasked loss + top-k counts.
 
@@ -298,6 +299,10 @@ def make_eval_step(
     (reference: SubsetMetricWrapper over rarity percentile subsets); bucketed
     counts come from one gather, keys ``subset_correct1/<name>/<task>`` +
     matching ``subset_count/``.
+    ``taxa_selectors``: subset name -> (rank_key, class_index); samples whose
+    target at rank_key equals class_index contribute per-task bucketed counts
+    (reference: METRICS.TAXA_SUBSETS custom subsets,
+    vectorized_dataset_processor.py:859-880).
     """
 
     def eval_step(
@@ -362,6 +367,12 @@ def make_eval_step(
                         top1 * sel
                     )
                     metrics[f"subset_count/rarity_{bi}/{t}"] = jnp.sum(sel)
+            for name, (rank_key, cid) in (taxa_selectors or {}).items():
+                sel = (
+                    jnp.argmax(targets[rank_key], axis=-1) == cid
+                ).astype(jnp.float32)
+                metrics[f"subset_correct1/taxa_{name}/{t}"] = jnp.sum(top1 * sel)
+                metrics[f"subset_count/taxa_{name}/{t}"] = jnp.sum(sel)
         return metrics, outputs
 
     return eval_step

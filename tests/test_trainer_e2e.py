@@ -287,3 +287,22 @@ def test_null_and_rarity_validation_metrics(data_dir, tmp_path):
         if k.startswith("acc1_"):
             assert 0.0 <= v <= 1.0
     trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_taxa_subset_validation_metrics(data_dir, tmp_path):
+    """METRICS.TAXA_SUBSETS buckets per-task validation accuracy by
+    membership in a named taxon subset (reference:
+    vectorized_dataset_processor.py:859-880)."""
+    from linnaeus_tpu.ops_schedule import TrainingStage
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_taxa", epochs=1)
+    cfg.METRICS.TAXA_SUBSETS = [["g100", "taxa_L20", 100]]
+    trainer = Trainer(cfg)
+    sel = trainer.bundle["processor"].taxa_subset_selectors()
+    assert "g100" in sel and sel["g100"][0] == "taxa_L20"
+    trainer._validate(TrainingStage.VALIDATION_NORMAL)
+    summary = trainer.metrics.phase_summary("val")
+    assert any(k.startswith("acc1_taxa_g100/") for k in summary)
+    trainer.train_loader.close()
