@@ -302,6 +302,9 @@ class Trainer:
             self._run_autobatch()
         if config.DATA.AUTOBATCH.get("ENABLED_VAL", False):
             self._run_autobatch_val()
+        # callbacks run before resources close during drain(), so the
+        # emergency checkpoint lands before the loaders shut down
+        self.shutdown.register_callback(self._on_preempt)
 
     def _run_autobatch(self) -> None:
         """Compiled-memory AutoBatch (reference: main.py:1249-1396): probe the
@@ -439,6 +442,23 @@ class Trainer:
             self._run_pending_validations()
         return True
 
+    # ---------------------------------------------------------- preemption
+    def _on_preempt(self) -> None:
+        """Shutdown-registry callback: on SIGUSR1/SIGTERM save an emergency
+        checkpoint (incl. pending-validation queue + partial indices) and tag
+        the wandb run preempting, then rely on AUTO_RESUME (reference:
+        utils/hpc_utils.py:16-43 + main.py signal handlers)."""
+        if not self.shutdown.preempted.is_set():
+            return
+        from linnaeus_tpu.utils.hpc import mark_wandb_preempting
+
+        mark_wandb_preempting(self.wandb_run)
+        try:
+            self._save_checkpoint()
+            logger.warning("Preemption checkpoint saved")
+        except Exception as e:
+            logger.error(f"Preemption checkpoint failed: {e}")
+
     # ------------------------------------------------------------ training
     def train(self) -> None:
         self.try_resume()
@@ -446,6 +466,9 @@ class Trainer:
         for epoch in range(start_epoch, int(self.config.TRAIN.EPOCHS)):
             self.progress.start_epoch(epoch)
             self._train_one_epoch(epoch)
+            if self.shutdown.preempted.is_set():
+                logger.warning("Preempted; stopping training loop")
+                return
 
             at_boundary = True
             if self.ops_schedule.should_save_checkpoint(at_boundary):
@@ -549,6 +572,8 @@ class Trainer:
             if limit and self.progress.global_step >= limit:
                 logger.info(f"DEBUG early exit after {limit} steps")
                 break
+            if self.shutdown.preempted.is_set():
+                break
 
         elapsed = time.perf_counter() - epoch_start
         batch_size = max(int(self.config.DATA.BATCH_SIZE), 1)
@@ -595,6 +620,8 @@ class Trainer:
             stage = TrainingStage(entry["stage"])
             combo = entry.get("partial_combo")
             self._validate(stage, combo)
+            if self.shutdown.preempted.is_set():
+                return  # entry stays queued; partial indices checkpointed
             self.progress.pop_validation()
 
     def _validate(self, stage: TrainingStage, combo: list[str] | None = None) -> None:
@@ -635,6 +662,9 @@ class Trainer:
         for i, batch in enumerate(self.val_loader):
             if i < start_index:
                 continue
+            if self.shutdown.preempted.is_set():
+                # partial accumulators stay in TrainingProgress for resume
+                return
             metrics, outputs = self._eval_step(
                 self.state, batch, jnp.asarray(mask_meta), jnp.asarray(combo_mask)
             )

@@ -306,3 +306,40 @@ def test_taxa_subset_validation_metrics(data_dir, tmp_path):
     summary = trainer.metrics.phase_summary("val")
     assert any(k.startswith("acc1_taxa_g100/") for k in summary)
     trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_preemption_checkpoint_and_resume(data_dir, tmp_path):
+    """SIGUSR1/SIGTERM-style preemption: the trainer saves an emergency
+    checkpoint with the in-flight validation state and stops cleanly;
+    AUTO_RESUME recovers (reference: utils/hpc_utils.py:16-43 +
+    main.py:104-352 shutdown registry)."""
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_preempt", epochs=3)
+    trainer = Trainer(cfg)
+
+    # preempt after the first optimizer step of epoch 0
+    orig_increment = trainer.progress.increment_step
+
+    def increment_and_preempt():
+        orig_increment()
+        trainer.shutdown.preempted.set()
+
+    trainer.progress.increment_step = increment_and_preempt
+    trainer.train()
+    step_at_preempt = trainer.progress.global_step
+    assert step_at_preempt >= 1
+    # drain() fires the registered callback -> emergency checkpoint
+    trainer.shutdown.drain()
+    ckpts = os.listdir(cfg.ENV.OUTPUT.DIRS.CHECKPOINTS)
+    assert any(c.startswith("checkpoint_step_") for c in ckpts)
+
+    # fresh process resumes from the emergency checkpoint
+    import linnaeus_tpu.utils.hpc as hpc
+
+    hpc._registry = None  # new process would start with a fresh registry
+    trainer2 = Trainer(cfg)
+    assert trainer2.try_resume()
+    assert trainer2.progress.global_step == step_at_preempt
+    trainer2.train_loader.close()
