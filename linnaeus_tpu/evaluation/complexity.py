@@ -96,3 +96,32 @@ def estimate_all_archs(
         with open(output_path, "w") as f:
             json.dump(results, f, indent=2)
     return results
+
+
+def validate_complexity_estimates(
+    estimates_path: str,
+    arch_names: list[str] | None = None,
+    img_size: int = 384,
+    flops_rtol: float = 0.05,
+) -> dict[str, dict]:
+    """Recompute complexity and diff against a stored estimates JSON.
+
+    Reference parity: tools/validate_complexity_estimates.py — guards the
+    published docs/models/model_complexity_estimates.json against silent
+    arch drift. Params must match exactly; FLOPs within ``flops_rtol``
+    (cost-analysis jitter across XLA versions)."""
+    with open(estimates_path) as f:
+        stored = json.load(f)
+    names = arch_names or list(stored)
+    fresh = estimate_all_archs(names, img_size=img_size)
+    report: dict[str, dict] = {}
+    for name in names:
+        st, fr = stored.get(name), fresh.get(name)
+        ok = bool(st and fr and st["params"] == fr["params"])
+        if ok and st.get("flops_per_sample") and fr.get("flops_per_sample"):
+            ok = abs(st["flops_per_sample"] - fr["flops_per_sample"]) <= (
+                flops_rtol * st["flops_per_sample"]
+            )
+        report[name] = {"ok": ok, "stored": st, "fresh": fr}
+        logger.info(f"validate {name}: {'OK' if ok else 'MISMATCH'}")
+    return report

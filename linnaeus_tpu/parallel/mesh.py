@@ -65,8 +65,24 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch onto the mesh, sharded along 'data'."""
+    """Place a host batch onto the mesh, sharded along 'data'.
+
+    Single-host: a plain device_put with the batch sharding. Multi-host:
+    each process feeds only ITS slice of the global batch (the
+    GroupedBatchSampler round-robins pairs/groups across processes, mirroring
+    the reference's per-rank sharding, grouped_batch_sampler.py:289-425), so
+    the local arrays are assembled into one global jax.Array with
+    ``make_array_from_process_local_data`` — the JAX analog of feeding a
+    per-rank DataLoader under DDP.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

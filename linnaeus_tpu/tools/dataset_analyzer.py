@@ -97,17 +97,42 @@ def _gini(counts: np.ndarray) -> float:
     return float((n + 1 - 2 * (cum / cum[-1]).sum()) / n)
 
 
+def analyze_all(
+    paths: list[str],
+    task_keys: list[str],
+    meta_sources: list[str] | None = None,
+    output_path: str | None = None,
+) -> dict[str, dict]:
+    """Sweep analyzer over many label files (reference:
+    tools/analyze_all_datasets.py). Returns {path: report} and optionally
+    writes a combined JSON."""
+    reports = {p: analyze_labels_h5(p, task_keys, meta_sources) for p in paths}
+    if output_path:
+        with open(output_path, "w") as f:
+            json.dump(reports, f, indent=2)
+    return reports
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser("dataset_analyzer")
-    parser.add_argument("path")
+    parser.add_argument("paths", nargs="+", help="one or more labels.h5 files")
     parser.add_argument(
         "--task-keys", nargs="+",
         default=["taxa_L10", "taxa_L20", "taxa_L30", "taxa_L40"],
     )
     parser.add_argument("--meta", nargs="*", default=["temporal", "spatial"])
+    parser.add_argument("--output", default=None, help="write combined JSON")
     args = parser.parse_args(argv)
-    print(json.dumps(analyze_labels_h5(args.path, args.task_keys, args.meta),
-                     indent=2))
+    if len(args.paths) == 1 and not args.output:
+        print(json.dumps(
+            analyze_labels_h5(args.paths[0], args.task_keys, args.meta),
+            indent=2,
+        ))
+    else:
+        print(json.dumps(
+            analyze_all(args.paths, args.task_keys, args.meta, args.output),
+            indent=2,
+        ))
 
 
 if __name__ == "__main__":

@@ -169,3 +169,36 @@ def test_interpolate_rel_pos_bias():
     np.testing.assert_array_equal(
         interpolate_rel_pos_bias(table, (4, 4), (4, 4)), table
     )
+
+
+def test_analyze_all_datasets(labels_h5, tmp_path):
+    from linnaeus_tpu.tools.dataset_analyzer import analyze_all
+
+    out_path = str(tmp_path / "combined.json")
+    reports = analyze_all(
+        [labels_h5, labels_h5], ["taxa_L10", "taxa_L20"], ["temporal"],
+        output_path=out_path,
+    )
+    assert len(reports) == 1  # same path deduped by dict key
+    combined = json.load(open(out_path))
+    assert combined[labels_h5]["num_samples"] == 40
+
+
+def test_validate_complexity_estimates(tmp_path, monkeypatch):
+    """Validator diff logic: exact-params + rtol-FLOPs comparison."""
+    import linnaeus_tpu.evaluation.complexity as cx
+
+    path = str(tmp_path / "estimates.json")
+    stored = {"mFormerV1_sm": {"params": 100, "flops_per_sample": 1e9,
+                               "gflops_per_sample": 1.0,
+                               "activation_memory_mb": 10.0, "img_size": 64}}
+    json.dump(stored, open(path, "w"))
+    fresh_ok = {"mFormerV1_sm": dict(stored["mFormerV1_sm"],
+                                     flops_per_sample=1.02e9)}
+    monkeypatch.setattr(cx, "estimate_all_archs", lambda *a, **k: fresh_ok)
+    report = cx.validate_complexity_estimates(path, ["mFormerV1_sm"])
+    assert report["mFormerV1_sm"]["ok"]  # 2% FLOPs drift within rtol
+    fresh_bad = {"mFormerV1_sm": dict(stored["mFormerV1_sm"], params=101)}
+    monkeypatch.setattr(cx, "estimate_all_archs", lambda *a, **k: fresh_bad)
+    report = cx.validate_complexity_estimates(path, ["mFormerV1_sm"])
+    assert not report["mFormerV1_sm"]["ok"]  # params drift detected
