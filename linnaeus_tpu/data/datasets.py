@@ -179,8 +179,23 @@ class PrefetchingDataset:
             self.cache.put(idx, img, img.nbytes)
         return img
 
+    # transient-IO retry (reference: the "RETRY" sentinel in
+    # base_prefetching_dataset.py:148-164 re-queues failed reads; here the
+    # read path is synchronous per sample, so a bounded retry with backoff
+    # gives the same resilience to flaky HPC filesystems)
+    READ_RETRIES = 2
+
     def read_sample(self, idx: int):
-        img = self._read_image(idx)
+        last_err: Exception | None = None
+        for attempt in range(self.READ_RETRIES + 1):
+            try:
+                img = self._read_image(idx)
+                break
+            except OSError as e:
+                last_err = e
+                if attempt == self.READ_RETRIES:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
         if self.transform is not None:
             img = self.transform(img)
         return img

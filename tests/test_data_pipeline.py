@@ -183,3 +183,37 @@ def test_build_datasets_and_loader_end_to_end(labels_h5, images_h5):
     assert stats["batches_emitted"] == len(batches)
     train_loader.close()
     val_loader.close()
+
+
+def test_read_sample_retries_transient_io():
+    """Transient OSError reads retry with backoff before surfacing
+    (reference: the RETRY sentinel in base_prefetching_dataset.py:148-164)."""
+    from linnaeus_tpu.data.datasets import PrefetchingDataset, SyntheticImageSource
+    from linnaeus_tpu.data.processor import ProcessedLabels
+
+    labels = ProcessedLabels()
+    labels.img_identifiers = [f"i{i}" for i in range(4)]
+    labels.labels = {"taxa_L10": np.zeros(4, np.int32)}
+
+    class FlakySource(SyntheticImageSource):
+        def __init__(self):
+            super().__init__(8)
+            self.calls = 0
+
+        def read(self, idx):
+            self.calls += 1
+            if self.calls == 1:
+                raise OSError("transient NFS hiccup")
+            return super().read(idx)
+
+    ds = PrefetchingDataset(labels, FlakySource(), ["taxa_L10"])
+    img = ds.read_sample(0)  # first call fails once, then succeeds
+    assert img.shape[0] == 8
+
+    class AlwaysDown(SyntheticImageSource):
+        def read(self, idx):
+            raise OSError("gone")
+
+    ds2 = PrefetchingDataset(labels, AlwaysDown(8), ["taxa_L10"])
+    with pytest.raises(OSError):
+        ds2.read_sample(0)
