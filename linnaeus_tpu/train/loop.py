@@ -259,12 +259,31 @@ class Trainer:
         gw = config.LOSS.GRAD_WEIGHTING.TASK
         self._gradnorm_update = None
         if str(gw.TYPE) == "gradnorm" and bool(gw.get("GRADNORM_ENABLED", True)):
+            # The gradnorm re-forward may use a different remat setting than
+            # normal steps (reference: TRAIN.GRADIENT_CHECKPOINTING
+            # .ENABLED_GRADNORM_STEPS vs ENABLED_NORMAL_STEPS,
+            # train.py:94-112). Flax modules are stateless, so a second
+            # module instance with the gradnorm remat flag applies the SAME
+            # params.
+            gc = config.TRAIN.GRADIENT_CHECKPOINTING
+            gn_ckpt = bool(gc.get("ENABLED_GRADNORM_STEPS", False))
+            if gn_ckpt != bool(gc.get("ENABLED_NORMAL_STEPS", False)):
+                gcfg = config.clone()
+                gcfg.defrost()
+                gcfg.TRAIN.GRADIENT_CHECKPOINTING.ENABLED_NORMAL_STEPS = gn_ckpt
+                gcfg.freeze()
+                gradnorm_model = build_model(
+                    gcfg, self.num_classes, self.taxonomy_tree
+                )
+            else:
+                gradnorm_model = self.model
+
             def apply_fn(params, images, meta, deterministic=True,
                          gradnorm_mode=True, batch_stats=None):
                 variables = {"params": params}
                 if batch_stats is not None:
                     variables["batch_stats"] = batch_stats
-                return self.model.apply(
+                return gradnorm_model.apply(
                     variables, images, meta,
                     deterministic=deterministic, gradnorm_mode=gradnorm_mode,
                 )

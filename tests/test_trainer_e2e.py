@@ -343,3 +343,26 @@ def test_preemption_checkpoint_and_resume(data_dir, tmp_path):
     assert trainer2.try_resume()
     assert trainer2.progress.global_step == step_at_preempt
     trainer2.train_loader.close()
+
+
+@pytest.mark.slow
+def test_gradnorm_remat_toggle(data_dir, tmp_path):
+    """ENABLED_GRADNORM_STEPS != ENABLED_NORMAL_STEPS builds a remat variant
+    for the GradNorm re-forward; weights update identically in value
+    (reference: train.py:94-112 checkpointing flag toggling)."""
+    import jax
+    import numpy as np
+
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_gnremat", epochs=1)
+    cfg.TRAIN.GRADIENT_CHECKPOINTING.ENABLED_NORMAL_STEPS = False
+    cfg.TRAIN.GRADIENT_CHECKPOINTING.ENABLED_GRADNORM_STEPS = True
+    trainer = Trainer(cfg)
+    assert trainer._gradnorm_update is not None
+    batch = next(iter(trainer.train_loader))
+    new_state, metrics = trainer._gradnorm_update(trainer.state, batch)
+    w = np.asarray(jax.device_get(new_state.gradnorm.task_weights))
+    np.testing.assert_allclose(w.sum(), 2.0, rtol=1e-4)
+    assert np.isfinite(float(jax.device_get(metrics["gradnorm/avg_norm"])))
+    trainer.train_loader.close()
