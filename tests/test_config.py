@@ -106,3 +106,32 @@ def test_dump_roundtrip():
     text = cfg.dump()
     loaded = yaml.safe_load(text)
     assert loaded["MODEL"]["TYPE"] == "mFormerV0"
+
+
+def test_reference_config_key_coverage():
+    """Every key settable in the reference's config.py exists here, so any
+    reference experiment YAML merges without AttributeError."""
+    import os
+    import re
+
+    ref = "/root/reference/linnaeus/config.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference tree not mounted")
+    ref_keys = set()
+    for line in open(ref):
+        m = re.match(r"(_C[A-Z0-9_.]*)\.([A-Z0-9_]+)\s*=", line.strip())
+        if m:
+            ref_keys.add((m.group(1) + "." + m.group(2)).replace("_C.", ""))
+
+    def walk(node, prefix=""):
+        out = set()
+        for k, v in node.items():
+            p = f"{prefix}.{k}" if prefix else k
+            out.add(p)
+            if hasattr(v, "items") and not isinstance(v, (str, bytes)):
+                out |= walk(v, p)
+        return out
+
+    mine = walk(get_default_config())
+    missing = sorted(k for k in ref_keys if k not in mine)
+    assert not missing, f"reference config keys missing: {missing}"
