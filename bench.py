@@ -30,7 +30,12 @@ def main() -> None:
 
     from __graft_entry__ import _flagship_model
 
-    model = _flagship_model()
+    # Serving configuration: attention scores stored in bf16 (softmax math
+    # still f32 in-fusion). This mirrors the reference's own production
+    # attention path, which casts q/k/v to fp16 for flash-attn
+    # (rope_2d_mhsa.py:459-491); fp32-score storage remains the default for
+    # checkpoint-parity work and is what the parity tests run.
+    model = _flagship_model(attn_fp32_softmax=False)
     batch = 128
 
     images = jax.random.normal(

@@ -70,6 +70,10 @@ class RelativeAttention(nn.Module):
     qk_scale: float | None = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    # fp32-stored scores (reference parity); False stores scores/probs in
+    # the compute dtype — softmax math stays f32 in-fusion (serving knob,
+    # same semantics as ops/attention.py:sdpa_bnhd)
+    attn_fp32_softmax: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -99,15 +103,16 @@ class RelativeAttention(nn.Module):
         k = k.reshape(B, N, self.num_heads, head_dim)
         v = v.reshape(B, N, self.num_heads, head_dim)
 
+        score_dtype = jnp.float32 if self.attn_fp32_softmax else q.dtype
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk",
-            q.astype(jnp.float32) * scale,
-            k.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+            q.astype(score_dtype) * jnp.asarray(scale, score_dtype),
+            k.astype(score_dtype),
+            preferred_element_type=score_dtype,
         )
         rel_bias = bias_table[jnp.asarray(rel_idx)]  # (N, N, heads)
-        logits = logits + jnp.transpose(rel_bias, (2, 0, 1))[None].astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        logits = logits + jnp.transpose(rel_bias, (2, 0, 1))[None].astype(score_dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
         probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
@@ -138,6 +143,7 @@ class RelativeMHSABlock(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     act_exact: bool = False
+    attn_fp32_softmax: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -167,6 +173,7 @@ class RelativeMHSABlock(nn.Module):
             qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop,
             proj_drop=self.proj_drop,
+            attn_fp32_softmax=self.attn_fp32_softmax,
             dtype=self.dtype,
             name="attn",
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), deterministic)

@@ -59,6 +59,9 @@ class RoPE2DAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_flash_attn: bool = False
+    # fp32 score storage (reference parity); False = bf16-stored scores for
+    # serving (softmax math stays f32 in-fusion, see ops/attention.py)
+    attn_fp32_softmax: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,7 +114,8 @@ class RoPE2DAttention(nn.Module):
         q, k = rope.apply_rotary_emb_bnhd(q, k, cos, sin, n_extra=n_extra)
 
         out = scaled_dot_product_attention(
-            q, k, v, scale=scale, use_flash=self.use_flash_attn, layout="bnhd"
+            q, k, v, scale=scale, use_flash=self.use_flash_attn,
+            layout="bnhd", fp32_softmax=self.attn_fp32_softmax,
         )
         # NOTE: attention-prob dropout is intentionally dropped on the flash
         # path (as in the reference flash branch); the jnp path applies it.
@@ -145,6 +149,7 @@ class RoPE2DMHSABlock(nn.Module):
     use_flash_attn: bool = False
     rope_fidelity: str = "rotate"
     act_exact: bool = False
+    attn_fp32_softmax: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -161,6 +166,7 @@ class RoPE2DMHSABlock(nn.Module):
             proj_drop=self.drop,
             use_flash_attn=self.use_flash_attn,
             rope_fidelity=self.rope_fidelity,
+            attn_fp32_softmax=self.attn_fp32_softmax,
             dtype=self.dtype,
             name="attn",
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), deterministic)

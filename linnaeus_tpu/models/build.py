@@ -102,6 +102,7 @@ def build_model(
         ),
         act_exact=bool(config.MODEL.get("ACT_EXACT_GELU", False)),
         use_flash_attn=bool(config.MODEL.get("USE_FLASH_ATTN", False)),
+        attn_fp32_softmax=bool(config.MODEL.get("ATTN_FP32_SOFTMAX", True)),
         dtype=dtype,
     )
 

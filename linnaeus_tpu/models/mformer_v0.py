@@ -49,6 +49,8 @@ class MFormerV0(nn.Module):
     gradient_checkpointing: bool = False  # parity field; remat handled by XLA
     act_exact: bool = False  # erf GELU for torch parity
     use_flash_attn: bool = False  # relative attention has no flash variant
+    # fp32-stored attention scores (reference parity); False = serving knob
+    attn_fp32_softmax: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -154,6 +156,7 @@ class MFormerV0(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 proj_drop=self.drop_rate,
                 act_exact=self.act_exact,
+                attn_fp32_softmax=self.attn_fp32_softmax,
                 dtype=self.dtype,
                 name=f"stage3_block{i}",
             )(y, extras(1, dims[3]) if i == 0 else None, deterministic)
@@ -187,6 +190,7 @@ class MFormerV0(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 proj_drop=self.drop_rate,
                 act_exact=self.act_exact,
+                attn_fp32_softmax=self.attn_fp32_softmax,
                 dtype=self.dtype,
                 name=f"stage4_block{i}",
             )(y, extras(2, dims[4]) if i == 0 else None, deterministic)

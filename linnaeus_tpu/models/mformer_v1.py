@@ -58,6 +58,9 @@ class MFormerV1(nn.Module):
     # erf GELU for torch parity; tanh-approx is the fast TPU default
     act_exact: bool = False
     use_flash_attn: bool = False
+    # fp32-stored attention scores (reference parity); False halves the
+    # softmax HBM traffic for serving (math stays f32 in-fusion)
+    attn_fp32_softmax: bool = True
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
@@ -145,6 +148,7 @@ class MFormerV1(nn.Module):
                 use_flash_attn=self.use_flash_attn,
                 rope_fidelity=self.rope_fidelity,
                 act_exact=self.act_exact,
+                attn_fp32_softmax=self.attn_fp32_softmax,
                 dtype=self.dtype,
                 name=f"stage3_block{i}",
             )
@@ -166,6 +170,7 @@ class MFormerV1(nn.Module):
                 use_flash_attn=self.use_flash_attn,
                 rope_fidelity=self.rope_fidelity,
                 act_exact=self.act_exact,
+                attn_fp32_softmax=self.attn_fp32_softmax,
                 dtype=self.dtype,
                 name=f"stage4_block{i}",
             )

@@ -44,28 +44,48 @@ def sdpa_bnhd(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
+    fp32_softmax: bool = True,
 ) -> jnp.ndarray:
-    """Softmax attention on (B, N, H, D) operands, fp32 accumulation.
+    """Softmax attention on (B, N, H, D) operands.
 
     Same math as :func:`sdpa_reference` but contracts directly on the
     token-major layout produced by a qkv projection — the head axis is a
     dot_general batch dim, so XLA never materializes a (B, H, N, D)
     transpose of q/k/v or of the output (measured ~0.6 ms/block of copy
     fusions saved at B=128, N=199 on v5e).
+
+    ``fp32_softmax=True`` (default) stores the (N, N) score matrix in fp32 —
+    bit-parity with the reference's fp32 softmax (rope_2d_mhsa.py:493-498).
+    ``False`` is a serving knob: scores/probs are STORED in the compute
+    dtype while the softmax max/exp/sum still runs in fp32 registers inside
+    the fusion — halves the dominant HBM traffic of non-flash attention.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     out_dtype = v.dtype
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk",
-        q.astype(jnp.float32) * scale,
-        k.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    probs = jax.nn.softmax(logits, axis=-1)
+    if fp32_softmax:
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk",
+            q.astype(jnp.float32) * scale,
+            k.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    else:
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk",
+            q * jnp.asarray(scale, q.dtype),
+            k,
+            preferred_element_type=q.dtype,
+        )
+        # elementwise f32 math fuses into the producer/consumer; only the
+        # low-precision tensors ever hit HBM
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            v.dtype
+        )
     out = jnp.einsum(
         "bhqk,bkhd->bqhd",
-        probs.astype(v.dtype),
+        probs,
         v,
         preferred_element_type=jnp.float32,
     )
@@ -79,6 +99,7 @@ def scaled_dot_product_attention(
     scale: float | None = None,
     use_flash: bool = False,
     layout: str = "bhnd",
+    fp32_softmax: bool = True,
 ) -> jnp.ndarray:
     """Dispatch between the reference path and the Pallas flash kernel.
 
@@ -112,5 +133,5 @@ def scaled_dot_product_attention(
                 )
             return flash_attention(q, k, v, scale=scale)
     if layout == "bnhd":
-        return sdpa_bnhd(q, k, v, scale=scale)
+        return sdpa_bnhd(q, k, v, scale=scale, fp32_softmax=fp32_softmax)
     return sdpa_reference(q, k, v, scale=scale)

@@ -182,3 +182,29 @@ def test_gradient_checkpointing_same_output():
     np.testing.assert_allclose(
         np.asarray(o1["t1"]), np.asarray(o2["t1"]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_attn_fp32_softmax_knob():
+    """ATTN_FP32_SOFTMAX=False (bf16-stored scores, serving knob) stays close
+    to the fp32-score path, and is exactly identical under fp32 compute."""
+    import jax
+    import jax.numpy as jnp
+
+    from linnaeus_tpu.models.blocks.rope_mhsa import RoPE2DMHSABlock
+
+    x32 = jax.random.normal(jax.random.PRNGKey(0), (2, 19, 32), jnp.float32)
+    mk = lambda fp32sm, dt: RoPE2DMHSABlock(  # noqa: E731
+        dim=32, img_grid_size=(4, 4), extra_token_num=3, num_heads=2,
+        attn_fp32_softmax=fp32sm, dtype=dt,
+    )
+    # fp32 compute: both paths bitwise identical
+    a_mod = mk(True, jnp.float32)
+    params = a_mod.init(jax.random.PRNGKey(1), x32)["params"]
+    a = a_mod.apply({"params": params}, x32)
+    b = mk(False, jnp.float32).apply({"params": params}, x32)
+    assert float(jnp.max(jnp.abs(a - b))) == 0.0
+    # bf16 compute: close (score quantization only)
+    x16 = x32.astype(jnp.bfloat16)
+    a16 = mk(True, jnp.bfloat16).apply({"params": params}, x16).astype(jnp.float32)
+    b16 = mk(False, jnp.bfloat16).apply({"params": params}, x16).astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(a16 - b16))) < 0.1
