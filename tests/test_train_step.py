@@ -233,3 +233,50 @@ def test_partial_meta_masking_zeroes_combo_columns():
     )
     np.testing.assert_array_equal(np.asarray(out[:, :2]), 0.0)
     np.testing.assert_array_equal(np.asarray(out[:, 2:]), 1.0)
+
+
+def test_eval_step_subset_metrics(train_setup):
+    """Null/non-null, rarity-bin, and taxa-subset counts partition the batch
+    and are internally consistent with the plain top-1 counts."""
+    import numpy as np
+
+    model, state, batch, criteria = train_setup
+    b = batch["images"].shape[0]
+    # force a couple of null labels at the first task
+    targets = dict(batch["targets"])
+    t0 = TASKS[0]
+    idx = np.array(jnp.argmax(targets[t0], axis=-1))
+    idx[:2] = 0
+    targets[t0] = jax.nn.one_hot(jnp.asarray(idx), NUM_CLASSES[t0])
+    batch = dict(batch, targets=targets)
+
+    bins = np.zeros((NUM_CLASSES[t0],), np.int32)
+    bins[NUM_CLASSES[t0] // 2:] = 1  # two rarity bins by class index
+    eval_step = jax.jit(
+        make_eval_step(
+            criteria, TASKS,
+            num_classes=NUM_CLASSES,
+            null_tasks=(t0,),
+            subset_bins={t0: bins},
+            taxa_selectors={"sub0": (t0, int(idx[2]))},
+        )
+    )
+    metrics, _ = eval_step(
+        state, batch, jnp.asarray(False), jnp.zeros((META_DIM,), jnp.float32)
+    )
+    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    # null + non-null partition the batch
+    assert m[f"subset_count/null/{t0}"] == 2.0
+    assert m[f"subset_count/null/{t0}"] + m[f"subset_count/non_null/{t0}"] == b
+    # rarity bins partition the batch
+    assert (
+        m[f"subset_count/rarity_0/{t0}"] + m[f"subset_count/rarity_1/{t0}"] == b
+    )
+    # bucketed corrects sum to the plain top-1 count
+    total_c1 = m[f"correct1/{t0}"]
+    assert (
+        m[f"subset_correct1/null/{t0}"] + m[f"subset_correct1/non_null/{t0}"]
+        == total_c1
+    )
+    # taxa subset counts samples whose target class == idx[2]
+    assert m["subset_count/taxa_sub0/" + t0] >= 1.0
