@@ -9,8 +9,10 @@ so the whole pipeline compiles to one XLA program with zero host round-trips.
 
 Selective-mixing semantics (aug/gpu/selective_mixup.py:14-41,
 selective_cutmix.py:14, aug/utils.py:16-60):
-  * partner = random permutation; a sample only mixes when its partner shares
-    its group id (grouped sampler guarantees in-batch same-group pairs);
+  * partner = IN-GROUP permutation (aug/gpu/selective_mixup.py:328
+    ``_get_ingroup_permutation``): every sample in a group with >=2 in-batch
+    members gets a same-group partner != self; singletons and group id -1
+    map to themselves and are excluded by the mix mask;
   * images and soft targets interpolate by lam ~ Beta(alpha, alpha);
   * metadata uses chunk-level HARD PICK per component: both-nonzero -> pick
     one at random; exactly-one-nonzero -> keep it; both-zero -> zero;
@@ -42,6 +44,31 @@ def _sample_beta(rng: jax.Array, alpha: float) -> jnp.ndarray:
     return jax.random.beta(rng, alpha, alpha)
 
 
+def ingroup_permutation(rng: jax.Array, group_ids: jnp.ndarray) -> jnp.ndarray:
+    """Jittable in-group permutation (reference
+    aug/gpu/selective_mixup.py:328-391 ``_get_ingroup_permutation``).
+
+    The reference loops over unique group ids and randperms each group's
+    member indices — data-dependent control flow that XLA can't compile.
+    Here: sort positions by (group_id, uniform noise), then rotate by one
+    within each equal-group run. That yields a uniformly-random cyclic
+    pairing inside every group — each member of a group of size >= 2 gets a
+    same-group partner != self (strictly better fire-rate than the
+    reference's randperm, which can have fixed points), and singletons map
+    to themselves (excluded downstream by the ``perm != arange`` check).
+    """
+    B = group_ids.shape[0]
+    r = jax.random.uniform(rng, (B,))
+    order = jnp.lexsort((r, group_ids))  # primary: group, secondary: random
+    sg = group_ids[order]
+    idx = jnp.arange(B)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sg[1:] != sg[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    next_same = jnp.concatenate([sg[1:] == sg[:-1], jnp.zeros((1,), bool)])
+    partner_pos = jnp.where(next_same, idx + 1, run_start)
+    return jnp.zeros((B,), idx.dtype).at[order].set(order[partner_pos])
+
+
 def _mixable_mask(
     group_ids: jnp.ndarray,
     perm: jnp.ndarray,
@@ -50,7 +77,8 @@ def _mixable_mask(
 ) -> jnp.ndarray:
     """[B] bool: sample mixes with its permuted partner."""
     same_group = group_ids == group_ids[perm]
-    mask = same_group & (perm != jnp.arange(group_ids.shape[0]))
+    # group id -1 = "ungrouped" in the reference (selective_mixup.py:355-357)
+    mask = same_group & (perm != jnp.arange(group_ids.shape[0])) & (group_ids != -1)
     if cfg.exclude_null and cfg.null_task_keys:
         for t in cfg.null_task_keys:
             tgt = targets[t]
@@ -111,7 +139,7 @@ def selective_mixup(
     """Returns (images, targets, meta, mixed_mask)."""
     r_perm, r_lam, r_meta = jax.random.split(rng, 3)
     B = images.shape[0]
-    perm = jax.random.permutation(r_perm, B)
+    perm = ingroup_permutation(r_perm, group_ids)
     mask = _mixable_mask(group_ids, perm, targets, cfg)
     lam = _sample_beta(r_lam, cfg.mixup_alpha)
 
@@ -149,7 +177,7 @@ def selective_cutmix(
     """CutMix variant: paste the partner's box, targets weighted by true area."""
     r_perm, r_lam, r_box, r_meta = jax.random.split(rng, 4)
     B, H, W = images.shape[0], images.shape[1], images.shape[2]
-    perm = jax.random.permutation(r_perm, B)
+    perm = ingroup_permutation(r_perm, group_ids)
     mask = _mixable_mask(group_ids, perm, targets, cfg)
     lam = _sample_beta(r_lam, cfg.cutmix_alpha)
     y1, y2, x1, x2 = _rand_bbox(r_box, H, W, lam)

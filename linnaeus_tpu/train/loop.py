@@ -719,9 +719,13 @@ class Trainer:
             if k.startswith("loss"):
                 summary[k] = v / count
             elif k.startswith("correct1/"):
-                summary["acc1/" + k.split("/", 1)[1]] = v / count
+                task = k.split("/", 1)[1]
+                denom = totals.get(f"valid_count/{task}", count) or count
+                summary["acc1/" + task] = v / denom
             elif k.startswith("correct3/"):
-                summary["acc3/" + k.split("/", 1)[1]] = v / count
+                task = k.split("/", 1)[1]
+                denom = totals.get(f"valid_count/{task}", count) or count
+                summary["acc3/" + task] = v / denom
             elif k.startswith("subset_correct1/"):
                 # null / non_null / rarity-bin buckets (reference:
                 # tracker.py null-vs-non-null + SubsetMetricWrapper)
@@ -751,13 +755,21 @@ class Trainer:
 
     # ---------------------------------------------------------- checkpoint
     def _save_checkpoint(self) -> None:
-        if not is_main_process():
+        # With FSDP param sharding the params span non-addressable devices on
+        # a multi-host mesh: device_get would raise, and every process must
+        # participate in the Orbax save. Pass the sharded state through.
+        fsdp = (
+            str(self.config.PARALLEL.get("PARAM_SHARDING", "replicated"))
+            == "fsdp"
+        )
+        if not fsdp and not is_main_process():
             return
+        state_to_save = self.state if fsdp else jax.device_get(self.state)
         metric = self.metrics.get(MetricsTracker.VAL, "loss")
         wandb_run_id = getattr(self.wandb_run, "id", None) if self.wandb_run else None
         path = ckpt.save_checkpoint(
             self.ckpt_dir,
-            jax.device_get(self.state),
+            state_to_save,
             training_progress=self.progress,
             metrics_state=self.metrics.state_dict(),
             ops_schedule_state=self.ops_schedule.state_dict(),
@@ -765,6 +777,8 @@ class Trainer:
             metric_value=metric,
             wandb_run_id=wandb_run_id,
         )
+        if not is_main_process():
+            return path
         sc = self.config.SCHEDULE.CHECKPOINT
         ckpt.manage_checkpoints(
             self.ckpt_dir,

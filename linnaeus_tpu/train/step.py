@@ -74,18 +74,29 @@ class ScheduleScalars(NamedTuple):
         )
 
 
+def _valid_mask(targets: jnp.ndarray) -> jnp.ndarray:
+    """[B] bool: sample has a mapped label for this task.
+
+    Unmapped labels (-1) one-hot to all-zero rows (zero loss mass); without
+    this mask their argmax (0) would count them as null-class samples in
+    accuracy/subset denominators."""
+    if targets.ndim == 2:
+        return jnp.sum(targets, axis=-1) > 0
+    return targets >= 0
+
+
 def _topk_correct(logits: jnp.ndarray, targets: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Count of samples whose true class is in the top-k predictions."""
+    """Count of VALID samples whose true class is in the top-k predictions."""
     true_idx = jnp.argmax(targets, axis=-1) if targets.ndim == 2 else targets
     _, topk = jax.lax.top_k(logits, k)
-    return (topk == true_idx[:, None]).any(axis=-1).sum()
+    return ((topk == true_idx[:, None]).any(axis=-1) & _valid_mask(targets)).sum()
 
 
 def _accuracy_metrics(outputs, targets, prefix="") -> dict[str, jnp.ndarray]:
     m = {}
     for task, logits in outputs.items():
         tgt = targets[task]
-        n = jnp.float32(logits.shape[0])
+        n = jnp.maximum(_valid_mask(tgt).sum().astype(jnp.float32), 1.0)
         m[f"{prefix}acc1/{task}"] = _topk_correct(logits, tgt, 1) / n
         k3 = min(3, logits.shape[-1])
         m[f"{prefix}acc3/{task}"] = _topk_correct(logits, tgt, k3) / n
@@ -226,23 +237,32 @@ def make_train_step(
                 micro["group_ids"] = split(batch["group_ids"])
 
             def body(carry, mb):
-                acc_grads, acc_loss, i = carry
+                # batch_stats rides the carry so BN running stats update on
+                # every microbatch (each sees the previous microbatch's
+                # stats) instead of being silently discarded under
+                # accumulation. None carries through unchanged (no-BN model).
+                acc_grads, acc_loss, bs, i = carry
                 mb = dict(mb)
                 mb["_scalars"] = scalars
                 r_i = jax.random.fold_in(r_pre, i)
                 images, targets, meta, _ = preprocess(mb, r_i)
-                (total, (_, _, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (total, (_, _, nbs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params, state.apply_fn, images, targets, meta,
                     scalars, jax.random.fold_in(r_loss, i),
-                    state.gradnorm.task_weights, state.batch_stats,
+                    state.gradnorm.task_weights, bs,
                 )
+                bs = bs if nbs is None else nbs
                 acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-                return (acc_grads, acc_loss + total, i + 1), None
+                return (acc_grads, acc_loss + total, bs, i + 1), None
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, total, _), _ = jax.lax.scan(
-                body, (zero_grads, jnp.float32(0.0), jnp.int32(0)), micro
+            (grads, total, final_bs, _), _ = jax.lax.scan(
+                body,
+                (zero_grads, jnp.float32(0.0), state.batch_stats, jnp.int32(0)),
+                micro,
             )
+            if final_bs is not None:
+                new_batch_stats = final_bs
             grads = jax.tree.map(lambda g: g / accum, grads)
             total = total / accum
             outputs, components, mixed_mask = None, {"total": total}, None
@@ -345,32 +365,36 @@ def make_eval_step(
             metrics[f"correct1/{t}"] = _topk_correct(outputs[t], targets[t], 1)
             k3 = min(3, outputs[t].shape[-1])
             metrics[f"correct3/{t}"] = _topk_correct(outputs[t], targets[t], k3)
+            valid = _valid_mask(targets[t]).astype(jnp.float32)
+            metrics[f"valid_count/{t}"] = jnp.sum(valid)
             tgt_idx = jnp.argmax(targets[t], axis=-1)
             top1 = (jnp.argmax(outputs[t], axis=-1) == tgt_idx).astype(
                 jnp.float32
-            )
+            ) * valid
             if t in null_tasks:
-                is_null = (tgt_idx == 0).astype(jnp.float32)
+                is_null = (tgt_idx == 0).astype(jnp.float32) * valid
                 metrics[f"subset_correct1/null/{t}"] = jnp.sum(top1 * is_null)
                 metrics[f"subset_count/null/{t}"] = jnp.sum(is_null)
+                non_null = (1.0 - (tgt_idx == 0)) * valid
                 metrics[f"subset_correct1/non_null/{t}"] = jnp.sum(
-                    top1 * (1.0 - is_null)
+                    top1 * non_null
                 )
-                metrics[f"subset_count/non_null/{t}"] = jnp.sum(1.0 - is_null)
+                metrics[f"subset_count/non_null/{t}"] = jnp.sum(non_null)
             table = (subset_bins or {}).get(t)
             if table is not None:
                 n_bins = int(np.max(table)) + 1
                 bins = jnp.asarray(table)[tgt_idx]
                 for bi in range(n_bins):
-                    sel = (bins == bi).astype(jnp.float32)
+                    sel = (bins == bi).astype(jnp.float32) * valid
                     metrics[f"subset_correct1/rarity_{bi}/{t}"] = jnp.sum(
                         top1 * sel
                     )
                     metrics[f"subset_count/rarity_{bi}/{t}"] = jnp.sum(sel)
             for name, (rank_key, cid) in (taxa_selectors or {}).items():
                 sel = (
-                    jnp.argmax(targets[rank_key], axis=-1) == cid
-                ).astype(jnp.float32)
+                    (jnp.argmax(targets[rank_key], axis=-1) == cid)
+                    & _valid_mask(targets[rank_key])
+                ).astype(jnp.float32) * valid
                 metrics[f"subset_correct1/taxa_{name}/{t}"] = jnp.sum(top1 * sel)
                 metrics[f"subset_count/taxa_{name}/{t}"] = jnp.sum(sel)
         return metrics, outputs

@@ -50,6 +50,11 @@ def save_checkpoint(
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, STATE_DIR), _as_pytree(state), force=True)
 
+    if jax.process_index() != 0:
+        # multi-host (e.g. FSDP-sharded) saves: every process participates in
+        # the Orbax array write above; sidecar JSON is written once
+        return path
+
     sidecar: dict[str, Any] = {
         "step": step,
         "metric_value": metric_value,

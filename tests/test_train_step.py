@@ -280,3 +280,113 @@ def test_eval_step_subset_metrics(train_setup):
     )
     # taxa subset counts samples whose target class == idx[2]
     assert m["subset_count/taxa_sub0/" + t0] >= 1.0
+
+
+# ------------------------------------------------------- in-group permutation
+def test_ingroup_permutation_pairs_within_groups():
+    from linnaeus_tpu.data.collate import ingroup_permutation
+
+    group_ids = jnp.array([0, 0, 1, 1, 1, 2, -1, -1, 3, 3])
+    for seed in range(16):
+        perm = np.asarray(
+            ingroup_permutation(jax.random.PRNGKey(seed), group_ids)
+        )
+        gids = np.asarray(group_ids)
+        # permutation is a bijection
+        assert sorted(perm.tolist()) == list(range(len(gids)))
+        # partners always share the group id
+        np.testing.assert_array_equal(gids[perm], gids)
+        # every member of a group of size >= 2 gets a partner != self
+        for i, g in enumerate(gids):
+            if (gids == g).sum() >= 2:
+                assert perm[i] != i, f"seed={seed} i={i}"
+        # singleton (group 2) maps to itself
+        assert perm[5] == 5
+
+
+def test_mixed_frac_fires_at_mix_prob_one(train_setup):
+    """Regression: with a grouped (mixed-pairs) batch and mix_prob=1, EVERY
+    sample must mix. The old whole-batch random permutation gave each sample
+    a ~1/B chance of drawing a same-group partner, so mixing silently almost
+    never fired (reference parity: aug/gpu/selective_mixup.py in-group perm)."""
+    model, state, batch, criteria = train_setup
+    step = make_train_step(
+        criteria, TASKS,
+        MixConfig(mixup_enabled=True, chunk_bounds=((0, 2), (2, 5))),
+    )
+    scalars = ScheduleScalars(
+        mix_prob=jnp.float32(1.0),
+        use_cutmix=jnp.asarray(False),
+        meta_mask_prob=jnp.float32(0.0),
+        partial_mask_prob=jnp.float32(0.0),
+        partial_combo_mask=jnp.zeros(META_DIM, jnp.float32),
+        null_mask_prob=jnp.float32(1.0),
+    )
+    # batch group_ids = [0,0,1,1,2,2,3,3] -> all samples have in-batch partners
+    _, metrics = jax.jit(step)(state, batch, scalars)
+    assert float(metrics["mixed_frac"]) == 1.0
+
+
+# -------------------------------------------- BN stats under grad accumulation
+class _BNModel(__import__("flax").linen.Module):
+    @__import__("flax").linen.compact
+    def __call__(self, images, meta=None, deterministic=False, **kw):
+        import flax.linen as nn
+
+        x = nn.BatchNorm(use_running_average=deterministic)(images)
+        x = x.mean(axis=(1, 2))
+        return {t: nn.Dense(NUM_CLASSES[t])(x) for t in TASKS}
+
+
+def test_accumulation_updates_batch_stats():
+    """Regression: BN running stats must update when ACCUMULATION_STEPS > 1
+    (they were silently discarded from the scan, leaving init-time stats)."""
+    model = _BNModel()
+    batch = make_batch(jax.random.PRNGKey(0))
+    # shift the input distribution away from N(0,1) so stats must move
+    batch = dict(batch, images=batch["images"] * 3.0 + 5.0)
+    variables = model.init(jax.random.PRNGKey(0), batch["images"])
+    state = create_train_state(
+        model, variables["params"], optax.sgd(0.1),
+        num_tasks=len(TASKS), rng=jax.random.PRNGKey(7),
+        batch_stats=variables["batch_stats"],
+    )
+    criteria = {t: soft_target_cross_entropy for t in TASKS}
+    step = make_train_step(
+        criteria, TASKS, MixConfig(mixup_enabled=False, cutmix_enabled=False),
+        accumulation_steps=2, has_meta=False,
+    )
+    new_state, _ = jax.jit(step)(state, batch, ScheduleScalars.zeros(META_DIM))
+    old_mean = np.asarray(jax.tree.leaves(state.batch_stats)[0])
+    new_mean = np.asarray(jax.tree.leaves(new_state.batch_stats)[0])
+    assert not np.allclose(old_mean, new_mean)
+
+
+# ---------------------------------------------------- unmapped-label validity
+def test_unmapped_labels_excluded_from_metrics(train_setup):
+    """-1 labels one-hot to all-zero rows; they must not count as class-0
+    samples in accuracy numerators/denominators or subset metrics."""
+    model, state, batch, criteria = train_setup
+    t0 = TASKS[0]
+    targets = dict(batch["targets"])
+    zeroed = np.asarray(targets[t0]).copy()
+    zeroed[:3] = 0.0  # three unmapped samples
+    targets[t0] = jnp.asarray(zeroed)
+    batch = dict(batch, targets=targets)
+
+    eval_step = jax.jit(
+        make_eval_step(criteria, TASKS, num_classes=NUM_CLASSES, null_tasks=(t0,))
+    )
+    metrics, _ = eval_step(
+        state, batch, jnp.asarray(False), jnp.zeros((META_DIM,), jnp.float32)
+    )
+    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    b = batch["images"].shape[0]
+    assert m[f"valid_count/{t0}"] == b - 3
+    # null + non-null partition the VALID samples only
+    assert (
+        m[f"subset_count/null/{t0}"] + m[f"subset_count/non_null/{t0}"] == b - 3
+    )
+    assert m[f"correct1/{t0}"] <= b - 3
+    # the other task is untouched
+    assert m[f"valid_count/{TASKS[1]}"] == b
