@@ -79,6 +79,9 @@ def _build_default_config() -> CN:
     _C.ENV.OUTPUT.BUCKET.APP_KEY_ID = ""
     _C.ENV.OUTPUT.BUCKET.APP_KEY = ""
     _C.ENV.OUTPUT.BUCKET.ENABLED = False
+    # also sync after every checkpoint save (end-of-training sync is implied
+    # by ENABLED; reference syncs once from main.py)
+    _C.ENV.OUTPUT.BUCKET.SYNC_ON_CHECKPOINT = False
     _C.ENV.OUTPUT.DIRS = CN()
     _C.ENV.OUTPUT.DIRS.EXP_BASE = ""
     _C.ENV.OUTPUT.DIRS.CHECKPOINTS = ""
@@ -202,7 +205,10 @@ def _build_default_config() -> CN:
     # ------------------------------------------------------------------ AUG
     _C.AUG = CN()
     _C.AUG.FROM = ""
-    _C.AUG.SINGLE_AUG_DEVICE = "cpu"  # 'cpu' (host threads) or 'device' (in-jit)
+    # 'device' fuses augmentation into the jitted train step (TPU-native
+    # default); 'cpu' runs it on the host JAX CPU backend in the loader
+    # (reference default, aug/factory.py:14-44)
+    _C.AUG.SINGLE_AUG_DEVICE = "device"
     _C.AUG.USE_OPENCV = False
     _C.AUG.AUTOAUG = CN()
     _C.AUG.AUTOAUG.POLICY = "original"

@@ -109,16 +109,38 @@ def make_batched_augment(single_fn: Callable) -> Callable:
 
 
 class AugmentationPipelineFactory:
-    """Config-driven construction (reference: aug/factory.py:14-44)."""
+    """Config-driven construction (reference: aug/factory.py:14-44).
+
+    Returns a batched ``fn(images [B,H,W,3] float32 in [0,1], rng) -> images``
+    or None when every augmentation is disabled. The caller decides where it
+    runs (reference AUG.SINGLE_AUG_DEVICE dispatch, aug/build.py:14):
+    'device' fuses it into the jitted train step; 'cpu' applies it on the
+    host JAX CPU backend inside the loader.
+    """
 
     @staticmethod
     def create(config) -> Callable | None:
         aug = config.AUG
         policy = str(aug.AUTOAUG.POLICY or "")
+        color_jitter = float(aug.AUTOAUG.COLOR_JITTER or 0.0)
+        erase_prob = float(aug.RANDOM_ERASE.PROB or 0.0)
+        if not policy and color_jitter <= 0 and erase_prob <= 0:
+            return None
+        from linnaeus_tpu.utils.debug import check_debug_flag
+        from linnaeus_tpu.utils.logging import get_main_logger
+
+        if check_debug_flag(config, "DEBUG.AUGMENTATION"):
+            get_main_logger().debug(
+                f"[AUGMENTATION] pipeline: policy={policy!r} "
+                f"({len(get_policy(policy)) if policy else 0} sub-policies) "
+                f"color_jitter={color_jitter} erase_prob={erase_prob} "
+                f"erase_mode={aug.RANDOM_ERASE.MODE} "
+                f"device={aug.SINGLE_AUG_DEVICE}"
+            )
         single = make_train_augment(
             policy_name=policy if policy else "",
-            color_jitter=float(aug.AUTOAUG.COLOR_JITTER or 0.0),
-            random_erase_prob=float(aug.RANDOM_ERASE.PROB or 0.0),
+            color_jitter=color_jitter,
+            random_erase_prob=erase_prob,
             random_erase_mode=str(aug.RANDOM_ERASE.MODE),
             random_erase_area=tuple(aug.RANDOM_ERASE.AREA_RANGE),
             random_erase_aspect=tuple(aug.RANDOM_ERASE.ASPECT_RATIO),

@@ -14,6 +14,7 @@ from typing import Any
 import numpy as np
 
 from linnaeus_tpu.parallel.mesh import get_process_count, get_process_index
+from linnaeus_tpu.utils.debug import check_debug_flag
 from linnaeus_tpu.utils.logging import get_main_logger
 from .datasets import (
     DirImageSource,
@@ -78,6 +79,7 @@ def build_datasets(config) -> dict[str, Any]:
         mem_cache_bytes=mem_cache,
         simulate_hpc=bool(config.DATA.SIMULATE_HPC),
         io_delay=float(config.DATA.IO_DELAY),
+        verbose_reads=check_debug_flag(config, "DEBUG.DATASET.READ_ITEM_VERBOSE"),
     )
     val_dataset = None
     if val_labels is not None and val_idx is not None and len(val_idx) > 0:
@@ -99,6 +101,35 @@ def build_datasets(config) -> dict[str, Any]:
     }
 
 
+def _make_host_augment(config):
+    """Host-side batched augmentation for AUG.SINGLE_AUG_DEVICE='cpu'
+    (reference: aug/factory.py device dispatch + the preprocess-thread
+    pipeline, base_prefetching_dataset.py:612-711). Runs the same jnp
+    pipeline on the JAX CPU backend so the TPU stays free; costs float32
+    host->HBM transfers (4x uint8) — prefer 'device' on TPU."""
+    if str(config.AUG.SINGLE_AUG_DEVICE) != "cpu":
+        return None
+    from .augmentation.autoaugment import AugmentationPipelineFactory
+
+    fn = AugmentationPipelineFactory.create(config)
+    if fn is None:
+        return None
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None  # cpu backend unavailable: run on the default device
+
+    def host_aug(images, seed: int):
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return fn(images, jax.random.PRNGKey(seed))
+        return fn(images, jax.random.PRNGKey(seed))
+
+    return host_aug
+
+
 def build_loaders(
     config,
     bundle: dict[str, Any],
@@ -106,6 +137,7 @@ def build_loaders(
 ) -> tuple[H5DataLoader, H5DataLoader | None]:
     pidx, pcnt = get_process_index(), get_process_count()
     prefetch = config.DATA.PREFETCH
+    host_augment_fn = _make_host_augment(config)
 
     train_sampler = build_sampler(
         config,
@@ -124,8 +156,11 @@ def build_loaders(
         device_prefetch_depth=int(prefetch.get("DEVICE_PREFETCH_DEPTH", 2)),
         device_put_fn=device_put_fn,
         sleep_time=float(prefetch.SLEEP_TIME),
+        host_augment_fn=host_augment_fn,
+        debug=check_debug_flag(config, "DEBUG.DATALOADER"),
     )
 
+    # validation is never augmented (reference: VAL.DISABLE_AUGMENTATIONS)
     val_loader = None
     if bundle["val_dataset"] is not None:
         val_sampler = build_sampler(
@@ -144,5 +179,14 @@ def build_loaders(
             batch_concurrency=int(prefetch.BATCH_CONCURRENCY),
             device_prefetch_depth=int(prefetch.get("DEVICE_PREFETCH_DEPTH", 2)),
             device_put_fn=device_put_fn,
+            debug=check_debug_flag(config, "DEBUG.DATALOADER"),
         )
+        if len(val_loader) == 0:
+            logger.warning(
+                "Validation loader has ZERO batches: the val split "
+                f"({len(bundle['val_indices'])} samples) is smaller than "
+                f"DATA.BATCH_SIZE_VAL ({config.DATA.BATCH_SIZE_VAL}) with "
+                "drop-last batching — validation passes will silently "
+                "produce no metrics"
+            )
     return train_loader, val_loader

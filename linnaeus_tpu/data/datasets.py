@@ -148,7 +148,9 @@ class PrefetchingDataset:
         group_level: str | None = None,
         simulate_hpc: bool = False,
         io_delay: float = 0.0,
+        verbose_reads: bool = False,
     ):
+        self.verbose_reads = verbose_reads  # DEBUG.DATASET.READ_ITEM_VERBOSE
         self.labels = labels
         self.source = image_source
         self.task_keys = list(task_keys)
@@ -186,6 +188,8 @@ class PrefetchingDataset:
     READ_RETRIES = 2
 
     def read_sample(self, idx: int):
+        if self.verbose_reads:
+            logger.debug(f"[READ_ITEM] idx={int(idx)}")
         last_err: Exception | None = None
         for attempt in range(self.READ_RETRIES + 1):
             try:

@@ -40,9 +40,18 @@ class H5DataLoader:
         device_prefetch_depth: int = 2,
         device_put_fn=None,
         sleep_time: float = 0.0,
+        host_augment_fn=None,
+        debug: bool = False,
     ):
+        """``host_augment_fn(images_f32 [B,H,W,3], seed) -> images_f32``:
+        optional batched augmentation applied to each host batch before
+        device transfer (AUG.SINGLE_AUG_DEVICE='cpu'; the 'device' path fuses
+        augmentation into the jitted train step instead)."""
         self.dataset = dataset
         self.sampler = sampler
+        self.host_augment_fn = host_augment_fn
+        self.debug = debug  # DEBUG.DATALOADER
+        self._epoch = 0
         self.num_io_threads = max(int(num_io_threads), 1)
         self.batch_concurrency = max(int(batch_concurrency), 1)
         self.device_prefetch_depth = max(int(device_prefetch_depth), 0)
@@ -61,6 +70,7 @@ class H5DataLoader:
 
     # -------------------------------------------------------------- epoch API
     def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
         self.sampler.set_epoch(epoch)
 
     def set_group_level(self, level: str) -> None:
@@ -83,6 +93,15 @@ class H5DataLoader:
     def __iter__(self):
         pool = self._ensure_pool()
         batches = self.sampler.batches()
+        if self.debug:
+            logger.debug(
+                f"[DATALOADER] epoch={self._epoch} batches={len(batches)} "
+                f"batch_size={self.sampler.batch_size} "
+                f"io_threads={self.num_io_threads} "
+                f"window={self.batch_concurrency} "
+                f"device_depth={self.device_prefetch_depth} "
+                f"host_aug={'on' if self.host_augment_fn else 'off'}"
+            )
         futures = collections.deque()
         device_queue = collections.deque()
         epoch_start = time.perf_counter()
@@ -112,6 +131,14 @@ class H5DataLoader:
                 t0 = time.perf_counter()
                 host_batch = futures.popleft().result()
                 total_wait += time.perf_counter() - t0
+                if self.host_augment_fn is not None:
+                    imgs = host_batch["images"]
+                    if imgs.dtype == np.uint8:
+                        imgs = imgs.astype(np.float32) / 255.0
+                    seed = self._epoch * 1_000_003 + emitted + len(device_queue)
+                    host_batch["images"] = np.asarray(
+                        self.host_augment_fn(imgs, seed), np.float32
+                    )
                 if self.device_put_fn is not None:
                     host_batch = self.device_put_fn(host_batch)
                 device_queue.append(host_batch)
@@ -128,6 +155,12 @@ class H5DataLoader:
             emitted * self.sampler.batch_size / elapsed
         )
         self.metrics["avg_wait_ms"] = 1000.0 * total_wait / max(emitted, 1)
+        if self.debug:
+            logger.debug(
+                f"[DATALOADER] epoch={self._epoch} done: "
+                f"{self.metrics['throughput_samples_per_sec']:.1f} img/s, "
+                f"avg_wait={self.metrics['avg_wait_ms']:.2f} ms"
+            )
 
     def pipeline_metrics(self) -> dict:
         out = dict(self.metrics)

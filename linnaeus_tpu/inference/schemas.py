@@ -44,3 +44,42 @@ class ModelInformation(BaseModel):
     metadata_components: dict[str, bool]
     taxonomy_source: str
     default_top_k: int
+
+
+def maybe_to_typus(result: HierarchicalClassificationResult):
+    """Convert a local result into a GENUINE typus
+    ``HierarchicalClassificationResult`` when the optional ``typus`` package
+    is installed (the reference returns typus models from ``predict()``,
+    inference/handler.py:203-231, so typed downstream consumers —
+    LitServe handlers written for the reference — type-check). Returns the
+    local clone unchanged when typus is absent.
+    """
+    try:
+        from typus.constants import RankLevel
+        from typus.models.classification import (
+            HierarchicalClassificationResult as TypusHCR,
+        )
+        from typus.models.classification import TaskPrediction as TypusTask
+        from typus.models.classification import TaxonomyContext
+    except ImportError:
+        return result
+
+    tasks = [
+        TypusTask(
+            rank_level=RankLevel(int(t.rank_level)),
+            temperature=1.0,
+            predictions=[tuple(p) for p in t.predictions],
+        )
+        for t in result.tasks
+    ]
+    # reference sorts most-specific first (handler.py:218)
+    tasks.sort(key=lambda t: t.rank_level.value, reverse=True)
+    ctx = result.taxonomy_context
+    root = ctx.get("root")
+    return TypusHCR(
+        taxonomy_context=TaxonomyContext(
+            source=ctx.get("source"), version=ctx.get("version")
+        ),
+        tasks=tasks,
+        subtree_roots={int(root)} if root is not None else None,
+    )

@@ -83,6 +83,21 @@ def prepare_loss_functions(
 
     train = build(list(config.LOSS.TASK_SPECIFIC.TRAIN.FUNCS))
     val = build(list(config.LOSS.TASK_SPECIFIC.VAL.FUNCS))
+    from linnaeus_tpu.utils.debug import check_debug_flag
+
+    if check_debug_flag(config, "DEBUG.LOSS.TAXONOMY_SMOOTHING") and tax_matrices:
+        for t, m in tax_matrices.items():
+            logger.debug(
+                f"[TAXONOMY_SMOOTHING] {t}: matrix {m.shape}, "
+                f"row-sum range [{m.sum(1).min():.4f}, {m.sum(1).max():.4f}]"
+            )
+    if check_debug_flag(config, "DEBUG.LOSS.NULL_MASKING"):
+        nm = config.SCHEDULE.NULL_MASKING
+        logger.debug(
+            f"[NULL_MASKING] enabled={nm.get('ENABLED')} "
+            f"start_prob={nm.get('START_PROB')} end_prob={nm.get('END_PROB')} "
+            f"phase1_mask_null={config.TRAIN.PHASE1_MASK_NULL_LOSS}"
+        )
     return train, val
 
 

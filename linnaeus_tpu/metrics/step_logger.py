@@ -57,6 +57,10 @@ class StepMetricsLogger:
         metrics: dict[str, Any],
         lr: float | None = None,
     ) -> None:
+        from linnaeus_tpu.utils.debug import check_debug_flag
+
+        if check_debug_flag(self.config, "DEBUG.TRAIN_METRICS"):
+            logger.debug(f"[TRAIN_METRICS] step={step} metrics={metrics}")
         self._steps_done += 1
         scalars = {
             k: float(v)
@@ -101,6 +105,10 @@ class StepMetricsLogger:
         self._emit_wandb({f"{phase}/{k}": v for k, v in summary.items()}, step)
 
     def _emit_wandb(self, payload: dict, step: int) -> None:
+        from linnaeus_tpu.utils.debug import check_debug_flag
+
+        if check_debug_flag(self.config, "DEBUG.WANDB_METRICS"):
+            logger.debug(f"[WANDB_METRICS] step={step} payload={payload}")
         if self.wandb_run is not None:
             try:
                 self.wandb_run.log(payload, step=step)

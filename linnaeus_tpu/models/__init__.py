@@ -8,6 +8,8 @@ from linnaeus_tpu.models.factory import (  # noqa: F401
 )
 from linnaeus_tpu.models import mformer_v0  # noqa: F401  (registers mFormerV0)
 from linnaeus_tpu.models import mformer_v1  # noqa: F401  (registers mFormerV1)
+from linnaeus_tpu.models import aggregation  # noqa: F401  (registers aggregations/resolvers)
+from linnaeus_tpu.models.attention import zoo  # noqa: F401  (registers attention zoo)
 from linnaeus_tpu.models.mformer_v0 import MFormerV0  # noqa: F401
 from linnaeus_tpu.models.mformer_v1 import MFormerV1  # noqa: F401
 from linnaeus_tpu.models.heads.heads import (  # noqa: F401

@@ -120,6 +120,9 @@ def build_model(
             rope_theta=float(rs.get("ROPE_THETA", 10000.0)),
             rope_mixed=bool(rs.get("ROPE_MIXED", True)),
             rope_fidelity=str(config.MODEL.get("ROPE_FIDELITY", "rotate")),
+            aggregation=str(
+                config.MODEL.get("AGGREGATION", {}).get("TYPE", "default")
+            ),
             **common,
         )
     elif model_type == "mFormerV0":
@@ -135,5 +138,9 @@ def build_model(
     else:
         model = MODEL_REGISTRY[model_type](**common)
 
+    from linnaeus_tpu.utils.debug import check_debug_flag
+
+    if check_debug_flag(config, "DEBUG.MODEL_BUILD"):
+        logger.debug(f"[MODEL_BUILD] {model_type} fields: {common}")
     logger.info(f"Built model {model_type} ({config.MODEL.NAME})")
     return model

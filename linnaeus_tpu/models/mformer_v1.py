@@ -65,6 +65,11 @@ class MFormerV1(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     only_last_cls: bool = False
+    # dual-CLS aggregation selector (MODEL.AGGREGATION.TYPE; reference:
+    # models/aggregation/utils.py:10). 'Conv1d'/'default' keeps the mFormer
+    # 2->1 Conv1d path (and its checkpoint param names); other registry
+    # entries (AdaptivePooling/Concatenation/Identity) plug in here.
+    aggregation: str = "Conv1d"
     # ordered (name, dim) pairs of enabled metadata components
     meta_components: tuple[tuple[str, int], ...] = ()
     task_keys: tuple[str, ...] = ()
@@ -208,10 +213,23 @@ class MFormerV1(nn.Module):
                 name="cl_1_fc",
             )
             self.cl_1_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cl_1_norm")
-            # dual-CLS aggregation: 2->1 channel 1x1 Conv1d over the feature axis
-            self.aggregate = nn.Dense(
-                1, kernel_init=trunc_normal_init, dtype=self.dtype, name="aggregate"
-            )
+            if self.aggregation in ("Conv1d", "default"):
+                # dual-CLS aggregation: 2->1 channel 1x1 Conv1d over the feature axis
+                self.aggregate = nn.Dense(
+                    1, kernel_init=trunc_normal_init, dtype=self.dtype, name="aggregate"
+                )
+            else:
+                from linnaeus_tpu.models.factory import AGGREGATION_REGISTRY
+
+                cls = AGGREGATION_REGISTRY.get(self.aggregation)
+                if cls is None:
+                    raise ValueError(
+                        f"Unknown MODEL.AGGREGATION.TYPE '{self.aggregation}'"
+                    )
+                kwargs = {"dtype": self.dtype, "name": "aggregate_alt"}
+                if self.aggregation == "Concatenation":
+                    kwargs["out_features"] = self.rope_dims[1]
+                self.aggregate = cls(**kwargs)
         self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")
 
         self.head = MultiTaskHeads(
@@ -289,9 +307,12 @@ class MFormerV1(nn.Module):
 
         if not self.only_last_cls:
             cat = jnp.concatenate([cls_1, cls_2], axis=1)  # (B, 2, D3)
-            # 1x1 Conv1d with in_channels=2 -> out_channels=1 == Dense over
-            # the token axis (B, D3, 2) @ (2, 1)
-            agg = self.aggregate(jnp.transpose(cat, (0, 2, 1)))[..., 0]  # (B, D3)
+            if self.aggregation in ("Conv1d", "default"):
+                # 1x1 Conv1d with in_channels=2 -> out_channels=1 == Dense over
+                # the token axis (B, D3, 2) @ (2, 1)
+                agg = self.aggregate(jnp.transpose(cat, (0, 2, 1)))[..., 0]  # (B, D3)
+            else:
+                agg = self.aggregate(cat)  # registry module: (B, 2, D3) -> (B, D3)
             feats = self.final_norm(agg)
         else:
             feats = self.final_norm(cls_2[:, 0, :])

@@ -104,21 +104,31 @@ def lr_multipliers(config) -> dict[str, float]:
     return out
 
 
-def lr_dict_for_logging(config, schedule, step: int) -> dict[str, float]:
+def lr_dict_for_logging(
+    config, schedule, step: int, group_schedules: dict | None = None
+) -> dict[str, float]:
     """Per-group learning rates for wandb/console export.
 
     Reference parity: MultiLRScheduler.get_lr_dict_for_wandb
-    (lr_schedulers/multi_lr_scheduler.py:177). Group LRs here are the base
-    schedule times each group's LR_MULTIPLIER (how optax.multi_transform
-    realizes the reference's per-group schedulers)."""
-    base = float(schedule(step)) if callable(schedule) else float(schedule)
-    return {f"lr/{g}": base * m for g, m in lr_multipliers(config).items()}
+    (lr_schedulers/multi_lr_scheduler.py:177). Each group's LR is its own
+    schedule (``group_schedules``, LR_SCHEDULER.PARAMETER_GROUPS) — falling
+    back to the base schedule — times its LR_MULTIPLIER."""
+    group_schedules = group_schedules or {}
+
+    def at(s):
+        return float(s(step)) if callable(s) else float(s)
+
+    return {
+        f"lr/{g}": at(group_schedules.get(g, schedule)) * m
+        for g, m in lr_multipliers(config).items()
+    }
 
 
 def build_optimizer(
     config,
     schedule: optax.ScalarOrSchedule,
     params=None,
+    group_schedules: dict | None = None,
 ) -> optax.GradientTransformation:
     """Build the optimizer; multi-group configs need ``params`` for labeling.
 
@@ -126,7 +136,12 @@ def build_optimizer(
         ENABLED: true
         DEFAULT: {OPTIMIZER, WEIGHT_DECAY, LR_MULTIPLIER}
         <GROUP_NAME>: {OPTIMIZER, WEIGHT_DECAY, LR_MULTIPLIER, FILTER: {...}}
+
+    ``group_schedules`` (from ``build_group_schedules``) gives groups fully
+    independent schedules (reference: lr_schedulers/build.py:291); a group
+    without an entry uses the base ``schedule`` scaled by its LR_MULTIPLIER.
     """
+    group_schedules = group_schedules or {}
     pg = config.OPTIMIZER.get("PARAMETER_GROUPS", {})
     if not pg or not pg.get("ENABLED", False):
         return _make_single(config.OPTIMIZER.NAME, schedule, config)
@@ -150,7 +165,10 @@ def build_optimizer(
     transforms = {
         "default": _make_single(
             str(default_cfg.get("OPTIMIZER", config.OPTIMIZER.NAME)),
-            _scaled_schedule(schedule, float(default_cfg.get("LR_MULTIPLIER", 1.0))),
+            _scaled_schedule(
+                group_schedules.get("default", schedule),
+                float(default_cfg.get("LR_MULTIPLIER", 1.0)),
+            ),
             config,
             weight_decay=default_cfg.get("WEIGHT_DECAY"),
         )
@@ -158,12 +176,25 @@ def build_optimizer(
     for gname, gcfg in groups.items():
         transforms[gname] = _make_single(
             str(gcfg.get("OPTIMIZER", config.OPTIMIZER.NAME)),
-            _scaled_schedule(schedule, float(gcfg.get("LR_MULTIPLIER", 1.0))),
+            _scaled_schedule(
+                group_schedules.get(gname, schedule),
+                float(gcfg.get("LR_MULTIPLIER", 1.0)),
+            ),
             config,
             weight_decay=gcfg.get("WEIGHT_DECAY"),
         )
 
     labels = param_labels(params, predicates, default="default")
+    from linnaeus_tpu.utils.debug import check_debug_flag
+
+    if check_debug_flag(config, "DEBUG.OPTIMIZER"):
+        flat = jax.tree_util.tree_leaves_with_path(labels)
+        for path, label in flat:
+            logger.debug(
+                "[OPTIMIZER] "
+                + "/".join(getattr(k, "key", str(k)) for k in path)
+                + f" -> group '{label}'"
+            )
     logger.info(
         f"Multi-group optimizer with groups: {sorted(transforms)} "
         f"(optax.multi_transform)"

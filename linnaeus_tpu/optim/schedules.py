@@ -138,3 +138,29 @@ def apply_lr_scaling(config, effective_batch_size: int) -> float:
     ref_bs = float(config.LR_SCHEDULER.REFERENCE_BS)
     ref_lr = float(config.LR_SCHEDULER.REFERENCE_LR)
     return ref_lr * effective_batch_size / ref_bs
+
+
+def build_group_schedules(config, total_steps: int, steps_per_epoch: int = 0):
+    """Group name -> INDEPENDENT optax schedule (reference:
+    lr_schedulers/build.py:291 _build_multi_scheduler +
+    multi_lr_scheduler.py:19 MultiLRScheduler).
+
+    Each ``LR_SCHEDULER.PARAMETER_GROUPS.<GROUP>`` entry is a partial
+    LR_SCHEDULER override (NAME / BASE_LR / MIN_LR / WARMUP_* / WSD knobs...)
+    keyed by the same group names as OPTIMIZER.PARAMETER_GROUPS; groups
+    without an entry inherit the base schedule (scaled by their
+    LR_MULTIPLIER inside build_optimizer). 'default' is always present.
+    """
+    out = {"default": build_schedule(config, total_steps, steps_per_epoch)}
+    pg = config.LR_SCHEDULER.get("PARAMETER_GROUPS", {})
+    if not pg or not pg.get("ENABLED", False):
+        return out
+    for gname, gcfg in pg.items():
+        if gname in ("ENABLED",) or not isinstance(gcfg, dict):
+            continue
+        sub = config.clone()
+        sub.defrost()
+        for k, v in gcfg.items():
+            sub.LR_SCHEDULER[k] = v
+        out[gname] = build_schedule(sub, total_steps, steps_per_epoch)
+    return out

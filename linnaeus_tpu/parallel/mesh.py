@@ -52,6 +52,15 @@ def create_mesh(config=None, devices=None) -> Mesh:
     arr = np.asarray(devices).reshape(data, model)
     mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
     logger.info(f"Created mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    if config is not None:
+        from linnaeus_tpu.utils.debug import check_debug_flag
+
+        if check_debug_flag(config, "DEBUG.DISTRIBUTED"):
+            logger.debug(
+                f"[DISTRIBUTED] process {jax.process_index()}/{jax.process_count()} "
+                f"local_devices={[str(d) for d in jax.local_devices()]} "
+                f"mesh_devices={[str(d) for d in arr.flat]}"
+            )
     return mesh
 
 

@@ -25,12 +25,43 @@ def benchmark_loader(loader, max_batches: int = 100) -> dict:
         if i + 1 >= max_batches:
             break
     elapsed = max(time.perf_counter() - start, 1e-9)
+    # loader.pipeline_metrics() finalizes only at full-epoch end; an early
+    # break leaves its throughput at 0, so report our own timer only
     return {
         "samples": n,
         "seconds": elapsed,
         "samples_per_sec": n / elapsed,
-        **loader.pipeline_metrics(),
     }
+
+
+def generate_real_dataset(path_prefix: str, n: int, img_size: int) -> tuple[str, str]:
+    """Write a REAL file-backed HDF5 dataset (random uint8 pixels + labels)
+    so the benchmark measures actual HDF5 chunk reads, not an in-memory
+    source. ~n * img_size^2 * 3 bytes on disk; 20k @ 224px ~= 2.8 GB."""
+    import h5py
+
+    labels_path = f"{path_prefix}_labels.h5"
+    images_path = f"{path_prefix}_images.h5"
+    rng = np.random.default_rng(0)
+    with h5py.File(labels_path, "w") as f:
+        f.create_dataset(
+            "img_identifiers", data=np.array([f"i{i}" for i in range(n)], "S12")
+        )
+        f.create_dataset("taxa_L10", data=rng.integers(1, 500, n))
+        f.create_dataset("taxa_L20", data=rng.integers(501, 600, n))
+        f.create_dataset("temporal", data=rng.normal(size=(n, 2)).astype("f4"))
+        f.create_dataset("spatial", data=rng.normal(size=(n, 3)).astype("f4"))
+    with h5py.File(images_path, "w") as f:
+        # chunk = one image: the random-access unit of the grouped sampler
+        dset = f.create_dataset(
+            "images", shape=(n, img_size, img_size, 3), dtype="u1",
+            chunks=(1, img_size, img_size, 3),
+        )
+        block = 512
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            dset[s:e] = rng.integers(0, 256, (e - s, img_size, img_size, 3), "u1")
+    return labels_path, images_path
 
 
 def main(argv=None) -> None:
@@ -43,6 +74,20 @@ def main(argv=None) -> None:
                         help="used when no --labels given")
     parser.add_argument("--io-threads", type=int, default=8)
     parser.add_argument("--max-batches", type=int, default=50)
+    parser.add_argument(
+        "--gen-real", type=int, default=0, metavar="N",
+        help="generate a file-backed HDF5 dataset of N samples first",
+    )
+    parser.add_argument("--gen-prefix", default="/tmp/pipebench")
+    parser.add_argument(
+        "--sweep-threads", default=None,
+        help="comma list (e.g. 1,4,8): benchmark each IO-thread count",
+    )
+    parser.add_argument("--batch-concurrency", type=int, default=None)
+    parser.add_argument(
+        "--grouped", action="store_true",
+        help="use the mixed-pairs grouped sampler (production train path)",
+    )
     args = parser.parse_args(argv)
 
     from linnaeus_tpu.configuration import get_default_config
@@ -52,7 +97,21 @@ def main(argv=None) -> None:
     cfg.DATA.IMG_SIZE = args.img_size
     cfg.DATA.BATCH_SIZE = args.batch_size
     cfg.DATA.PREFETCH.NUM_IO_THREADS = args.io_threads
-    cfg.DATA.SAMPLER.TYPE = "standard"
+    if args.batch_concurrency:
+        cfg.DATA.PREFETCH.BATCH_CONCURRENCY = args.batch_concurrency
+    if args.grouped:
+        cfg.DATA.SAMPLER.TYPE = "grouped"
+        cfg.DATA.SAMPLER.GROUPED_MODE = "mixed-pairs"
+        cfg.SCHEDULE.MIX.GROUP_LEVELS = ["taxa_L20"]
+    else:
+        cfg.DATA.SAMPLER.TYPE = "standard"
+
+    if args.gen_real:
+        args.labels, args.images = generate_real_dataset(
+            args.gen_prefix, args.gen_real, args.img_size
+        )
+        cfg.DATA.TASK_KEYS_H5 = ["taxa_L10", "taxa_L20"]
+        cfg.DATA.PARTIAL.LEVELS = True
 
     if args.labels:
         cfg.DATA.H5.LABELS_PATH = args.labels
@@ -80,12 +139,24 @@ def main(argv=None) -> None:
         cfg.DATA.PARTIAL.LEVELS = True
         # no images file -> synthetic pixels
 
-    bundle = build_datasets(cfg)
-    train_loader, _ = build_loaders(cfg, bundle)
-    result = benchmark_loader(train_loader, args.max_batches)
-    train_loader.close()
-    print(json.dumps({k: v for k, v in result.items() if not isinstance(v, dict)},
-                     indent=2))
+    thread_counts = (
+        [int(t) for t in args.sweep_threads.split(",")]
+        if args.sweep_threads
+        else [args.io_threads]
+    )
+    for n_threads in thread_counts:
+        cfg.DATA.PREFETCH.NUM_IO_THREADS = n_threads
+        bundle = build_datasets(cfg)
+        train_loader, _ = build_loaders(cfg, bundle)
+        result = benchmark_loader(train_loader, args.max_batches)
+        train_loader.close()
+        out = {
+            "io_threads": n_threads,
+            "batch_concurrency": int(cfg.DATA.PREFETCH.BATCH_CONCURRENCY),
+            "grouped": bool(args.grouped),
+            **{k: v for k, v in result.items() if not isinstance(v, dict)},
+        }
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

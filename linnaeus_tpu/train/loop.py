@@ -50,6 +50,7 @@ from linnaeus_tpu.utils.meta import (
     compute_meta_chunk_bounds_by_name,
     total_meta_dim,
 )
+from linnaeus_tpu.utils.debug import check_debug_flag
 from linnaeus_tpu.utils.param_filters import trunk_mask_from_exclude
 
 logger = get_main_logger()
@@ -116,6 +117,21 @@ class Trainer:
             logger.info(
                 "\n" + schedule_summary(config, total_steps, self.steps_per_epoch)
             )
+            # render the schedule plot at startup (reference:
+            # schedule_utils.py:1118, called from main.py)
+            try:
+                from linnaeus_tpu.utils.schedule_utils import (
+                    generate_schedule_plot,
+                )
+
+                plot_path = generate_schedule_plot(
+                    config, total_steps,
+                    f"{config.ENV.OUTPUT.DIRS.LOGS}/schedule.png",
+                )
+                if plot_path:
+                    logger.info(f"Schedule plot written to {plot_path}")
+            except Exception as e:
+                logger.warning(f"Schedule plot failed: {e}")
         from linnaeus_tpu.utils.training_consistency import (
             TrainingConsistencyChecker,
             validate_training_schedule,
@@ -140,7 +156,12 @@ class Trainer:
 
         # ---------------- model / optimizer / state
         self.model = build_model(config, self.num_classes, self.taxonomy_tree)
-        self.lr_schedule = build_schedule(config, total_steps, self.steps_per_epoch)
+        from linnaeus_tpu.optim import build_group_schedules
+
+        self.group_schedules = build_group_schedules(
+            config, total_steps, self.steps_per_epoch
+        )
+        self.lr_schedule = self.group_schedules["default"]
         rng = jax.random.PRNGKey(int(config.MISC.SEED))
         meta_dim = total_meta_dim(config)
         init_images = jnp.zeros(
@@ -153,7 +174,10 @@ class Trainer:
         batch_stats = variables.get("batch_stats")
         n_params = sum(p.size for p in jax.tree.leaves(params))
         logger.info(f"Model params: {n_params:,}")
-        self.tx = build_optimizer(config, self.lr_schedule, params=params)
+        self.tx = build_optimizer(
+            config, self.lr_schedule, params=params,
+            group_schedules=self.group_schedules,
+        )
 
         init_weights = list(config.LOSS.GRAD_WEIGHTING.TASK.INIT_WEIGHTS or [])
         if not init_weights and (
@@ -214,6 +238,30 @@ class Trainer:
             null_task_keys=tuple(mix.NULL_TASK_KEYS or []),
             chunk_bounds=self.chunk_bounds,
         )
+        # AutoAugment/jitter/erase fused into the jitted step when
+        # AUG.SINGLE_AUG_DEVICE='device' (the TPU-native default); the 'cpu'
+        # path is wired into the loader by build_loaders (reference:
+        # aug/factory.py:14-44 device dispatch).
+        augment_fn = None
+        if str(config.AUG.SINGLE_AUG_DEVICE) == "device":
+            from linnaeus_tpu.data.augmentation.autoaugment import (
+                AugmentationPipelineFactory,
+            )
+
+            augment_fn = AugmentationPipelineFactory.create(config)
+            if augment_fn is not None:
+                logger.info(
+                    "On-device augmentation enabled: policy="
+                    f"{config.AUG.AUTOAUG.POLICY!r} jitter="
+                    f"{config.AUG.AUTOAUG.COLOR_JITTER} erase="
+                    f"{config.AUG.RANDOM_ERASE.PROB}"
+                )
+        from linnaeus_tpu.train.step import make_preprocess_fn
+
+        self._preprocess = make_preprocess_fn(
+            mix_cfg, has_meta=meta_dim > 0, num_classes=self.num_classes,
+            augment_fn=augment_fn,
+        )
         # donate the input state: XLA aliases the new params/opt-state onto
         # the old buffers instead of allocating fresh ones each step
         self._train_step = jax.jit(
@@ -227,6 +275,7 @@ class Trainer:
                 has_meta=meta_dim > 0,
                 lr_schedule=self.lr_schedule,
                 num_classes=self.num_classes,
+                augment_fn=augment_fn,
             ),
             donate_argnums=(0,),
         )
@@ -301,16 +350,29 @@ class Trainer:
                 use_linear_heads=bool(gw.USE_LINEAR_HEADS_FOR_GRADNORM_REFORWARD),
                 accum_steps=max(int(gw.get("GRADNORM_ACCUM_STEPS", 1) or 1), 1),
             )
+            if check_debug_flag(config, "DEBUG.LOSS.GRADNORM_MEMORY"):
+                logger.debug(
+                    "[GRADNORM_MEMORY] re-forward config: "
+                    f"accum_steps={gw.get('GRADNORM_ACCUM_STEPS', 1)} "
+                    f"remat={gn_ckpt} zero_aux={gw.ZERO_AUX_INFO} "
+                    f"linear_heads={gw.USE_LINEAR_HEADS_FOR_GRADNORM_REFORWARD}"
+                )
 
-            def gradnorm_step(state, batch):
-                targets = {
-                    t: jax.nn.one_hot(v, self.num_classes[t])
-                    if v.ndim == 1 else v
-                    for t, v in batch["targets"].items()
-                }
+            def gradnorm_step(state, batch, scalars):
+                # Re-forward the SAME collated batch the train step consumed
+                # (reference: gradient_weighting.py:367-430): regenerate the
+                # step's preprocess randomness (the train step that processed
+                # this batch already incremented state.step, hence -1) and
+                # re-derive the mixed/augmented/meta-masked tensors.
+                from linnaeus_tpu.train.step import train_step_rngs
+
+                batch = dict(batch)
+                batch["_scalars"] = scalars
+                r_pre, _ = train_step_rngs(state.rng, state.step - 1)
+                images, targets, meta, _ = self._preprocess(batch, r_pre)
                 new_gn, metrics = update(
-                    state.params, batch["images"], targets,
-                    batch.get("aux"), state.gradnorm, state.batch_stats,
+                    state.params, images, targets,
+                    meta, state.gradnorm, state.batch_stats,
                 )
                 return state.replace(gradnorm=new_gn), metrics
 
@@ -503,7 +565,23 @@ class Trainer:
                 break
             self.progress.end_epoch()
         self._save_checkpoint()
+        self._sync_outputs()
         logger.info("Training complete")
+
+    def _sync_outputs(self) -> None:
+        """End-of-training remote sync (reference: utils/backblaze.py:10-54,
+        invoked from main.py at training end). No-op unless
+        ENV.OUTPUT.BUCKET.ENABLED."""
+        if not is_main_process():
+            return
+        if not self.config.ENV.OUTPUT.BUCKET.get("ENABLED", False):
+            return
+        from linnaeus_tpu.utils.remote_sync import sync_to_bucket
+
+        try:
+            sync_to_bucket(self.config, self.config.ENV.OUTPUT.DIRS.EXP_BASE)
+        except Exception as e:
+            logger.error(f"Remote output sync failed: {e}")
 
     def _train_one_epoch(self, epoch: int) -> None:
         cfg = self.config
@@ -540,11 +618,40 @@ class Trainer:
             self._last_batch = batch
             self.progress.increment_step()
             n_seen += int(batch["images"].shape[0])
+            if check_debug_flag(self.config, "DEBUG.TRAINING_LOOP"):
+                host = jax.device_get(step_metrics)
+                logger.debug(
+                    f"[TRAINING_LOOP] step={self.progress.global_step} "
+                    f"loss={float(host.get('loss', 0.0)):.6f} "
+                    f"grad_norm={float(host.get('grad_norm_pre_clip', 0.0)):.4f} "
+                    f"mixed_frac={float(host.get('mixed_frac', 0.0)):.3f}"
+                )
+            if check_debug_flag(self.config, "DEBUG.SCHEDULING"):
+                logger.debug(
+                    f"[SCHEDULING] step={step} mix_prob={float(scalars.mix_prob):.4f} "
+                    f"meta_mask={float(scalars.meta_mask_prob):.4f} "
+                    f"partial_mask={float(scalars.partial_mask_prob):.4f} "
+                    f"null_mask={float(scalars.null_mask_prob):.4f} combo={combo}"
+                )
 
             if self.ops_schedule.should_update_gradnorm(self.progress.global_step):
                 if self._gradnorm_update is not None:
-                    self.state, gn_metrics = self._gradnorm_update(self.state, batch)
+                    self.state, gn_metrics = self._gradnorm_update(
+                        self.state, batch, scalars
+                    )
                     gn_host = jax.device_get(gn_metrics)
+                    if check_debug_flag(
+                        self.config, "DEBUG.LOSS.VERBOSE_GRADNORM_LOGGING"
+                    ) or check_debug_flag(
+                        self.config, "DEBUG.LOSS.GRADNORM_METRICS"
+                    ):
+                        logger.debug(
+                            f"[GRADNORM] step={self.progress.global_step} "
+                            + " ".join(
+                                f"{k}={np.asarray(v).tolist()}"
+                                for k, v in sorted(gn_host.items())
+                            )
+                        )
                     self.metrics.log_gradnorm(self.progress.global_step, gn_host)
                     if is_main_process():
                         flat = {}
@@ -575,11 +682,24 @@ class Trainer:
                     # per-group LR export (reference:
                     # multi_lr_scheduler.py:177 get_lr_dict_for_wandb)
                     lr_groups = lr_dict_for_logging(
-                        self.config, self.lr_schedule, gstep
+                        self.config, self.lr_schedule, gstep,
+                        group_schedules=self.group_schedules,
                     )
                     if len(lr_groups) > 1:
                         sched_values.update(lr_groups)
                     self.step_logger.log_schedule_values(gstep, sched_values)
+            if check_debug_flag(
+                self.config, "DEBUG.METRICS.AVG_METER_VERBOSE_ACTUAL_META_STATS"
+            ) and batch.get("aux") is not None:
+                from linnaeus_tpu.data.collate import compute_actual_meta_stats
+
+                stats = jax.device_get(
+                    compute_actual_meta_stats(batch["aux"], self.chunk_bounds)
+                )
+                logger.debug(
+                    f"[ACTUAL_META_STATS] step={gstep} "
+                    + " ".join(f"{k}={float(v):.3f}" for k, v in stats.items())
+                )
             if self.ops_schedule.should_log_lr(gstep):
                 self.metrics.log_lr(gstep, float(self.lr_schedule(gstep)))
             if self.ops_schedule.should_log_pipeline_metrics(gstep) and is_main_process():
@@ -688,6 +808,13 @@ class Trainer:
                 self.state, batch, jnp.asarray(mask_meta), jnp.asarray(combo_mask)
             )
             host = jax.device_get(metrics)
+            if check_debug_flag(self.config, "DEBUG.VALIDATION_METRICS"):
+                logger.debug(
+                    f"[VALIDATION_METRICS] {phase} batch={i} "
+                    + " ".join(
+                        f"{k}={float(v):.4f}" for k, v in sorted(host.items())
+                    )
+                )
             b = float(host["count"])
             count += b
             for k, v in host.items():
@@ -736,6 +863,16 @@ class Trainer:
         if chain_total > 0:
             summary["chain_accuracy"] = chain_correct / chain_total
         self.metrics.update(phase, summary, n=count)
+        if check_debug_flag(self.config, "DEBUG.DUMP_METRICS") and is_main_process():
+            import json
+
+            dump_path = (
+                f"{self.config.ENV.OUTPUT.DIRS.LOGS}/metrics_state_"
+                f"{self.progress.global_step}.json"
+            )
+            with open(dump_path, "w") as f:
+                json.dump(self.metrics.state_dict(), f, indent=2, default=str)
+            logger.debug(f"[DUMP_METRICS] wrote {dump_path}")
         improved = self.metrics.check_best(phase, self.progress.current_epoch)
         if phase == MetricsTracker.VAL:
             self.early_stop.update(
@@ -765,6 +902,12 @@ class Trainer:
         if not fsdp and not is_main_process():
             return
         state_to_save = self.state if fsdp else jax.device_get(self.state)
+        if check_debug_flag(self.config, "DEBUG.CHECKPOINT"):
+            n_leaves = len(jax.tree.leaves(state_to_save.params))
+            logger.debug(
+                f"[CHECKPOINT] saving step={int(jax.device_get(self.state.step))} "
+                f"param_leaves={n_leaves} fsdp={fsdp} dir={self.ckpt_dir}"
+            )
         metric = self.metrics.get(MetricsTracker.VAL, "loss")
         wandb_run_id = getattr(self.wandb_run, "id", None) if self.wandb_run else None
         path = ckpt.save_checkpoint(
@@ -779,6 +922,8 @@ class Trainer:
         )
         if not is_main_process():
             return path
+        if self.config.ENV.OUTPUT.BUCKET.get("SYNC_ON_CHECKPOINT", False):
+            self._sync_outputs()
         sc = self.config.SCHEDULE.CHECKPOINT
         ckpt.manage_checkpoints(
             self.ckpt_dir,

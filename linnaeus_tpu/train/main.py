@@ -45,10 +45,14 @@ def main(argv=None) -> None:
 
     setup_output_dirs(config)
     log_dir = config.ENV.OUTPUT.DIRS.LOGS
-    create_logger(log_dir, level=config.EXPERIMENT.LOG_LEVEL_MAIN,
-                  process_index=process_index)
-    create_h5data_logger(log_dir, level=config.EXPERIMENT.LOG_LEVEL_H5DATA,
-                         process_index=process_index)
+    # DEBUG.VERBOSE_DEBUG: force both loggers to DEBUG so the per-flag
+    # debug sites (check_debug_flag) become visible without touching levels
+    level_main = config.EXPERIMENT.LOG_LEVEL_MAIN
+    level_h5 = config.EXPERIMENT.LOG_LEVEL_H5DATA
+    if bool(config.DEBUG.get("VERBOSE_DEBUG", False)):
+        level_main = level_h5 = "DEBUG"
+    create_logger(log_dir, level=level_main, process_index=process_index)
+    create_h5data_logger(log_dir, level=level_h5, process_index=process_index)
     if process_index == 0:
         save_config(
             config,

@@ -103,27 +103,21 @@ def _accuracy_metrics(outputs, targets, prefix="") -> dict[str, jnp.ndarray]:
     return m
 
 
-def make_train_step(
-    criteria: dict[str, Callable],
-    task_keys: tuple[str, ...],
+def make_preprocess_fn(
     mix_cfg: MixConfig,
-    clip_grad: float = 0.0,
-    accumulation_steps: int = 1,
-    phase1_mask_null: bool = False,
-    apply_class_weights: bool = True,
-    class_weights: dict[str, Any] | None = None,
     has_meta: bool = True,
-    lr_schedule: Callable | None = None,
     num_classes: dict[str, int] | None = None,
+    augment_fn: Callable | None = None,
 ):
-    """Build the jittable train step.
+    """On-device collate: [0,1] conversion -> augmentation -> mixing ->
+    meta-masking. Shared by the train step AND the GradNorm re-forward so
+    GradNorm measures norms on the SAME collated (augmented/mixed/masked)
+    tensors training consumed (reference: gradient_weighting.py:367-430
+    re-forwards the collated batch, not the raw one).
 
-    Returned fn: ``train_step(state, batch, scalars) -> (state, metrics)``
-    where batch = {images, targets: {task: one-hot [B,C] or int [B]}, aux,
-    group_ids}. Integer labels are one-hot encoded on device (saves host->HBM
-    bandwidth; requires ``num_classes``).
+    Returns ``preprocess(batch, rng) -> (images, targets, meta, mixed_mask)``
+    where batch carries ``_scalars`` (ScheduleScalars).
     """
-    accum = max(int(accumulation_steps), 1)
 
     def _ensure_soft(targets):
         out = {}
@@ -140,11 +134,15 @@ def make_train_step(
         return out
 
     def preprocess(batch, rng):
-        r_mix, r_meta, r_partial = jax.random.split(rng, 3)
+        r_mix, r_meta, r_partial, r_aug = jax.random.split(rng, 4)
         images = batch["images"]
         if jnp.issubdtype(images.dtype, jnp.integer):
             # uint8 host pipeline -> on-device [0, 1] float
             images = images.astype(jnp.float32) * (1.0 / 255.0)
+        if augment_fn is not None:
+            images = augment_fn(images.astype(jnp.float32), r_aug).astype(
+                images.dtype
+            )
         targets = _ensure_soft(batch["targets"])
         meta = batch.get("aux") if has_meta else None
         group_ids = batch.get("group_ids")
@@ -165,6 +163,53 @@ def make_train_step(
                 scalars.partial_combo_mask, masked_flags,
             )
         return images, targets, meta, mixed_mask
+
+    return preprocess
+
+
+def train_step_rngs(rng: jax.Array, step) -> tuple[jax.Array, jax.Array]:
+    """(preprocess_rng, loss_rng) for a given optimizer step — factored out
+    so the GradNorm re-forward can regenerate the exact collate randomness
+    the train step used at that step."""
+    step_rng = jax.random.fold_in(rng, step)
+    r_pre, r_loss = jax.random.split(step_rng)
+    return r_pre, r_loss
+
+
+def make_train_step(
+    criteria: dict[str, Callable],
+    task_keys: tuple[str, ...],
+    mix_cfg: MixConfig,
+    clip_grad: float = 0.0,
+    accumulation_steps: int = 1,
+    phase1_mask_null: bool = False,
+    apply_class_weights: bool = True,
+    class_weights: dict[str, Any] | None = None,
+    has_meta: bool = True,
+    lr_schedule: Callable | None = None,
+    num_classes: dict[str, int] | None = None,
+    augment_fn: Callable | None = None,
+):
+    """Build the jittable train step.
+
+    ``augment_fn``: optional batched augmentation (AutoAugment / color
+    jitter / hflip / random erasing) fused into the step when
+    AUG.SINGLE_AUG_DEVICE='device' — the TPU-native analog of the
+    reference's per-sample preprocess-thread augmentation
+    (base_prefetching_dataset.py:612-711 + aug/factory.py:14-44). Applied
+    AFTER the [0,1] conversion and BEFORE mixing, matching the reference
+    order (per-sample aug in preprocess, batch mixing in collate).
+
+    Returned fn: ``train_step(state, batch, scalars) -> (state, metrics)``
+    where batch = {images, targets: {task: one-hot [B,C] or int [B]}, aux,
+    group_ids}. Integer labels are one-hot encoded on device (saves host->HBM
+    bandwidth; requires ``num_classes``).
+    """
+    accum = max(int(accumulation_steps), 1)
+    preprocess = make_preprocess_fn(
+        mix_cfg, has_meta=has_meta, num_classes=num_classes,
+        augment_fn=augment_fn,
+    )
 
     def loss_fn(params, apply_fn, images, targets, meta, scalars, rng, task_weights,
                 batch_stats=None):
@@ -205,8 +250,7 @@ def make_train_step(
         return total, (outputs, components, new_batch_stats)
 
     def train_step(state: TrainState, batch: dict, scalars: ScheduleScalars):
-        step_rng = jax.random.fold_in(state.rng, state.step)
-        r_pre, r_loss = jax.random.split(step_rng)
+        r_pre, r_loss = train_step_rngs(state.rng, state.step)
         batch = dict(batch)
         batch["_scalars"] = scalars
 

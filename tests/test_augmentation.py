@@ -115,3 +115,99 @@ def test_batched_pipeline(img):
     assert np.isfinite(out).all()
     # per-sample rngs => samples differ even with identical input
     assert not np.allclose(out[0], out[1])
+
+
+# ----------------------------------------------------------- training wiring
+def test_factory_returns_none_when_all_disabled():
+    from linnaeus_tpu.configuration import get_default_config
+    from linnaeus_tpu.data.augmentation.autoaugment import (
+        AugmentationPipelineFactory,
+    )
+
+    cfg = get_default_config()
+    cfg.AUG.AUTOAUG.POLICY = ""
+    cfg.AUG.AUTOAUG.COLOR_JITTER = 0.0
+    cfg.AUG.RANDOM_ERASE.PROB = 0.0
+    assert AugmentationPipelineFactory.create(cfg) is None
+    cfg.AUG.AUTOAUG.POLICY = "3a"
+    assert AugmentationPipelineFactory.create(cfg) is not None
+
+
+def test_train_step_applies_augmentation():
+    """Wiring regression (VERDICT: AutoAugment had zero call sites): with
+    AUG policy '3a' fused into the step, augmented pixels differ from the
+    no-aug step's pixels and the loss path still trains."""
+    import optax
+
+    from linnaeus_tpu.configuration import get_default_config
+    from linnaeus_tpu.data.augmentation.autoaugment import (
+        AugmentationPipelineFactory,
+    )
+    from linnaeus_tpu.data.collate import MixConfig
+    from linnaeus_tpu.train.state import create_train_state
+    from linnaeus_tpu.train.step import (
+        ScheduleScalars,
+        make_preprocess_fn,
+        make_train_step,
+        train_step_rngs,
+    )
+
+    cfg = get_default_config()
+    cfg.AUG.AUTOAUG.POLICY = "3a"
+    aug_fn = AugmentationPipelineFactory.create(cfg)
+    assert aug_fn is not None
+
+    tasks = ("t1",)
+    nc = {"t1": 4}
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, images, meta=None, deterministic=False, **kw):
+            x = images.mean(axis=(1, 2))
+            return {"t1": nn.Dense(4)(x)}
+
+    model = Tiny()
+    images = jax.random.uniform(jax.random.PRNGKey(0), (4, 16, 16, 3))
+    batch = {
+        "images": images,
+        "targets": {"t1": jnp.arange(4) % 4},
+        "group_ids": jnp.zeros(4, jnp.int32),
+        "_scalars": ScheduleScalars.zeros(0),
+    }
+    params = model.init(jax.random.PRNGKey(0), images)["params"]
+
+    # augmented preprocess output differs from unaugmented
+    pre_aug = make_preprocess_fn(
+        MixConfig(mixup_enabled=False), has_meta=False, num_classes=nc,
+        augment_fn=aug_fn,
+    )
+    pre_plain = make_preprocess_fn(
+        MixConfig(mixup_enabled=False), has_meta=False, num_classes=nc,
+    )
+    r_pre, _ = train_step_rngs(jax.random.PRNGKey(7), 0)
+    img_aug, _, _, _ = pre_aug(batch, r_pre)
+    img_plain, _, _, _ = pre_plain(batch, r_pre)
+    assert not np.allclose(np.asarray(img_aug), np.asarray(img_plain))
+
+    # and the full train step with augmentation still trains
+    from linnaeus_tpu.loss import soft_target_cross_entropy
+
+    state = create_train_state(
+        model, params, optax.sgd(0.1), num_tasks=1,
+        rng=jax.random.PRNGKey(7),
+    )
+    step = jax.jit(make_train_step(
+        {"t1": soft_target_cross_entropy}, tasks,
+        MixConfig(mixup_enabled=False), has_meta=False, num_classes=nc,
+        augment_fn=aug_fn,
+    ))
+    new_state, metrics = step(
+        state, {k: v for k, v in batch.items() if k != "_scalars"},
+        ScheduleScalars.zeros(0),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+    )
+    assert max(jax.tree.leaves(diff)) > 0

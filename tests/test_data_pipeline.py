@@ -217,3 +217,183 @@ def test_read_sample_retries_transient_io():
     ds2 = PrefetchingDataset(labels, AlwaysDown(8), ["taxa_L10"])
     with pytest.raises(OSError):
         ds2.read_sample(0)
+
+
+def test_host_augmentation_cpu_mode(labels_h5, images_h5):
+    """AUG.SINGLE_AUG_DEVICE='cpu' applies the batched augmentation on host
+    batches before device transfer; validation stays unaugmented."""
+    cfg = small_config(labels_h5, images_h5)
+    cfg.AUG.SINGLE_AUG_DEVICE = "cpu"
+    cfg.AUG.AUTOAUG.POLICY = "3a"
+    bundle = build_datasets(cfg)
+    train_loader, val_loader = build_loaders(cfg, bundle)
+    train_loader.set_epoch(0)
+    b = next(iter(train_loader))
+    # augmented batches are float32 in [0,1]
+    assert b["images"].dtype == np.float32
+    assert 0.0 <= b["images"].min() and b["images"].max() <= 1.0
+
+    # raw pixels for the same indices differ from the augmented output
+    idx = train_loader.sampler.batches()[0]
+    raw = bundle["train_dataset"].read_batch(idx)["images"].astype(np.float32) / 255.0
+    assert not np.allclose(raw, b["images"])
+
+    # val loader untouched (uint8 straight from the reader)
+    vb = next(iter(val_loader))
+    assert vb["images"].dtype == np.uint8
+    train_loader.close()
+    val_loader.close()
+
+
+def test_device_mode_leaves_host_batches_raw(labels_h5, images_h5):
+    cfg = small_config(labels_h5, images_h5)
+    cfg.AUG.SINGLE_AUG_DEVICE = "device"
+    cfg.AUG.AUTOAUG.POLICY = "3a"
+    bundle = build_datasets(cfg)
+    train_loader, _ = build_loaders(cfg, bundle)
+    b = next(iter(train_loader))
+    assert b["images"].dtype == np.uint8  # augmentation happens in the step
+    train_loader.close()
+
+
+# ------------------------------------------------------ vectorized mixed-pairs
+def _loop_mixed_pairs(groups, indices, rng):
+    """The pre-vectorization reference implementation (per-sample Python
+    loop, mirrors grouped_batch_sampler.py:289): pair samples in shuffled
+    encounter order within each group."""
+    order = rng.permutation(len(indices))
+    pairs, buckets = [], {}
+    for pos in order:
+        gid = int(groups[pos])
+        if gid < 0:
+            continue
+        if gid in buckets:
+            pairs.append((indices[buckets.pop(gid)], indices[pos]))
+        else:
+            buckets[gid] = pos
+    return pairs
+
+
+def test_mixed_pairs_vectorized_distribution_equivalence():
+    """Same pair-count per group, same-group invariant, no duplicates —
+    the vectorized sampler is distribution-equivalent to the loop version."""
+    from linnaeus_tpu.data.sampler import GroupedBatchSampler
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    groups = rng.integers(-1, 40, n).astype(np.int64)
+    indices = np.arange(n, dtype=np.int64)
+    s = GroupedBatchSampler({"L": groups}, indices, batch_size=8, mode="mixed-pairs")
+    s.set_epoch(3)
+    batches = s.batches()
+    flat = np.concatenate(batches)
+    # no sample appears twice
+    assert len(np.unique(flat)) == len(flat)
+    # every adjacent pair is same-group
+    pairs = flat.reshape(-1, 2)
+    np.testing.assert_array_equal(groups[pairs[:, 0]], groups[pairs[:, 1]])
+    assert (groups[pairs[:, 0]] >= 0).all()
+
+    # pair count per group matches the loop implementation exactly
+    loop_pairs = _loop_mixed_pairs(groups, indices, np.random.default_rng(1))
+    import collections
+
+    def per_group(ps):
+        return collections.Counter(int(groups[a]) for a, b in ps)
+
+    # batching drops the ragged tail; compare at the pair-construction level
+    vec_all = GroupedBatchSampler(
+        {"L": groups}, indices, batch_size=2, mode="mixed-pairs"
+    )
+    vec_all.set_epoch(3)
+    vec_pairs = [tuple(b.reshape(-1, 2)[0]) for b in vec_all.batches()]
+    assert per_group(vec_pairs) == per_group(loop_pairs)
+
+
+def test_mixed_pairs_vectorized_speed_1m():
+    """VERDICT #5 done-criterion: <1s/epoch at 1M samples."""
+    import time
+
+    from linnaeus_tpu.data.sampler import GroupedBatchSampler
+
+    rng = np.random.default_rng(0)
+    n = 1_000_000
+    groups = rng.integers(0, 50_000, n).astype(np.int64)
+    indices = np.arange(n, dtype=np.int64)
+    s = GroupedBatchSampler({"L": groups}, indices, batch_size=256, mode="mixed-pairs")
+    batches = s.batches()  # warm-up epoch (first call pays page faults)
+    assert batches
+    s.set_epoch(1)
+    t0 = time.perf_counter()
+    batches = s.batches()
+    elapsed = time.perf_counter() - t0
+    assert batches
+    assert elapsed < 1.0, f"mixed-pairs epoch took {elapsed:.2f}s at 1M samples"
+
+
+# ----------------------------------------------------------- multi-host tests
+def test_mixed_pairs_multi_host_disjoint_exact_cover():
+    """VERDICT #3: across process_index 0..7 the per-host batches are a
+    disjoint cover of the global pair set with identical pair structure
+    (reference rank logic: grouped_batch_sampler.py:289-425)."""
+    from linnaeus_tpu.data.sampler import GroupedBatchSampler
+
+    rng = np.random.default_rng(2)
+    n = 4096
+    groups = rng.integers(0, 300, n).astype(np.int64)
+    indices = np.arange(n, dtype=np.int64)
+    P = 8
+    all_pairs = []
+    seen = set()
+    for pidx in range(P):
+        s = GroupedBatchSampler(
+            {"L": groups}, indices, batch_size=8, mode="mixed-pairs",
+            process_index=pidx, process_count=P,
+        )
+        s.set_epoch(1)
+        flat = np.concatenate(s.batches()) if s.batches() else np.array([], np.int64)
+        pairs = {tuple(p) for p in flat.reshape(-1, 2)}
+        # disjoint across hosts
+        assert not (pairs & seen)
+        seen |= pairs
+        all_pairs.append(pairs)
+        # same-group structure everywhere
+        for a, b in pairs:
+            assert groups[a] == groups[b]
+
+    # exact cover: the union equals the single-host pair set minus only the
+    # round-robin tails each host drops to fixed batch shapes
+    s_all = GroupedBatchSampler(
+        {"L": groups}, indices, batch_size=2, mode="mixed-pairs",
+        process_index=0, process_count=1,
+    )
+    s_all.set_epoch(1)
+    global_pairs = {
+        tuple(p)
+        for b in s_all.batches()
+        for p in b.reshape(-1, 2)
+    }
+    assert seen <= global_pairs
+    # hosts cover nearly everything (each host drops < batch_size/2 pairs)
+    assert len(global_pairs) - len(seen) < P * 4
+
+
+def test_strict_group_multi_host_partition():
+    from linnaeus_tpu.data.sampler import GroupedBatchSampler
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    groups = rng.integers(0, 100, n).astype(np.int64)
+    indices = np.arange(n, dtype=np.int64)
+    P = 4
+    owner = {}
+    for pidx in range(P):
+        s = GroupedBatchSampler(
+            {"L": groups}, indices, batch_size=8, mode="strict-group",
+            process_index=pidx, process_count=P,
+        )
+        for b in s.batches():
+            for i in b:
+                g = int(groups[i])
+                # a group never spans two hosts
+                assert owner.setdefault(g, pidx) == pidx

@@ -105,3 +105,60 @@ def test_accum_steps_matches_full_batch(setup):
         np.asarray(m1["gradnorm/norms"]), np.asarray(m2["gradnorm/norms"]),
         rtol=1e-4,
     )
+
+
+def test_gradnorm_reforward_sees_collated_batch():
+    """VERDICT #4 regression: the GradNorm re-forward must consume the SAME
+    mixed/meta-masked tensors the train step consumed (reference:
+    gradient_weighting.py:367-430 re-forwards the collated batch). The
+    Trainer regenerates the step's preprocess rng from the post-step state
+    (state.step - 1); assert that reconstruction is exact."""
+    import optax
+
+    from linnaeus_tpu.data.collate import MixConfig
+    from linnaeus_tpu.train.step import (
+        ScheduleScalars,
+        make_preprocess_fn,
+        make_train_step,
+        train_step_rngs,
+    )
+
+    mix_cfg = MixConfig(mixup_enabled=True, chunk_bounds=((0, 2),))
+    preprocess = make_preprocess_fn(mix_cfg, has_meta=True, num_classes=NC)
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(3), (8, 8, 8, 3)),
+        "targets": {
+            "t1": jnp.arange(8) % 5,
+            "t2": jnp.arange(8) % 3,
+        },
+        "aux": jax.random.normal(jax.random.PRNGKey(4), (8, 2)),
+        "group_ids": jnp.array([0, 0, 1, 1, 2, 2, 3, 3]),
+    }
+    scalars = ScheduleScalars(
+        mix_prob=jnp.float32(1.0),
+        use_cutmix=jnp.asarray(False),
+        meta_mask_prob=jnp.float32(0.5),
+        partial_mask_prob=jnp.float32(0.0),
+        partial_combo_mask=jnp.zeros(2, jnp.float32),
+        null_mask_prob=jnp.float32(1.0),
+    )
+    rng = jax.random.PRNGKey(11)
+    step_before = jnp.int32(5)
+
+    # what the train step consumed at step 5
+    r_pre_train, _ = train_step_rngs(rng, step_before)
+    b = dict(batch, _scalars=scalars)
+    img_t, tgt_t, meta_t, mask_t = preprocess(b, r_pre_train)
+
+    # what the Trainer's gradnorm_step reconstructs AFTER the step ran
+    step_after = step_before + 1
+    r_pre_gn, _ = train_step_rngs(rng, step_after - 1)
+    img_g, tgt_g, meta_g, mask_g = preprocess(b, r_pre_gn)
+
+    np.testing.assert_array_equal(np.asarray(img_t), np.asarray(img_g))
+    np.testing.assert_array_equal(np.asarray(meta_t), np.asarray(meta_g))
+    for t in TASKS:
+        np.testing.assert_array_equal(np.asarray(tgt_t[t]), np.asarray(tgt_g[t]))
+    # the batch was actually mixed (not a vacuous identity comparison)
+    assert np.asarray(mask_t).any()
+    assert float(np.abs(np.asarray(meta_t) - np.asarray(batch["aux"])).max()) > 0

@@ -164,3 +164,88 @@ def test_projections():
     np.testing.assert_allclose(t, [0, 1], atol=1e-6)
     e = elevation_to_sinusoids(0.0, [100.0, 1000.0])
     np.testing.assert_allclose(e, [0, 1, 0, 1], atol=1e-6)
+
+
+def test_maybe_to_typus_converts_with_stubbed_typus(monkeypatch):
+    """VERDICT #9: when ``typus`` is importable, predict() results convert to
+    genuine typus models (stubbed here with the reference's API surface:
+    RankLevel enum, TaskPrediction(rank_level, temperature, predictions),
+    HierarchicalClassificationResult(taxonomy_context, tasks, subtree_roots))."""
+    import enum
+    import sys
+    import types
+
+    from pydantic import BaseModel
+
+    class RankLevel(enum.Enum):
+        L10 = 10
+        L20 = 20
+
+    class TaxonomyContext(BaseModel):
+        source: str | None = None
+        version: str | None = None
+
+    class TypusTask(BaseModel):
+        rank_level: RankLevel
+        temperature: float
+        predictions: list[tuple[int, float]]
+
+    class TypusHCR(BaseModel):
+        taxonomy_context: TaxonomyContext
+        tasks: list[TypusTask]
+        subtree_roots: set[int] | None = None
+
+    constants = types.ModuleType("typus.constants")
+    constants.RankLevel = RankLevel
+    classification = types.ModuleType("typus.models.classification")
+    classification.HierarchicalClassificationResult = TypusHCR
+    classification.TaskPrediction = TypusTask
+    classification.TaxonomyContext = TaxonomyContext
+    models_mod = types.ModuleType("typus.models")
+    models_mod.classification = classification
+    typus_mod = types.ModuleType("typus")
+    typus_mod.constants = constants
+    typus_mod.models = models_mod
+    for name, mod in [
+        ("typus", typus_mod),
+        ("typus.constants", constants),
+        ("typus.models", models_mod),
+        ("typus.models.classification", classification),
+    ]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    from linnaeus_tpu.inference.schemas import (
+        HierarchicalClassificationResult,
+        TaskPrediction,
+        maybe_to_typus,
+    )
+
+    local = HierarchicalClassificationResult(
+        taxonomy_context={"source": "test", "version": "1", "root": 42},
+        tasks=[
+            TaskPrediction(
+                rank_level=10, task_key="taxa_L10",
+                predictions=[(101, 0.9), (102, 0.1)],
+            ),
+            TaskPrediction(
+                rank_level=20, task_key="taxa_L20", predictions=[(7, 1.0)],
+            ),
+        ],
+    )
+    out = maybe_to_typus(local)
+    assert isinstance(out, TypusHCR)
+    # most-specific rank first (reference handler.py:218)
+    assert [t.rank_level for t in out.tasks] == [RankLevel.L20, RankLevel.L10]
+    assert out.tasks[1].predictions[0] == (101, 0.9)
+    assert out.subtree_roots == {42}
+    assert out.taxonomy_context.source == "test"
+
+
+def test_maybe_to_typus_fallback_without_typus():
+    from linnaeus_tpu.inference.schemas import (
+        HierarchicalClassificationResult,
+        maybe_to_typus,
+    )
+
+    local = HierarchicalClassificationResult(taxonomy_context={}, tasks=[])
+    assert maybe_to_typus(local) is local

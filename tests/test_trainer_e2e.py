@@ -73,6 +73,11 @@ def make_config(data_dir, out_dir, epochs=2):
             new_allowed=True,
         )
     )
+    # keep e2e compiles light: augmentation wiring has dedicated tests
+    # (test_augmentation.py::test_train_step_applies_augmentation)
+    cfg.AUG.AUTOAUG.POLICY = ""
+    cfg.AUG.AUTOAUG.COLOR_JITTER = 0.0
+    cfg.AUG.RANDOM_ERASE.PROB = 0.0
     cfg.TRAIN.EPOCHS = epochs
     cfg.TRAIN.MIXED_PRECISION.ENABLED = False
     cfg.TRAIN.GRADIENT_CHECKPOINTING.ENABLED_NORMAL_STEPS = False
@@ -361,7 +366,12 @@ def test_gradnorm_remat_toggle(data_dir, tmp_path):
     trainer = Trainer(cfg)
     assert trainer._gradnorm_update is not None
     batch = next(iter(trainer.train_loader))
-    new_state, metrics = trainer._gradnorm_update(trainer.state, batch)
+    from linnaeus_tpu.train.step import ScheduleScalars
+
+    scalars = ScheduleScalars.from_ops_schedule(
+        trainer.ops_schedule, 0, trainer.meta_dim
+    )
+    new_state, metrics = trainer._gradnorm_update(trainer.state, batch, scalars)
     w = np.asarray(jax.device_get(new_state.gradnorm.task_weights))
     np.testing.assert_allclose(w.sum(), 2.0, rtol=1e-4)
     assert np.isfinite(float(jax.device_get(metrics["gradnorm/avg_norm"])))
