@@ -69,16 +69,24 @@ def main() -> None:
     images_per_sec = batch * (n2 - n1) / max(t2 - t1, 1e-9)
 
     target = 5000.0  # images/sec/chip north-star (BASELINE.json)
-    print(
-        json.dumps(
-            {
-                "metric": "mFormerV1_sm_inference_images_per_sec_per_chip",
-                "value": round(float(images_per_sec), 2),
-                "unit": "images/sec",
-                "vs_baseline": round(float(images_per_sec) / target, 4),
-            }
-        )
-    )
+    record = {
+        "metric": "mFormerV1_sm_inference_images_per_sec_per_chip",
+        "value": round(float(images_per_sec), 2),
+        "unit": "images/sec",
+        "vs_baseline": round(float(images_per_sec) / target, 4),
+    }
+    # train-step numbers alongside inference (same production config:
+    # bf16-stored scores — now the training default; full step incl.
+    # on-device mixing/masking/clip/adamw)
+    try:
+        from linnaeus_tpu.tools.train_bench import measure
+
+        train = measure(batch=128, img=224, fp32_scores=False)
+        record["train_ms_per_step_b128_224px"] = train["train_ms_per_step"]
+        record["train_images_per_sec"] = train["train_images_per_sec"]
+    except Exception as e:  # never let the train probe kill the headline
+        record["train_bench_error"] = str(e)[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,156 @@
+"""Train-step wall-clock benchmark (real chip).
+
+Measures the FULL jitted train step — on-device collate (mixing +
+meta-masking), bf16 forward, fp32 loss, backward, global-norm clip, adamw
+update — for the flagship mFormerV1_sm (reference hot loop:
+train.py:115-380).
+
+Methodology (see bench.py): the remote-TPU client reports buffers ready
+before chained programs finish, so iterations run inside one jitted
+``lax.fori_loop`` whose carry is the TrainState (XLA aliases the while-loop
+carry, so params/opt-state update in place exactly like the donated
+production step), ended by a single host scalar read; fixed dispatch/read
+overhead cancels by differencing two iteration counts.
+
+Usage:
+    python -m linnaeus_tpu.tools.train_bench --batch 128 --img 224
+    python -m linnaeus_tpu.tools.train_bench --sweep  # batch/dtype sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
+               flash: bool = False):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_model
+    from linnaeus_tpu.data.collate import MixConfig
+    from linnaeus_tpu.loss import soft_target_cross_entropy
+    from linnaeus_tpu.train.state import create_train_state
+    from linnaeus_tpu.train.step import ScheduleScalars, make_train_step
+
+    model = _flagship_model(attn_fp32_softmax=fp32_scores)
+    if img != 224 or remat or flash:
+        model = model.clone(
+            img_size=(img, img),
+            gradient_checkpointing=remat,
+            use_flash_attn=flash,
+        )
+    tasks = model.task_keys
+    nc = dict(model.num_classes)
+
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.randint(rng, (batch, img, img, 3), 0, 256, jnp.uint8)
+    aux = jax.random.normal(jax.random.fold_in(rng, 1), (batch, 5), jnp.float32)
+    targets = {
+        t: jax.random.randint(jax.random.fold_in(rng, i + 2), (batch,), 0, nc[t])
+        for i, t in enumerate(tasks)
+    }
+    group_ids = jnp.arange(batch, dtype=jnp.int32) // 2  # mixed-pairs layout
+    batch_dict = {
+        "images": images, "targets": targets, "aux": aux,
+        "group_ids": group_ids,
+    }
+
+    params = jax.jit(model.init)(
+        rng, jnp.zeros((2, img, img, 3), jnp.bfloat16),
+        jnp.zeros((2, 5), jnp.float32),
+    )["params"]
+    state = create_train_state(
+        model, params, optax.adamw(1e-4), num_tasks=len(tasks), rng=rng
+    )
+    criteria = {t: soft_target_cross_entropy for t in tasks}
+    step = make_train_step(
+        criteria, tasks,
+        MixConfig(mixup_enabled=True, chunk_bounds=((0, 2), (2, 5))),
+        clip_grad=5.0, has_meta=True, num_classes=nc,
+    )
+    scalars = ScheduleScalars(
+        mix_prob=jnp.float32(0.5),
+        use_cutmix=jnp.asarray(False),
+        meta_mask_prob=jnp.float32(0.3),
+        partial_mask_prob=jnp.float32(0.0),
+        partial_combo_mask=jnp.zeros(5, jnp.float32),
+        null_mask_prob=jnp.float32(1.0),
+    )
+
+    def run(state, n):
+        def body(i, st):
+            new_st, _ = step(st, batch_dict, scalars)
+            return new_st
+
+        final = jax.lax.fori_loop(0, n, body, state)
+        # the readout MUST depend on the updated params or XLA dead-code
+        # eliminates the entire forward/backward/update (the global-norm
+        # clip couples every grad into any single param leaf)
+        leaf = jax.tree.leaves(final.params)[0]
+        return leaf.astype(jnp.float32).sum() + jnp.float32(final.step)
+
+    return jax.jit(run), state
+
+
+def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
+            remat: bool = False, flash: bool = False,
+            n1: int = 4, n2: int = 12) -> dict:
+    run_j, state = build_step(batch, img, fp32_scores, remat, flash)
+
+    def timed(n: int) -> float:
+        t0 = time.perf_counter()
+        import jax.numpy as jnp
+
+        out = float(run_j(state, jnp.int32(n)))  # host read forces completion
+        assert out == out, "NaN"
+        return time.perf_counter() - t0
+
+    timed(1)  # compile + warm
+    t1 = timed(n1)
+    t2 = timed(n2)
+    ms = 1000.0 * (t2 - t1) / (n2 - n1)
+    return {
+        "batch": batch, "img": img,
+        "fp32_scores": fp32_scores, "remat": remat, "flash": flash,
+        "train_ms_per_step": round(ms, 2),
+        "train_images_per_sec": round(batch / (ms / 1000.0), 1),
+    }
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("train_bench")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--img", type=int, default=224)
+    p.add_argument("--fp32-scores", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--flash", action="store_true")
+    p.add_argument("--sweep", action="store_true",
+                   help="batch {128,256,512} x scores {bf16,fp32}")
+    args = p.parse_args(argv)
+
+    if args.sweep:
+        for batch in (128, 256, 512):
+            for fp32 in (False, True):
+                try:
+                    print(json.dumps(measure(
+                        batch=batch, img=args.img, fp32_scores=fp32,
+                        remat=args.remat,
+                    )))
+                except Exception as e:  # OOM at large batches: report, move on
+                    print(json.dumps({
+                        "batch": batch, "fp32_scores": fp32,
+                        "error": str(e)[:200],
+                    }))
+        return
+    print(json.dumps(measure(
+        batch=args.batch, img=args.img, fp32_scores=args.fp32_scores,
+        remat=args.remat, flash=args.flash,
+    )))
+
+
+if __name__ == "__main__":
+    main()

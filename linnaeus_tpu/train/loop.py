@@ -815,14 +815,9 @@ class Trainer:
                         f"{k}={float(v):.4f}" for k, v in sorted(host.items())
                     )
                 )
-            b = float(host["count"])
-            count += b
-            for k, v in host.items():
-                if k == "count":
-                    continue
-                totals[k] = totals.get(k, 0.0) + float(v) * (
-                    b if k.startswith("loss") else 1.0
-                )
+            from linnaeus_tpu.train.validation import accumulate_batch
+
+            totals, count = accumulate_batch(totals, count, host)
             targets_soft = {
                 t: jax.nn.one_hot(v, self.num_classes[t]) if v.ndim == 1 else v
                 for t, v in batch["targets"].items()
@@ -841,27 +836,9 @@ class Trainer:
 
         if count == 0:
             return
-        summary = {}
-        for k, v in totals.items():
-            if k.startswith("loss"):
-                summary[k] = v / count
-            elif k.startswith("correct1/"):
-                task = k.split("/", 1)[1]
-                denom = totals.get(f"valid_count/{task}", count) or count
-                summary["acc1/" + task] = v / denom
-            elif k.startswith("correct3/"):
-                task = k.split("/", 1)[1]
-                denom = totals.get(f"valid_count/{task}", count) or count
-                summary["acc3/" + task] = v / denom
-            elif k.startswith("subset_correct1/"):
-                # null / non_null / rarity-bin buckets (reference:
-                # tracker.py null-vs-non-null + SubsetMetricWrapper)
-                name = k[len("subset_correct1/"):]
-                denom = totals.get(f"subset_count/{name}", 0.0)
-                if denom > 0:
-                    summary[f"acc1_{name}"] = v / denom
-        if chain_total > 0:
-            summary["chain_accuracy"] = chain_correct / chain_total
+        from linnaeus_tpu.train.validation import summarize_totals
+
+        summary = summarize_totals(totals, count, chain_correct, chain_total)
         self.metrics.update(phase, summary, n=count)
         if check_debug_flag(self.config, "DEBUG.DUMP_METRICS") and is_main_process():
             import json

@@ -1,9 +1,9 @@
-"""Standalone validation entry points (reference parity: validation.py:49,341).
+"""Standalone validation entry points + shared summary math.
 
-``validate_one_pass`` / ``validate_with_partial_mask`` mirror the reference's
-module-level API; the Trainer uses the same logic internally
-(train/loop.py::Trainer._validate). These wrappers run a validation pass over
-a loader with a prebuilt eval step and return the phase summary dict.
+Reference parity: validation.py:49 (validate_one_pass) and :341
+(validate_with_partial_mask) expose a module-level API; the Trainer's
+internal ``_validate`` (train/loop.py) uses the SAME ``accumulate_batch`` /
+``summarize_totals`` helpers below, so the two paths cannot drift.
 """
 
 from __future__ import annotations
@@ -13,6 +13,59 @@ import jax
 import jax.numpy as jnp
 
 from linnaeus_tpu.metrics.chain_accuracy import chain_accuracy_counts
+
+
+def accumulate_batch(
+    totals: dict[str, float], count: float, host: dict
+) -> tuple[dict[str, float], float]:
+    """Fold one eval-step metrics dict (host values) into running totals.
+
+    Losses are weighted by the batch count; correct/valid/subset counts
+    accumulate raw.
+    """
+    b = float(host["count"])
+    count += b
+    for k, v in host.items():
+        if k == "count":
+            continue
+        totals[k] = totals.get(k, 0.0) + float(v) * (
+            b if k.startswith("loss") else 1.0
+        )
+    return totals, count
+
+
+def summarize_totals(
+    totals: dict[str, float],
+    count: float,
+    chain_correct: float = 0.0,
+    chain_total: float = 0.0,
+) -> dict[str, float]:
+    """Totals -> phase summary: per-task acc1/acc3 over VALID samples,
+    mean losses, null/non-null + rarity + taxa subset accuracies, chain
+    accuracy (reference: validation.py summary + tracker subset wrappers)."""
+    summary: dict[str, float] = {}
+    if count == 0:
+        return summary
+    for k, v in totals.items():
+        if k.startswith("loss"):
+            summary[k] = v / count
+        elif k.startswith("correct1/"):
+            task = k.split("/", 1)[1]
+            denom = totals.get(f"valid_count/{task}", count) or count
+            summary["acc1/" + task] = v / denom
+        elif k.startswith("correct3/"):
+            task = k.split("/", 1)[1]
+            denom = totals.get(f"valid_count/{task}", count) or count
+            summary["acc3/" + task] = v / denom
+        elif k.startswith("subset_correct1/"):
+            # null / non_null / rarity-bin / taxa buckets
+            name = k[len("subset_correct1/"):]
+            denom = totals.get(f"subset_count/{name}", 0.0)
+            if denom > 0:
+                summary[f"acc1_{name}"] = v / denom
+    if chain_total > 0:
+        summary["chain_accuracy"] = chain_correct / chain_total
+    return summary
 
 
 def _run_pass(
@@ -31,15 +84,7 @@ def _run_pass(
         metrics, outputs = eval_step(
             state, batch, jnp.asarray(mask_meta), jnp.asarray(combo_mask)
         )
-        host = jax.device_get(metrics)
-        b = float(host["count"])
-        count += b
-        for k, v in host.items():
-            if k == "count":
-                continue
-            totals[k] = totals.get(k, 0.0) + float(v) * (
-                b if k.startswith("loss") else 1.0
-            )
+        totals, count = accumulate_batch(totals, count, jax.device_get(metrics))
         targets_soft = {
             t: jax.nn.one_hot(v, num_classes[t]) if v.ndim == 1 else v
             for t, v in batch["targets"].items()
@@ -47,19 +92,7 @@ def _run_pass(
         cc, ct = chain_accuracy_counts(outputs, targets_soft, tuple(task_keys))
         chain_correct += float(jax.device_get(cc))
         chain_total += float(jax.device_get(ct))
-    if count == 0:
-        return {}
-    summary: dict[str, float] = {}
-    for k, v in totals.items():
-        if k.startswith("loss"):
-            summary[k] = v / count
-        elif k.startswith("correct1/"):
-            summary["acc1/" + k.split("/", 1)[1]] = v / count
-        elif k.startswith("correct3/"):
-            summary["acc3/" + k.split("/", 1)[1]] = v / count
-    if chain_total > 0:
-        summary["chain_accuracy"] = chain_correct / chain_total
-    return summary
+    return summarize_totals(totals, count, chain_correct, chain_total)
 
 
 def validate_one_pass(

@@ -376,3 +376,41 @@ def test_gradnorm_remat_toggle(data_dir, tmp_path):
     np.testing.assert_allclose(w.sum(), 2.0, rtol=1e-4)
     assert np.isfinite(float(jax.device_get(metrics["gradnorm/avg_norm"])))
     trainer.train_loader.close()
+
+
+def test_standalone_validation_api(data_dir, tmp_path):
+    """Module-level validate_one_pass / validate_with_partial_mask (reference
+    validation.py:49,341) share accumulate/summarize with Trainer._validate."""
+    import numpy as np
+
+    from linnaeus_tpu.train.loop import Trainer
+    from linnaeus_tpu.train.validation import (
+        validate_one_pass,
+        validate_with_partial_mask,
+    )
+
+    cfg = make_config(data_dir, tmp_path / "out_valapi", epochs=1)
+    trainer = Trainer(cfg)
+    summary = validate_one_pass(
+        trainer._eval_step, trainer.state, trainer.val_loader,
+        trainer.task_keys, trainer.num_classes, trainer.meta_dim,
+    )
+    assert "loss" in summary and "chain_accuracy" in summary
+    for t in trainer.task_keys:
+        assert 0.0 <= summary[f"acc1/{t}"] <= 1.0
+
+    masked = validate_one_pass(
+        trainer._eval_step, trainer.state, trainer.val_loader,
+        trainer.task_keys, trainer.num_classes, trainer.meta_dim,
+        mask_meta=True,
+    )
+    assert masked["loss"] != summary["loss"]
+
+    combo = np.zeros((trainer.meta_dim,), np.float32)
+    combo[:2] = 1.0  # TEMPORAL columns
+    partial = validate_with_partial_mask(
+        trainer._eval_step, trainer.state, trainer.val_loader,
+        trainer.task_keys, trainer.num_classes, combo,
+    )
+    assert "loss" in partial
+    trainer.train_loader.close()
