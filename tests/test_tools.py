@@ -202,3 +202,39 @@ def test_validate_complexity_estimates(tmp_path, monkeypatch):
     monkeypatch.setattr(cx, "estimate_all_archs", lambda *a, **k: fresh_bad)
     report = cx.validate_complexity_estimates(path, ["mFormerV1_sm"])
     assert not report["mFormerV1_sm"]["ok"]  # params drift detected
+
+
+def test_profile_step_gviz_parse(capsys):
+    """profile_step converts xprof's gviz table and aggregates by category."""
+    from linnaeus_tpu.tools.profile_step import _gviz_to_rows, summarize
+
+    table = {
+        "cols": [
+            {"id": "category", "label": "HLO op category", "type": "string"},
+            {"id": "hlo_op_name", "label": "HLO op name", "type": "string"},
+            {"id": "hlo_op_expression", "label": "HLO op text", "type": "string"},
+            {"id": "occurrences", "label": "#Occurrences", "type": "number"},
+            {"id": "total_self_time", "label": "Total self time (us)", "type": "number"},
+            {"id": "model_flop_rate", "label": "rate", "type": "number"},
+            {"id": "hbm_bw", "label": "bw", "type": "number"},
+            {"id": "bound_by", "label": "Bound by", "type": "string"},
+        ],
+        "rows": [
+            {"c": [{"v": "convolution fusion"}, {"v": "fusion.1"},
+                   {"v": "%fusion.1 = ..."}, {"v": 8}, {"v": 8000.0},
+                   {"v": 1234.5}, {"v": 600.0}, {"v": "HBM"}]},
+            {"c": [{"v": "loop fusion"}, {"v": "fusion.2"}, None,
+                   {"v": 8}, {"v": 4000.0}, {"v": 0}, {"v": 0},
+                   {"v": "Compute"}]},
+        ],
+    }
+    rows = _gviz_to_rows(table)
+    assert rows[0]["category"] == "convolution fusion"
+    assert rows[0]["total_self_time"] == 8000.0
+    assert rows[1]["hlo_op_expression"] is None  # null cells survive
+
+    summarize(rows, top=5, steps=8)
+    out = capsys.readouterr().out
+    # 12000 us over 8 steps = 1.50 ms/step total; conv fusion is 2/3
+    assert "1.50 ms/step" in out
+    assert "convolution fusion" in out and "66.7%" in out
