@@ -22,6 +22,17 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores JAX_PLATFORMS; force via config as well.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles
+# of near-identical tiny-model step functions (a full run is ~35 min cold,
+# most of it compiles). Caching compiled executables across tests and runs
+# cuts warm reruns to a fraction; keyed on HLO, so correctness is
+# unaffected. Override the location with JAX_TEST_CACHE_DIR='' to disable.
+_cache_dir = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_compile_cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import pytest  # noqa: E402
 
 
