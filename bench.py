@@ -35,38 +35,46 @@ def main() -> None:
     # attention path, which casts q/k/v to fp16 for flash-attn
     # (rope_2d_mhsa.py:459-491); fp32-score storage remains the default for
     # checkpoint-parity work and is what the parity tests run.
+    def measure_inference(model, batch: int, img: int,
+                          n1: int = 10, n2: int = 40) -> float:
+        images = jax.random.normal(
+            jax.random.PRNGKey(0), (batch, img, img, 3), jnp.bfloat16
+        )
+        aux = jax.random.normal(jax.random.PRNGKey(1), (batch, 5), jnp.bfloat16)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), images, aux
+        )["params"]
+
+        def run(params, images, aux, n):
+            def body(i, carry):
+                # perturb the input by the carry so each iteration depends on
+                # the previous one and no two iterations see identical inputs
+                imgs = images + (carry * 1e-12).astype(images.dtype)
+                out = model.apply(
+                    {"params": params}, imgs, aux, deterministic=True
+                )
+                return carry + sum(
+                    jnp.sum(v.astype(jnp.float32)) for v in out.values()
+                )
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        run_j = jax.jit(run)  # n stays a traced loop bound -> one compilation
+
+        def timed(n: int) -> float:
+            t0 = time.perf_counter()
+            acc = float(run_j(params, images, aux, jnp.int32(n)))  # host read
+            assert acc == acc, "NaN"
+            return time.perf_counter() - t0
+
+        timed(2)  # compile + warm
+        t1 = timed(n1)
+        t2 = timed(n2)
+        return batch * (n2 - n1) / max(t2 - t1, 1e-9)
+
     model = _flagship_model(attn_fp32_softmax=False)
     batch = 128
-
-    images = jax.random.normal(
-        jax.random.PRNGKey(0), (batch, 224, 224, 3), jnp.bfloat16
-    )
-    aux = jax.random.normal(jax.random.PRNGKey(1), (batch, 5), jnp.bfloat16)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, aux)["params"]
-
-    def run(params, images, aux, n):
-        def body(i, carry):
-            # perturb the input by the carry so each iteration depends on the
-            # previous one and no two iterations see identical inputs
-            imgs = images + (carry * 1e-12).astype(images.dtype)
-            out = model.apply({"params": params}, imgs, aux, deterministic=True)
-            return carry + sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    run_j = jax.jit(run)  # n stays a traced loop bound -> one compilation
-
-    def timed(n: int) -> float:
-        t0 = time.perf_counter()
-        acc = float(run_j(params, images, aux, jnp.int32(n)))  # host read
-        assert acc == acc, "NaN"
-        return time.perf_counter() - t0
-
-    timed(2)  # compile + warm
-    n1, n2 = 10, 40
-    t1 = timed(n1)
-    t2 = timed(n2)
-    images_per_sec = batch * (n2 - n1) / max(t2 - t1, 1e-9)
+    images_per_sec = measure_inference(model, batch, 224)
 
     target = 5000.0  # images/sec/chip north-star (BASELINE.json)
     record = {
@@ -86,6 +94,15 @@ def main() -> None:
         record["train_images_per_sec"] = train["train_images_per_sec"]
     except Exception as e:  # never let the train probe kill the headline
         record["train_bench_error"] = str(e)[:200]
+    # 384px flash-routed serving config (stage-3 N=580 takes the Pallas
+    # flash kernels, stage-4 keeps XLA sdpa — docs/performance.md): the
+    # high-resolution first-class bench, n reduced to bound wall time.
+    try:
+        model384 = model.clone(img_size=(384, 384), use_flash_attn=True)
+        ips384 = measure_inference(model384, batch=64, img=384, n1=5, n2=15)
+        record["inference_images_per_sec_384px_flash"] = round(float(ips384), 2)
+    except Exception as e:
+        record["bench_384_error"] = str(e)[:200]
     print(json.dumps(record))
 
 

@@ -92,6 +92,14 @@ def _build_default_config() -> CN:
     # compat stubs: TACC/SLURM site specifics (reference config.py:151-152)
     _C.ENV.TACC = False
     _C.ENV.SCRATCH = None
+    # Persistent XLA compilation cache (TPU-native addition; no reference
+    # analog). Restarting after preemption otherwise repays the full
+    # multi-minute compile of the train/eval steps. DIR='' -> a default
+    # under ~/.cache; set ENABLED=False to opt out.
+    _C.ENV.COMPILE_CACHE = CN()
+    _C.ENV.COMPILE_CACHE.ENABLED = True
+    _C.ENV.COMPILE_CACHE.DIR = ""
+    _C.ENV.COMPILE_CACHE.MIN_COMPILE_SECS = 1.0
 
     # ------------------------------------------------------------------ DATA
     _C.DATA = CN()

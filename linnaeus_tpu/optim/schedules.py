@@ -134,10 +134,13 @@ def build_schedule(config, total_steps: int, steps_per_epoch: int = 0):
 
 
 def apply_lr_scaling(config, effective_batch_size: int) -> float:
-    """Linear LR scaling by effective batch (schedule_utils.py:492)."""
-    ref_bs = float(config.LR_SCHEDULER.REFERENCE_BS)
-    ref_lr = float(config.LR_SCHEDULER.REFERENCE_LR)
-    return ref_lr * effective_batch_size / ref_bs
+    """Linear LR scaling by effective batch — canonical implementation in
+    utils/schedule_utils.py (writes the scaled LR back into the config)."""
+    from linnaeus_tpu.utils.schedule_utils import (
+        apply_lr_scaling as _apply,
+    )
+
+    return _apply(config, effective_batch_size)
 
 
 def build_group_schedules(config, total_steps: int, steps_per_epoch: int = 0):

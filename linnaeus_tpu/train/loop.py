@@ -35,6 +35,7 @@ from linnaeus_tpu.ops_schedule import EarlyStopState, OpsSchedule, TrainingProgr
 from linnaeus_tpu.ops_schedule.training_progress import TrainingStage
 from linnaeus_tpu.parallel.mesh import (
     create_mesh,
+    get_process_count,
     initialize_multi_host,
     is_main_process,
     replicate,
@@ -104,6 +105,17 @@ class Trainer:
 
         validate_schedule_config(config)
         resolve_all_schedule_params(config, total_steps)
+        # linear LR scaling by effective global batch (reference applies this
+        # unconditionally, main.py:924: per-rank bs x world x accum; here
+        # DATA.BATCH_SIZE is already per-host, so global = bs x processes)
+        from linnaeus_tpu.utils.schedule_utils import apply_lr_scaling
+
+        effective_bs = (
+            int(config.DATA.BATCH_SIZE)
+            * get_process_count()
+            * max(1, int(config.TRAIN.ACCUMULATION_STEPS))
+        )
+        apply_lr_scaling(config, effective_bs)
         config.freeze()
 
         # ---------------- progress & schedule
@@ -672,6 +684,13 @@ class Trainer:
                 host = jax.device_get(step_metrics)
                 lr_now = float(self.lr_schedule(gstep))
                 self.consistency.check_step(gstep, loss=float(host.get("loss", 0.0)))
+                # phase-keyed train metrics (reference: MetricsTracker train
+                # phase, utils/metrics/tracker.py). Sampled at log cadence —
+                # a per-step device_get would sync the host every step.
+                self.metrics.update(
+                    MetricsTracker.TRAIN,
+                    {k: float(v) for k, v in host.items() if np.ndim(v) == 0},
+                )
                 if is_main_process():
                     self.step_logger.log_step_metrics(gstep, epoch, host, lr=lr_now)
                     sched_values = {

@@ -35,11 +35,36 @@ def parse_option(argv=None):
     return args, config
 
 
+def enable_compile_cache(config) -> None:
+    """Persistent XLA compilation cache (ENV.COMPILE_CACHE). Preemption
+    resume and repeat runs then skip recompiling the train/eval steps."""
+    cc = config.ENV.get("COMPILE_CACHE", None)
+    if cc is None or not bool(cc.get("ENABLED", False)):
+        return
+    import os
+
+    import jax
+
+    cache_dir = str(cc.get("DIR", "")) or os.path.expanduser(
+        "~/.cache/linnaeus_tpu/xla-cache"
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(cc.get("MIN_COMPILE_SECS", 1.0)),
+        )
+    except Exception:  # cache is an optimization, never fatal
+        pass
+
+
 def main(argv=None) -> None:
     args, config = parse_option(argv)
 
     import jax
 
+    enable_compile_cache(config)
     process_index = jax.process_index() if config.PARALLEL.MULTI_HOST else 0
     from linnaeus_tpu.configuration.utils import setup_output_dirs
 

@@ -96,22 +96,34 @@ def resolve_all_schedule_params(config, total_steps: int) -> None:
 
 
 def apply_lr_scaling(config, effective_batch_size: int) -> float:
-    """Linear LR scaling by effective global batch (schedule_utils.py:492).
+    """Linear LR scaling by effective global batch (reference:
+    schedule_utils.py:492, applied unconditionally from main.py:924).
 
+    The reference multiplies every optimizer param-group LR by
+    ``effective_bs / REFERENCE_BS`` — i.e. BASE_LR in a config means "LR at
+    REFERENCE_BS". Here the scaling is applied to LR_SCHEDULER.BASE_LR
+    *before* the optax schedules are built (same net effect, one site).
     Returns the scaled LR and writes it into LR_SCHEDULER.BASE_LR.
     """
     ref_bs = float(config.LR_SCHEDULER.REFERENCE_BS)
-    ref_lr = float(config.LR_SCHEDULER.REFERENCE_LR)
-    scaled = ref_lr * effective_batch_size / ref_bs
+    base_lr = float(config.LR_SCHEDULER.BASE_LR)
+    factor = effective_batch_size / ref_bs
+    scaled = base_lr * factor
     was_frozen = config.is_frozen()
     config.defrost()
     config.LR_SCHEDULER.BASE_LR = scaled
     if was_frozen:
         config.freeze()
     logger.info(
-        f"LR scaling: base_lr={scaled:.3e} "
-        f"(ref {ref_lr:.1e} @ bs {ref_bs:.0f} -> bs {effective_batch_size})"
+        f"LR scaling: base_lr={scaled:.3e} = {base_lr:.3e} x {factor:.4f} "
+        f"(effective bs {effective_batch_size} / reference bs {ref_bs:.0f})"
     )
+    if scaled < float(config.LR_SCHEDULER.MIN_LR):
+        logger.warning(
+            f"LR scaling: scaled base LR {scaled:.3e} is below MIN_LR "
+            f"{float(config.LR_SCHEDULER.MIN_LR):.3e}; the schedule will be "
+            "degenerate — raise BASE_LR or lower REFERENCE_BS"
+        )
     return scaled
 
 

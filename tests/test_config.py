@@ -135,3 +135,26 @@ def test_reference_config_key_coverage():
     mine = walk(get_default_config())
     missing = sorted(k for k in ref_keys if k not in mine)
     assert not missing, f"reference config keys missing: {missing}"
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """ENV.COMPILE_CACHE wires the persistent XLA compilation cache."""
+    import jax
+
+    from linnaeus_tpu.configuration import get_default_config
+    from linnaeus_tpu.train.main import enable_compile_cache
+
+    cfg = get_default_config()
+    cfg.ENV.COMPILE_CACHE.DIR = str(tmp_path / "xla-cache")
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compile_cache(cfg)
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla-cache")
+        assert (tmp_path / "xla-cache").is_dir()
+        # opt-out leaves config untouched
+        jax.config.update("jax_compilation_cache_dir", None)
+        cfg.ENV.COMPILE_CACHE.ENABLED = False
+        enable_compile_cache(cfg)
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -100,7 +100,8 @@ def test_wsd_schedule_phases():
 def test_lr_scaling():
     cfg = get_default_config()
     # reference_lr * bs / reference_bs
-    assert apply_lr_scaling(cfg, 1024) == pytest.approx(5e-5 * 1024 / 512)
+    # scales the configured BASE_LR (1e-4 default) by effective/reference
+    assert apply_lr_scaling(cfg, 1024) == pytest.approx(1e-4 * 1024 / 512)
 
 
 def test_multi_group_optimizer():

@@ -43,7 +43,7 @@ def test_no_conflicts_on_defaults():
 def test_lr_scaling_writes_base_lr():
     cfg = get_default_config()
     scaled = apply_lr_scaling(cfg, effective_batch_size=1024)
-    assert scaled == pytest.approx(5e-5 * 2)
+    assert scaled == pytest.approx(1e-4 * 2)
     assert cfg.LR_SCHEDULER.BASE_LR == pytest.approx(scaled)
 
 

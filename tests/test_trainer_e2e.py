@@ -87,6 +87,9 @@ def make_config(data_dir, out_dir, epochs=2):
     cfg.LOSS.TASK_SPECIFIC.VAL.FUNCS = ["SoftTargetCrossEntropy"] * 2
     cfg.LR_SCHEDULER.WARMUP_EPOCHS = 0
     cfg.LR_SCHEDULER.WARMUP_STEPS = 1
+    # factor-1 LR scaling: BASE_LR means "LR at REFERENCE_BS" (the Trainer
+    # scales by effective_bs/REFERENCE_BS unconditionally, like the reference)
+    cfg.LR_SCHEDULER.REFERENCE_BS = 8
     cfg.SCHEDULE.VALIDATION.INTERVAL_EPOCHS = 1
     cfg.SCHEDULE.VALIDATION.MASK_META_INTERVAL_EPOCHS = 1
     cfg.SCHEDULE.CHECKPOINT.INTERVAL_EPOCHS = 1
@@ -413,4 +416,81 @@ def test_standalone_validation_api(data_dir, tmp_path):
         trainer.task_keys, trainer.num_classes, combo,
     )
     assert "loss" in partial
+    trainer.train_loader.close()
+
+
+@pytest.fixture(scope="module")
+def learnable_data_dir(tmp_path_factory):
+    """Synthetic data where the label IS the image: class k paints the whole
+    image with a distinct color, so a working training loop must reach
+    near-perfect accuracy in a few epochs (far above the 1/7 chance rate)."""
+    d = tmp_path_factory.mktemp("learnable")
+    rng = np.random.default_rng(7)
+    n = 64
+    species = rng.integers(1, 7, n)  # classes 1..6 (0 = null, unused here)
+    genus = 100 + (species - 1) // 3
+    colors = np.stack([
+        np.linspace(20, 235, 7).astype(np.uint8),
+        np.linspace(235, 20, 7).astype(np.uint8),
+        (np.arange(7) * 36 % 256).astype(np.uint8),
+    ], axis=1)  # (7, 3) distinct RGB per class
+    imgs = colors[species][:, None, None, :] * np.ones(
+        (n, 32, 32, 3), np.uint8
+    )
+    noise = rng.integers(0, 12, imgs.shape).astype(np.uint8)
+    imgs = np.clip(imgs.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    with h5py.File(d / "labels.h5", "w") as f:
+        f.create_dataset(
+            "img_identifiers",
+            data=np.array([f"i{i}" for i in range(n)], dtype="S8"),
+        )
+        f.create_dataset("taxa_L10", data=species.astype(np.int64))
+        f.create_dataset("taxa_L20", data=genus.astype(np.int64))
+        f.create_dataset("temporal", data=rng.normal(size=(n, 2)).astype(np.float32))
+        f.create_dataset("spatial", data=rng.normal(size=(n, 3)).astype(np.float32))
+    with h5py.File(d / "images.h5", "w") as f:
+        f.create_dataset("images", data=imgs)
+    return d
+
+
+@pytest.mark.slow
+def test_trainer_learns_separable_data(learnable_data_dir, tmp_path):
+    """Learning sanity (the reference has no equivalent test): train loss
+    falls by >2x and train accuracy clears chance on trivially separable
+    data. Guards against silent optimizer/loss/label-plumbing breakage that
+    shape tests cannot catch. (Val-side generalization is deliberately NOT
+    asserted: at this 60-step scale the tiny hybrid leans on sample metadata
+    as much as pixels, and val accuracy is measured on 8 samples.)"""
+    from linnaeus_tpu.metrics.tracker import MetricsTracker
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(learnable_data_dir, tmp_path / "out", epochs=10)
+    # plain supervised setup: no mixing, no meta masking, linear heads
+    cfg.SCHEDULE.MIX.PROB.ENABLED = False
+    cfg.SCHEDULE.MIX.PROB.START_PROB = 0.0
+    cfg.SCHEDULE.MIX.PROB.END_PROB = 0.0
+    cfg.SCHEDULE.META_MASKING.START_PROB = 0.0
+    cfg.SCHEDULE.META_MASKING.END_PROB = 0.0
+    cfg.MODEL.CLASSIFICATION.HEADS.taxa_L10.TYPE = "Linear"
+    cfg.MODEL.CLASSIFICATION.HEADS.taxa_L20.TYPE = "Linear"
+    cfg.LOSS.GRAD_WEIGHTING.TASK.TYPE = "static"
+    cfg.OPTIMIZER.WEIGHT_DECAY = 0.0
+    cfg.LR_SCHEDULER.BASE_LR = 1e-2
+    cfg.LR_SCHEDULER.MIN_LR = 5e-3
+    cfg.SCHEDULE.VALIDATION.INTERVAL_EPOCHS = 5
+    cfg.SCHEDULE.METRICS.CONSOLE_INTERVAL = 1
+    trainer = Trainer(cfg)
+    trainer.train()
+
+    # TRAIN phase resets each epoch -> this is the FINAL epoch's average.
+    # Untrained hierarchical CE starts near ln(7)+ln(3) ~ 3.05; measured
+    # final-epoch loss ~1.1 at this config.
+    last_loss = trainer.metrics.get(MetricsTracker.TRAIN, "loss")
+    assert last_loss is not None and float(last_loss) < 1.7, (
+        f"final-epoch train loss {last_loss} did not fall below 1.7"
+    )
+    acc = trainer.metrics.get(MetricsTracker.TRAIN, "acc1/taxa_L10")
+    assert acc is not None and float(acc) >= 0.2, (
+        f"final-epoch train acc1/taxa_L10={acc} not above chance (~0.14)"
+    )
     trainer.train_loader.close()
