@@ -21,36 +21,44 @@ MFORMER_V1_ARCHS: dict[str, dict] = {
         "ROPE": {"DEPTHS": [10, 2], "DIMS": [384, 768], "NUM_HEADS": [6, 12]},
         "DROP_PATH_RATE": 0.3,
     },
+    # lg: ConvNeXt-L trunk + DeiT-B rope split (reference
+    # configs/model/archs/mFormerV1/mFormerV1_lg.yaml)
     "mFormerV1_lg": {
-        "CONVNEXT": {"DEPTHS": [3, 3, 27, 3], "DIMS": [128, 256, 512, 1024]},
-        "ROPE": {"DEPTHS": [10, 2], "DIMS": [512, 1024], "NUM_HEADS": [8, 16]},
-        "DROP_PATH_RATE": 0.4,
-    },
-    "mFormerV1_xl": {
         "CONVNEXT": {"DEPTHS": [3, 3, 27, 3], "DIMS": [192, 384, 768, 1536]},
         "ROPE": {"DEPTHS": [10, 2], "DIMS": [768, 1536], "NUM_HEADS": [12, 24]},
+        "DROP_PATH_RATE": 0.4,
+    },
+    # xl: ConvNeXt-XL trunk + DeiT-L rope split (mFormerV1_xl.yaml)
+    "mFormerV1_xl": {
+        "CONVNEXT": {"DEPTHS": [3, 3, 27, 3], "DIMS": [256, 512, 1024, 2048]},
+        "ROPE": {"DEPTHS": [22, 2], "DIMS": [1024, 2048],
+                 "NUM_HEADS": [16, 32]},
         "DROP_PATH_RATE": 0.5,
     },
 }
 
+# DIMS = (stem, mbconv1, mbconv2, attn3, attn4); geometries match the
+# reference yamls (configs/model/archs/mFormerV0/*.yaml: sm=MetaFG_0,
+# md=MetaFG_1, lg=MetaFG_2) so pretrained MetaFormer checkpoints map 1:1.
 MFORMER_V0_ARCHS: dict[str, dict] = {
     "mFormerV0_sm": {
         "DIMS": (64, 96, 192, 384, 768),
         "MBCONV_DEPTHS": (2, 3),
         "ATTN_DEPTHS": (5, 2),
-        "NUM_HEADS": (6, 12),
+        "NUM_HEADS": (8, 8),
     },
     "mFormerV0_md": {
-        "DIMS": (64, 96, 192, 512, 1024),
-        "MBCONV_DEPTHS": (2, 4),
-        "ATTN_DEPTHS": (7, 2),
-        "NUM_HEADS": (8, 16),
+        "DIMS": (64, 96, 192, 384, 768),
+        "MBCONV_DEPTHS": (2, 6),
+        "ATTN_DEPTHS": (14, 2),
+        "NUM_HEADS": (8, 8),
     },
     "mFormerV0_lg": {
-        "DIMS": (96, 128, 256, 640, 1280),
-        "MBCONV_DEPTHS": (3, 5),
-        "ATTN_DEPTHS": (8, 3),
-        "NUM_HEADS": (10, 20),
+        "DIMS": (128, 128, 256, 512, 1024),
+        "MBCONV_DEPTHS": (2, 6),
+        "ATTN_DEPTHS": (14, 2),
+        "NUM_HEADS": (8, 8),
+        "DROP_PATH_RATE": 0.3,
     },
 }
 
@@ -77,6 +85,8 @@ def apply_arch(cfg: CN, arch_name: str) -> CN:
         spec = MFORMER_V0_ARCHS[arch_name]
         cfg.MODEL.TYPE = "mFormerV0"
         cfg.MODEL.NAME = arch_name
+        # reference yamls: sm/md 0.2, lg 0.3
+        cfg.MODEL.DROP_PATH_RATE = spec.get("DROP_PATH_RATE", 0.2)
         cfg.MODEL.STAGES.DIMS = list(spec["DIMS"])
         cfg.MODEL.STAGES.MBCONV_DEPTHS = list(spec["MBCONV_DEPTHS"])
         cfg.MODEL.STAGES.ATTN_DEPTHS = list(spec["ATTN_DEPTHS"])

@@ -308,3 +308,62 @@ def test_mformer_v0_logit_parity(reference_pkg):
         assert max_diff < 1e-4 or max_diff / scale < 2e-4, (
             f"{t}: max abs diff {max_diff:.3e} (scale {scale:.3e})"
         )
+
+
+@pytest.mark.slow
+def test_mformer_v1_sm_full_geometry_param_equality(reference_pkg):
+    """Param-count equality at the FULL mFormerV1_sm geometry (arch preset
+    vs the actual torch reference model, nc=the reference estimator's
+    defaults). The reference's own analytic estimator
+    (tools/estimate_model_complexity.py) under-counts by ~10% (26.79M
+    claimed vs 29.89M real); this pins the real number."""
+    ref_config, RefMFormerV1 = reference_pkg
+    import jax
+    import jax.numpy as jnp
+
+    from linnaeus_tpu.configuration import get_default_config
+    from linnaeus_tpu.configuration.archs import apply_arch
+    from linnaeus_tpu.models.build import build_model
+
+    nc = {"taxa_L10": 684, "taxa_L20": 179, "taxa_L30": 40, "taxa_L40": 4}
+
+    cfg = ref_config.get_default_config()
+    CN = type(cfg)
+    cfg.MODEL.TYPE = "mFormerV1"
+    cfg.MODEL.IMG_SIZE = 384
+    cfg.MODEL.ONLY_LAST_CLS = False
+    cfg.MODEL.USE_FLASH_ATTN = False
+    cfg.MODEL.CONVNEXT_STAGES = CN(new_allowed=True)
+    cfg.MODEL.ROPE_STAGES = CN(new_allowed=True)
+    cfg.MODEL.CONVNEXT_STAGES.DEPTHS = [3, 3, 9, 3]
+    cfg.MODEL.CONVNEXT_STAGES.DIMS = [96, 192, 384, 768]
+    cfg.MODEL.CONVNEXT_STAGES.LAYER_SCALE_INIT_VALUE = 1e-6
+    cfg.MODEL.ROPE_STAGES.DEPTHS = [5, 2]
+    cfg.MODEL.ROPE_STAGES.DIMS = [384, 768]
+    cfg.MODEL.ROPE_STAGES.NUM_HEADS = [6, 12]
+    cfg.MODEL.ROPE_STAGES.MLP_RATIO = [4.0, 4.0]
+    cfg.MODEL.ROPE_STAGES.ROPE_THETA = 10000.0
+    cfg.MODEL.ROPE_STAGES.ROPE_MIXED = True
+    cfg.DATA.TASK_KEYS_H5 = list(nc)
+    for t in nc:
+        cfg.MODEL.CLASSIFICATION.HEADS[t] = CN(
+            {"TYPE": "Linear"}, new_allowed=True
+        )
+    ref_model = RefMFormerV1(cfg, num_classes=nc)
+    n_ref = sum(p.numel() for p in ref_model.parameters())
+
+    ours = get_default_config()
+    ours.MODEL.IMG_SIZE = 384
+    ours.DATA.TASK_KEYS_H5 = list(nc)
+    apply_arch(ours, "mFormerV1_sm")
+    model = build_model(ours, num_classes=nc)
+    meta_dim = sum(d for _, d in model.meta_components)
+    v = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 384, 384, 3)), jnp.zeros((1, meta_dim)),
+    )
+    n_ours = sum(
+        int(np.prod(x.shape)) if x.shape else 1
+        for x in jax.tree.leaves(v["params"])
+    )
+    assert n_ours == n_ref == 29_886_574
