@@ -24,8 +24,30 @@ import json
 import time
 
 
+def _v0_sm_model(img: int, fp32_scores: bool):
+    """mFormerV0_sm at the reference MetaFG_0 geometry (archs.py)."""
+    import jax.numpy as jnp
+
+    from linnaeus_tpu.models import MFormerV0
+
+    tasks = ("taxa_L10", "taxa_L20", "taxa_L30", "taxa_L40")
+    return MFormerV0(
+        img_size=(img, img),
+        stage_dims=(64, 96, 192, 384, 768),
+        mbconv_depths=(2, 3), attn_depths=(5, 2), num_heads=(8, 8),
+        drop_path_rate=0.0,
+        meta_components=(("TEMPORAL", 2), ("SPATIAL", 3)),
+        task_keys=tasks,
+        num_classes={"taxa_L10": 1000, "taxa_L20": 400,
+                     "taxa_L30": 100, "taxa_L40": 30},
+        head_configs={t: {"TYPE": "Linear"} for t in tasks},
+        dtype=jnp.bfloat16,
+        attn_fp32_softmax=fp32_scores,
+    )
+
+
 def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
-               flash: bool = False):
+               flash: bool = False, arch: str = "v1"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -36,13 +58,16 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
     from linnaeus_tpu.train.state import create_train_state
     from linnaeus_tpu.train.step import ScheduleScalars, make_train_step
 
-    model = _flagship_model(attn_fp32_softmax=fp32_scores)
-    if img != 224 or remat or flash:
-        model = model.clone(
-            img_size=(img, img),
-            gradient_checkpointing=remat,
-            use_flash_attn=flash,
-        )
+    if arch == "v0":
+        model = _v0_sm_model(img, fp32_scores)
+    else:
+        model = _flagship_model(attn_fp32_softmax=fp32_scores)
+        if img != 224 or remat or flash:
+            model = model.clone(
+                img_size=(img, img),
+                gradient_checkpointing=remat,
+                use_flash_attn=flash,
+            )
     tasks = model.task_keys
     nc = dict(model.num_classes)
 
@@ -59,12 +84,13 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
         "group_ids": group_ids,
     }
 
-    params = jax.jit(model.init)(
+    variables = jax.jit(model.init)(
         rng, jnp.zeros((2, img, img, 3), jnp.bfloat16),
         jnp.zeros((2, 5), jnp.float32),
-    )["params"]
+    )
     state = create_train_state(
-        model, params, optax.adamw(1e-4), num_tasks=len(tasks), rng=rng
+        model, variables["params"], optax.adamw(1e-4), num_tasks=len(tasks),
+        rng=rng, batch_stats=variables.get("batch_stats"),
     )
     criteria = {t: soft_target_cross_entropy for t in tasks}
     step = make_train_step(
@@ -98,8 +124,8 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
 
 def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
             remat: bool = False, flash: bool = False,
-            n1: int = 4, n2: int = 12) -> dict:
-    run_j, state = build_step(batch, img, fp32_scores, remat, flash)
+            n1: int = 4, n2: int = 12, arch: str = "v1") -> dict:
+    run_j, state = build_step(batch, img, fp32_scores, remat, flash, arch)
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
@@ -114,7 +140,7 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
     t2 = timed(n2)
     ms = 1000.0 * (t2 - t1) / (n2 - n1)
     return {
-        "batch": batch, "img": img,
+        "arch": arch, "batch": batch, "img": img,
         "fp32_scores": fp32_scores, "remat": remat, "flash": flash,
         "train_ms_per_step": round(ms, 2),
         "train_images_per_sec": round(batch / (ms / 1000.0), 1),
@@ -128,6 +154,8 @@ def main(argv=None) -> None:
     p.add_argument("--fp32-scores", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--flash", action="store_true")
+    p.add_argument("--arch", choices=("v1", "v0"), default="v1",
+                   help="v1 = mFormerV1_sm flagship; v0 = mFormerV0_sm")
     p.add_argument("--sweep", action="store_true",
                    help="batch {128,256,512} x scores {bf16,fp32}")
     args = p.parse_args(argv)
@@ -148,7 +176,7 @@ def main(argv=None) -> None:
         return
     print(json.dumps(measure(
         batch=args.batch, img=args.img, fp32_scores=args.fp32_scores,
-        remat=args.remat, flash=args.flash,
+        remat=args.remat, flash=args.flash, arch=args.arch,
     )))
 
 
