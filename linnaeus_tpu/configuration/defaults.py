@@ -524,7 +524,9 @@ def _build_default_config() -> CN:
     _C.PARALLEL.MESH = CN()
     _C.PARALLEL.MESH.DATA = -1
     _C.PARALLEL.MESH.MODEL = 1
-    # Sharding of params: 'replicated' (pure DP) or 'fsdp' (shard along data axis)
+    # Sharding of params: 'replicated' (pure DP), 'fsdp' (shard each param's
+    # largest axis along the data axis), or 'tp' (Megatron column/row-parallel
+    # transformer projections over the model axis — set MESH.MODEL > 1)
     _C.PARALLEL.PARAM_SHARDING = "replicated"
     # Use jax.distributed.initialize() for multi-host
     _C.PARALLEL.MULTI_HOST = False

@@ -119,6 +119,57 @@ def fsdp_param_sharding(mesh: Mesh, params: Any) -> Any:
     return jax.tree.map(spec_for, params)
 
 
+def tp_param_sharding(mesh: Mesh, params: Any) -> Any:
+    """Megatron-style tensor-parallel specs over the 'model' axis
+    (PARALLEL.PARAM_SHARDING='tp'; requires PARALLEL.MESH.MODEL > 1).
+
+    The reference is DP-only (SURVEY §2.8); this is the TPU-native
+    extension the reserved 'model' axis exists for. Transformer-stage
+    projections shard column-/row-parallel:
+
+      attn/qkv kernel  (in, 3*dim)   -> (None, model)   column-parallel
+      attn/proj kernel (dim, dim)    -> (model, None)   row-parallel
+      mlp fc1 kernel   (dim, hidden) -> (None, model)   column-parallel
+      mlp fc2 kernel   (hidden, dim) -> (model, None)   row-parallel
+
+    plus the matching biases on the sharded output dims. Everything else
+    (conv trunk, norms, heads, meta heads) replicates over 'model'. XLA's
+    SPMD partitioner derives the activation shardings and inserts the
+    all-reduces after the row-parallel matmuls.
+    """
+    n_model = mesh.devices.shape[1]
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params, sep="/")
+    specs: dict[str, NamedSharding] = {}
+    for path, p in flat.items():
+        spec = P()
+        if hasattr(p, "ndim") and n_model > 1:
+            if path.endswith("attn/qkv/kernel") or path.endswith(
+                "mlp/Dense_0/kernel"
+            ):
+                if p.shape[1] % n_model == 0:
+                    spec = P(None, MODEL_AXIS)
+            elif path.endswith("attn/proj/kernel") or path.endswith(
+                "mlp/Dense_1/kernel"
+            ):
+                if p.shape[0] % n_model == 0:
+                    spec = P(MODEL_AXIS, None)
+            elif path.endswith("attn/qkv/bias") or path.endswith(
+                "mlp/Dense_0/bias"
+            ):
+                if p.shape[0] % n_model == 0:
+                    spec = P(MODEL_AXIS)
+        specs[path] = NamedSharding(mesh, spec)
+    return unflatten_dict(specs, sep="/")
+
+
+PARAM_SHARDING_FNS = {
+    "fsdp": fsdp_param_sharding,
+    "tp": tp_param_sharding,
+}
+
+
 def get_process_index() -> int:
     return jax.process_index()
 

@@ -208,12 +208,22 @@ class Trainer:
             init_task_weights=init_weights if init_weights else None,
             batch_stats=batch_stats,
         )
-        if str(config.PARALLEL.get("PARAM_SHARDING", "replicated")) == "fsdp":
-            # FSDP-style: shard each param's largest divisible axis along the
-            # data axis; optimizer state follows via the same tree structure.
-            from linnaeus_tpu.parallel.mesh import fsdp_param_sharding
+        sharding_mode = str(config.PARALLEL.get("PARAM_SHARDING", "replicated"))
+        if sharding_mode in ("fsdp", "tp"):
+            # fsdp: shard each param's largest divisible axis along the data
+            # axis. tp: Megatron column/row-parallel over the model axis.
+            # Optimizer state follows via the same tree structure either way.
+            from linnaeus_tpu.parallel.mesh import PARAM_SHARDING_FNS
 
-            param_shardings = fsdp_param_sharding(self.mesh, self.state.params)
+            if sharding_mode == "tp" and self.mesh.devices.shape[1] == 1:
+                logger.warning(
+                    "PARAM_SHARDING='tp' with PARALLEL.MESH.MODEL=1: the "
+                    "model axis has one device, so nothing will shard — set "
+                    "PARALLEL.MESH.MODEL > 1"
+                )
+            param_shardings = PARAM_SHARDING_FNS[sharding_mode](
+                self.mesh, self.state.params
+            )
             sharded_params = jax.tree.map(
                 lambda p, s: jax.device_put(p, s),
                 self.state.params, param_shardings,
@@ -888,21 +898,21 @@ class Trainer:
 
     # ---------------------------------------------------------- checkpoint
     def _save_checkpoint(self) -> None:
-        # With FSDP param sharding the params span non-addressable devices on
-        # a multi-host mesh: device_get would raise, and every process must
+        # With fsdp/tp param sharding the params span non-addressable devices
+        # on a multi-host mesh: device_get would raise, and every process must
         # participate in the Orbax save. Pass the sharded state through.
-        fsdp = (
+        sharded = (
             str(self.config.PARALLEL.get("PARAM_SHARDING", "replicated"))
-            == "fsdp"
+            in ("fsdp", "tp")
         )
-        if not fsdp and not is_main_process():
+        if not sharded and not is_main_process():
             return
-        state_to_save = self.state if fsdp else jax.device_get(self.state)
+        state_to_save = self.state if sharded else jax.device_get(self.state)
         if check_debug_flag(self.config, "DEBUG.CHECKPOINT"):
             n_leaves = len(jax.tree.leaves(state_to_save.params))
             logger.debug(
                 f"[CHECKPOINT] saving step={int(jax.device_get(self.state.step))} "
-                f"param_leaves={n_leaves} fsdp={fsdp} dir={self.ckpt_dir}"
+                f"param_leaves={n_leaves} sharded={sharded} dir={self.ckpt_dir}"
             )
         metric = self.metrics.get(MetricsTracker.VAL, "loss")
         wandb_run_id = getattr(self.wandb_run, "id", None) if self.wandb_run else None

@@ -5,6 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from jax.sharding import Mesh
 
 from linnaeus_tpu.parallel.mesh import (
     batch_sharding,
@@ -62,3 +63,78 @@ def test_replicate_and_fsdp_sharding(eight_devices):
 
     repl = replicate(params, mesh)
     assert repl["w"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_tensor_parallel_train_step(eight_devices):
+    """Megatron-style TP over the 'model' axis: qkv/fc1 column-parallel,
+    proj/fc2 row-parallel, everything else replicated. The full train step
+    on a (data=2, model=4) mesh must reproduce the single-device loss."""
+    import optax
+
+    from linnaeus_tpu.data.collate import MixConfig
+    from linnaeus_tpu.loss import soft_target_cross_entropy
+    from linnaeus_tpu.parallel.mesh import tp_param_sharding
+    from linnaeus_tpu.train.state import create_train_state
+    from linnaeus_tpu.train.step import ScheduleScalars, make_train_step
+    from test_train_step import (
+        META_DIM,
+        NUM_CLASSES,
+        TASKS,
+        make_batch,
+        tiny_model,
+    )
+
+    model = tiny_model()
+    batch = make_batch(jax.random.PRNGKey(0))
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["aux"]
+    )["params"]
+    tx = optax.adamw(1e-3)
+    state = create_train_state(
+        model, params, tx, num_tasks=len(TASKS), rng=jax.random.PRNGKey(7)
+    )
+    criteria = {t: soft_target_cross_entropy for t in TASKS}
+    step = make_train_step(criteria, TASKS, MixConfig(), clip_grad=5.0)
+    scalars = ScheduleScalars.zeros(META_DIM)
+
+    # single-device baseline
+    _, metrics_1 = jax.jit(step)(state, batch, scalars)
+
+    mesh = Mesh(np.asarray(eight_devices).reshape(2, 4), ("data", "model"))
+    specs = tp_param_sharding(mesh, state.params)
+    from flax.traverse_util import flatten_dict
+
+    flat_specs = flatten_dict(specs, sep="/")
+    # the transformer projections actually shard over 'model'
+    assert flat_specs["stage3_block0/attn/qkv/kernel"].spec == (
+        jax.sharding.PartitionSpec(None, "model")
+    )
+    assert flat_specs["stage3_block0/attn/proj/kernel"].spec == (
+        jax.sharding.PartitionSpec("model", None)
+    )
+    assert flat_specs["stage3_block0/mlp/Dense_1/kernel"].spec == (
+        jax.sharding.PartitionSpec("model", None)
+    )
+    # conv trunk and norms replicate
+    assert flat_specs["stem/Conv_0/kernel"].spec == jax.sharding.PartitionSpec()
+
+    sharded_params = jax.tree.map(jax.device_put, state.params, specs)
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    tp_state = state.replace(
+        params=sharded_params,
+        opt_state=tx.init(sharded_params),
+        step=jax.device_put(state.step, repl),
+        rng=jax.device_put(state.rng, repl),
+        gradnorm=jax.tree.map(lambda x: jax.device_put(x, repl), state.gradnorm),
+    )
+    tp_batch = shard_batch(batch, mesh)
+    new_state, metrics_tp = jax.jit(step)(tp_state, tp_batch, scalars)
+    np.testing.assert_allclose(
+        float(metrics_tp["loss"]), float(metrics_1["loss"]), rtol=1e-4
+    )
+    # updated params keep their TP shardings (no silent re-replication)
+    q = None
+    from flax.traverse_util import flatten_dict as fd
+
+    q = fd(new_state.params, sep="/")["stage3_block0/attn/qkv/kernel"]
+    assert q.sharding.spec == jax.sharding.PartitionSpec(None, "model")

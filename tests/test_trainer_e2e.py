@@ -494,3 +494,27 @@ def test_trainer_learns_separable_data(learnable_data_dir, tmp_path):
         f"final-epoch train acc1/taxa_L10={acc} not above chance (~0.14)"
     )
     trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_trainer_tensor_parallel(data_dir, tmp_path):
+    """Megatron-style TP through the full Trainer on a (data=2, model=4)
+    mesh: projections shard over 'model', training completes, validation
+    produces metrics."""
+    import jax
+
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_tp", epochs=1)
+    cfg.PARALLEL.MESH.DATA = 2
+    cfg.PARALLEL.MESH.MODEL = 4
+    cfg.PARALLEL.PARAM_SHARDING = "tp"
+    trainer = Trainer(cfg)
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(trainer.state.params, sep="/")
+    qkv = next(v for k, v in flat.items() if k.endswith("attn/qkv/kernel"))
+    assert qkv.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    trainer.train()
+    assert trainer.metrics.get("val", "loss") is not None
+    trainer.train_loader.close()
