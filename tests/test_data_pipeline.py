@@ -397,3 +397,63 @@ def test_strict_group_multi_host_partition():
                 g = int(groups[i])
                 # a group never spans two hosts
                 assert owner.setdefault(g, pidx) == pidx
+
+
+def test_hybrid_dir_image_source_end_to_end(labels_h5, tmp_path):
+    """Hybrid mode: labels in HDF5, images in a directory keyed by
+    img_identifier (reference: prefetching_hybrid_dataset.py), including
+    the ALLOW_MISSING_IMAGES placeholder path."""
+    from PIL import Image
+
+    from linnaeus_tpu.data.build import build_datasets, build_loaders
+
+    # identifiers in the fixture are i0..iN-1; write a png per sample
+    # EXCEPT i1 (exercises the placeholder)
+    with h5py.File(labels_h5, "r") as f:
+        idents = [x.decode() for x in f["img_identifiers"][...]]
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for k, ident in enumerate(idents):
+        if k == 1:  # leave the second identifier missing
+            continue
+        arr = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{ident}.png")
+
+    cfg = get_default_config()
+    cfg.DATA.TASK_KEYS_H5 = ["taxa_L10", "taxa_L20"]
+    cfg.DATA.IMG_SIZE = 32
+    cfg.DATA.BATCH_SIZE = 4
+    cfg.DATA.BATCH_SIZE_VAL = 4
+    cfg.DATA.H5.LABELS_PATH = str(labels_h5)
+    cfg.DATA.H5.TRAIN_VAL_SPLIT_RATIO = 0.8
+    cfg.DATA.HYBRID.USE_HYBRID = True
+    cfg.DATA.HYBRID.IMAGES_DIR = str(img_dir)
+    cfg.DATA.HYBRID.FILE_EXTENSION = ".png"
+    cfg.DATA.HYBRID.ALLOW_MISSING_IMAGES = True
+    cfg.DATA.SAMPLER.GROUPED_MODE = "standard"
+
+    bundle = build_datasets(cfg)
+    train_loader, _ = build_loaders(cfg, bundle)
+    train_loader.set_epoch(0)
+    batch = next(iter(train_loader))
+    assert batch["images"].shape == (4, 32, 32, 3)
+    assert batch["images"].dtype == np.uint8
+    train_loader.close()
+
+    # direct source checks: resize happened, missing id gives zeros
+    src = bundle["train_dataset"].source
+    i1 = 1
+    np.testing.assert_array_equal(
+        src.read(i1), np.zeros((32, 32, 3), np.uint8)
+    )
+    some = 0
+    img = src.read(some)
+    assert img.shape == (32, 32, 3) and img.any()
+
+    # strict mode raises on the missing file
+    cfg.DATA.HYBRID.ALLOW_MISSING_IMAGES = False
+    bundle2 = build_datasets(cfg)
+    src2 = bundle2["train_dataset"].source
+    with pytest.raises(FileNotFoundError):
+        src2.read(i1)
