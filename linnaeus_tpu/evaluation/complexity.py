@@ -73,12 +73,18 @@ def estimate_all_archs(
     num_classes: dict | None = None,
     output_path: str | None = None,
 ) -> dict[str, dict]:
-    """Sweep the registered arch presets (mFormerV1 sm/md/lg/xl by default)."""
+    """Sweep the registered arch presets (both families by default)."""
     from linnaeus_tpu.configuration import get_default_config
-    from linnaeus_tpu.configuration.archs import MFORMER_V1_ARCHS, apply_arch
+    from linnaeus_tpu.configuration.archs import (
+        MFORMER_V0_ARCHS,
+        MFORMER_V1_ARCHS,
+        apply_arch,
+    )
     from linnaeus_tpu.models.build import build_model
 
-    arch_names = arch_names or list(MFORMER_V1_ARCHS)
+    arch_names = arch_names or (
+        list(MFORMER_V1_ARCHS) + list(MFORMER_V0_ARCHS)
+    )
     num_classes = num_classes or {
         "taxa_L10": 1000, "taxa_L20": 400, "taxa_L30": 100, "taxa_L40": 30
     }
