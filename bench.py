@@ -25,6 +25,7 @@ import time
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
@@ -97,12 +98,19 @@ def main() -> None:
     # 384px flash-routed serving config (stage-3 N=580 takes the Pallas
     # flash kernels, stage-4 keeps XLA sdpa — docs/performance.md): the
     # high-resolution first-class bench, n reduced to bound wall time.
-    try:
-        model384 = model.clone(img_size=(384, 384), use_flash_attn=True)
-        ips384 = measure_inference(model384, batch=64, img=384, n1=5, n2=15)
-        record["inference_images_per_sec_384px_flash"] = round(float(ips384), 2)
-    except Exception as e:
-        record["bench_384_error"] = str(e)[:200]
+    # Skipped when the earlier probes already ate the budget (slow remote
+    # compiles) so the headline line always gets printed.
+    if time.perf_counter() - t_start < 420.0:
+        try:
+            model384 = model.clone(img_size=(384, 384), use_flash_attn=True)
+            ips384 = measure_inference(model384, batch=64, img=384, n1=5, n2=15)
+            record["inference_images_per_sec_384px_flash"] = round(
+                float(ips384), 2
+            )
+        except Exception as e:
+            record["bench_384_error"] = str(e)[:200]
+    else:
+        record["bench_384_skipped"] = "time budget"
     print(json.dumps(record))
 
 
