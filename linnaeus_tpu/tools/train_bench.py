@@ -25,16 +25,22 @@ import time
 
 
 def _v0_sm_model(img: int, fp32_scores: bool):
-    """mFormerV0_sm at the reference MetaFG_0 geometry (archs.py)."""
+    """mFormerV0_sm from the canonical arch registry (no copied geometry —
+    round 1 benched a since-fixed wrong preset; deriving from
+    MFORMER_V0_ARCHS keeps this pinned to the reference MetaFG_0 dims)."""
     import jax.numpy as jnp
 
+    from linnaeus_tpu.configuration.archs import MFORMER_V0_ARCHS
     from linnaeus_tpu.models import MFormerV0
 
+    spec = MFORMER_V0_ARCHS["mFormerV0_sm"]
     tasks = ("taxa_L10", "taxa_L20", "taxa_L30", "taxa_L40")
     return MFormerV0(
         img_size=(img, img),
-        stage_dims=(64, 96, 192, 384, 768),
-        mbconv_depths=(2, 3), attn_depths=(5, 2), num_heads=(8, 8),
+        stage_dims=tuple(spec["DIMS"]),
+        mbconv_depths=tuple(spec["MBCONV_DEPTHS"]),
+        attn_depths=tuple(spec["ATTN_DEPTHS"]),
+        num_heads=tuple(spec["NUM_HEADS"]),
         drop_path_rate=0.0,
         meta_components=(("TEMPORAL", 2), ("SPATIAL", 3)),
         task_keys=tasks,
@@ -166,7 +172,7 @@ def main(argv=None) -> None:
                 try:
                     print(json.dumps(measure(
                         batch=batch, img=args.img, fp32_scores=fp32,
-                        remat=args.remat,
+                        remat=args.remat, flash=args.flash, arch=args.arch,
                     )))
                 except Exception as e:  # OOM at large batches: report, move on
                     print(json.dumps({

@@ -229,7 +229,11 @@ class Trainer:
                 self.state.params, param_shardings,
             )
             # optimizer state re-inits on the sharded params, so its moments
-            # inherit the param shardings; small leaves replicate
+            # inherit the param shardings; small leaves replicate.
+            # batch_stats (BatchNorm, mFormerV0) are per-channel vectors —
+            # replicate them too: leaving them process-local would make the
+            # first jitted step fail on a multi-host mesh (mixed global/local
+            # arrays).
             repl = replicated_sharding(self.mesh)
             self.state = self.state.replace(
                 params=sharded_params,
@@ -238,6 +242,14 @@ class Trainer:
                 rng=jax.device_put(self.state.rng, repl),
                 gradnorm=jax.tree.map(
                     lambda x: jax.device_put(x, repl), self.state.gradnorm
+                ),
+                batch_stats=(
+                    jax.tree.map(
+                        lambda x: jax.device_put(x, repl),
+                        self.state.batch_stats,
+                    )
+                    if self.state.batch_stats is not None
+                    else None
                 ),
             )
         else:

@@ -92,6 +92,13 @@ def main() -> None:
         MixConfig(), clip_grad=5.0, has_meta=True, num_classes=nc,
     )
 
+    # tie the sampler's PLAN to what was actually FED: the loader's first
+    # batch must contain exactly the rows of the first planned batch
+    np.testing.assert_allclose(
+        np.asarray(first["aux"]),
+        bundle["train_dataset"].labels.aux[batches[0]].astype(np.float32),
+    )
+
     gbatch = shard_batch(
         {k: first[k] for k in ("images", "targets", "aux", "group_ids")},
         mesh,

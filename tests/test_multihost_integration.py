@@ -63,19 +63,29 @@ def test_two_process_data_sharding_and_train_step(mh_data_dir, tmp_path):
     )
     repo_root = os.path.dirname(os.path.dirname(worker))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(p), "2", str(port),
-             str(mh_data_dir), outs[p]],
-            env=env, cwd=os.path.dirname(os.path.dirname(worker)),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for p in range(2)
-    ]
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        logs.append(out.decode(errors="replace"))
+    def launch(port):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(p), "2", str(port),
+                 str(mh_data_dir), outs[p]],
+                env=env, cwd=os.path.dirname(os.path.dirname(worker)),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for p in range(2)
+        ]
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            logs.append(out.decode(errors="replace"))
+        return procs, logs
+
+    procs, logs = launch(port)
+    if any(p.returncode != 0 for p in procs) and any(
+        "bind" in log.lower() or "address" in log.lower() for log in logs
+    ):
+        # _free_port has a close-then-rebind window; retry once on a
+        # coordinator bind collision
+        procs, logs = launch(_free_port())
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
 

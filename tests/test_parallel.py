@@ -133,8 +133,7 @@ def test_tensor_parallel_train_step(eight_devices):
         float(metrics_tp["loss"]), float(metrics_1["loss"]), rtol=1e-4
     )
     # updated params keep their TP shardings (no silent re-replication)
-    q = None
-    from flax.traverse_util import flatten_dict as fd
-
-    q = fd(new_state.params, sep="/")["stage3_block0/attn/qkv/kernel"]
+    q = flatten_dict(new_state.params, sep="/")[
+        "stage3_block0/attn/qkv/kernel"
+    ]
     assert q.sharding.spec == jax.sharding.PartitionSpec(None, "model")

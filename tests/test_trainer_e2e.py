@@ -518,3 +518,35 @@ def test_trainer_tensor_parallel(data_dir, tmp_path):
     trainer.train()
     assert trainer.metrics.get("val", "loss") is not None
     trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_trainer_fsdp_with_batchnorm_model(data_dir, tmp_path):
+    """mFormerV0 (BatchNorm stats in TrainState) + FSDP param sharding:
+    batch_stats must be placed on the mesh like every other state leaf, or
+    the first jitted step fails on a multi-host mesh with mixed
+    global/local arrays (round-2 review finding)."""
+    import jax
+
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_v0_fsdp", epochs=1)
+    cfg.MODEL.TYPE = "mFormerV0"
+    cfg.MODEL.NAME = "tiny_v0_fsdp"
+    cfg.MODEL.STAGES.DIMS = [8, 12, 24, 32, 64]
+    cfg.MODEL.STAGES.MBCONV_DEPTHS = [1, 1]
+    cfg.MODEL.STAGES.ATTN_DEPTHS = [1, 1]
+    cfg.MODEL.STAGES.NUM_HEADS = [2, 2]
+    cfg.MODEL.STAGES.MLP_RATIO = [2.0, 2.0]
+    cfg.PARALLEL.PARAM_SHARDING = "fsdp"
+    trainer = Trainer(cfg)
+    assert trainer.state.batch_stats is not None
+    for leaf in jax.tree.leaves(trainer.state.batch_stats):
+        # every BN stat is a global array on the trainer's mesh (replicated)
+        assert leaf.sharding.mesh.shape == dict(
+            zip(trainer.mesh.axis_names, trainer.mesh.devices.shape)
+        )
+        assert leaf.sharding.is_fully_replicated
+    trainer.train()
+    assert trainer.metrics.get("val", "loss") is not None
+    trainer.train_loader.close()
