@@ -415,7 +415,13 @@ def _build_default_config() -> CN:
     _C.LR_SCHEDULER.FROM = ""
     _C.LR_SCHEDULER.NAME = "cosine"
     _C.LR_SCHEDULER.REFERENCE_BS = 512
+    # REFERENCE_LR: informational, logged alongside scaling (the reference
+    # uses it only in its log lines too — schedule_utils.py:492's actual
+    # multiplication scales each param group's configured LR)
     _C.LR_SCHEDULER.REFERENCE_LR = 5e-5
+    # computed by apply_lr_scaling; per-group BASE_LR overrides in
+    # LR_SCHEDULER.PARAMETER_GROUPS are multiplied by this same factor
+    _C.LR_SCHEDULER.LR_SCALING_FACTOR = 1.0
     _C.LR_SCHEDULER.WARMUP_EPOCHS = 5.0
     _C.LR_SCHEDULER.WARMUP_FRACTION = None
     _C.LR_SCHEDULER.WARMUP_STEPS = 0

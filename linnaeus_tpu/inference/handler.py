@@ -106,27 +106,37 @@ class LinnaeusInferenceHandler:
         self,
         images: list[Any],
         metadata: list[dict[str, Any] | None] | None = None,
-        request_options: InferenceRequestMetadata | None = None,
+        request_options: (
+            InferenceRequestMetadata | list[InferenceRequestMetadata | None] | None
+        ) = None,
     ) -> list[HierarchicalClassificationResult]:
+        """request_options: one InferenceRequestMetadata applied to every
+        sample, or a per-sample list (the reference's api_schemas.py models
+        per-sample top_k / aux overrides)."""
         import jax.numpy as jnp
 
-        top_k = (
-            request_options.top_k
-            if request_options and request_options.top_k
-            else self.config.inference_options.default_top_k
-        )
+        default_k = self.config.inference_options.default_top_k
+        if isinstance(request_options, list):
+            per_sample = list(request_options)
+            if len(per_sample) != len(images):
+                raise ValueError(
+                    f"request_options list length {len(per_sample)} != "
+                    f"number of images {len(images)}"
+                )
+        else:
+            per_sample = [request_options] * len(images)
+
         results: list[HierarchicalClassificationResult] = []
         bs = self._max_batch
         for start in range(0, len(images), bs):
             chunk = images[start : start + bs]
             metas = metadata[start : start + bs] if metadata else None
+            opts = per_sample[start : start + bs]
             pixels = preprocess_image_batch(chunk, self.config)
             aux = preprocess_metadata_batch(metas, len(chunk), self.config)
-            if request_options and request_options.aux_override is not None:
-                aux = np.tile(
-                    np.asarray(request_options.aux_override, np.float32),
-                    (len(chunk), 1),
-                )
+            for i, o in enumerate(opts):
+                if o is not None and o.aux_override is not None:
+                    aux[i] = np.asarray(o.aux_override, np.float32)
             # pad to the compiled batch size (no recompiles while serving)
             n = len(chunk)
             if n < bs:
@@ -141,6 +151,8 @@ class LinnaeusInferenceHandler:
             )
             probs = {t: np.asarray(v)[:n] for t, v in probs.items()}
             for i in range(n):
+                o = opts[i]
+                top_k = o.top_k if (o is not None and o.top_k) else default_k
                 results.append(self._build_result(probs, i, top_k))
         return results
 

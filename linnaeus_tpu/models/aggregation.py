@@ -66,6 +66,9 @@ class Conv1dAggregation(nn.Module):
 @register_aggregation("Identity")
 @register_aggregation("default")
 class IdentityAggregation(nn.Module):
+    # accepted for registry-uniform construction (callers pass dtype=)
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
         return tokens[:, 0] if tokens.ndim == 3 else tokens

@@ -158,12 +158,31 @@ def build_group_schedules(config, total_steps: int, steps_per_epoch: int = 0):
     pg = config.LR_SCHEDULER.get("PARAMETER_GROUPS", {})
     if not pg or not pg.get("ENABLED", False):
         return out
+    # per-group overrides that don't match any optimizer group would build
+    # schedules never attached to params — surface the mismatch
+    opt_groups = {
+        k for k in config.OPTIMIZER.get("PARAMETER_GROUPS", {})
+        if k != "ENABLED"
+    }
+    scaling = float(config.LR_SCHEDULER.get("LR_SCALING_FACTOR", 1.0) or 1.0)
     for gname, gcfg in pg.items():
         if gname in ("ENABLED",) or not isinstance(gcfg, dict):
             continue
+        if gname not in opt_groups:
+            from linnaeus_tpu.utils.logging import get_main_logger
+
+            get_main_logger().warning(
+                f"LR_SCHEDULER.PARAMETER_GROUPS.{gname} matches no "
+                f"OPTIMIZER.PARAMETER_GROUPS entry — its schedule will "
+                f"never be attached to any params"
+            )
         sub = config.clone()
         sub.defrost()
         for k, v in gcfg.items():
+            # group BASE_LR overrides mean "LR at REFERENCE_BS", like the
+            # base schedule: apply the same linear scaling factor
+            if k == "BASE_LR" and scaling != 1.0:
+                v = float(v) * scaling
             sub.LR_SCHEDULER[k] = v
         out[gname] = build_schedule(sub, total_steps, steps_per_epoch)
     return out

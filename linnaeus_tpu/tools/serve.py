@@ -60,7 +60,7 @@ def make_server(handler, host: str = "0.0.0.0", port: int = 8000):
             if self.path == "/healthz":
                 return self._json(200, {"status": "ok"})
             if self.path == "/info":
-                return self._json(200, handler.info().model_dump())
+                return self._json(200, handler.info().model_dump(mode="json"))
             return self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
@@ -74,7 +74,11 @@ def make_server(handler, host: str = "0.0.0.0", port: int = 8000):
                     return self._json(
                         400, {"error": "body must carry a non-empty 'instances' list"}
                     )
-                images, metas = [], []
+                from linnaeus_tpu.inference.schemas import (
+                    InferenceRequestMetadata,
+                )
+
+                images, metas, options = [], [], []
                 for inst in instances:
                     if "image" not in inst:
                         return self._json(
@@ -82,18 +86,21 @@ def make_server(handler, host: str = "0.0.0.0", port: int = 8000):
                         )
                     images.append(_decode_image(inst["image"]))
                     metas.append(inst.get("metadata"))
-                options = None
-                top_k = instances[0].get("top_k")
-                if top_k:
-                    from linnaeus_tpu.inference.schemas import (
-                        InferenceRequestMetadata,
+                    top_k = inst.get("top_k")
+                    options.append(
+                        InferenceRequestMetadata(top_k=int(top_k))
+                        if top_k else None
                     )
-
-                    options = InferenceRequestMetadata(top_k=int(top_k))
                 with lock:
-                    results = handler.predict(images, metas, options)
+                    results = handler.predict(
+                        images, metas,
+                        options if any(o is not None for o in options) else None,
+                    )
+                # mode="json" keeps typus results serializable (their
+                # model_dump() python mode emits set-valued fields)
                 return self._json(
-                    200, {"predictions": [r.model_dump() for r in results]}
+                    200,
+                    {"predictions": [r.model_dump(mode="json") for r in results]},
                 )
             except Exception as e:  # malformed input must not kill the server
                 return self._json(400, {"error": str(e)[:500]})

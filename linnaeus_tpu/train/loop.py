@@ -106,15 +106,14 @@ class Trainer:
         validate_schedule_config(config)
         resolve_all_schedule_params(config, total_steps)
         # linear LR scaling by effective global batch (reference applies this
-        # unconditionally, main.py:924: per-rank bs x world x accum; here
-        # DATA.BATCH_SIZE is already per-host, so global = bs x processes)
+        # unconditionally, main.py:924). Here DATA.BATCH_SIZE is the per-host
+        # PER-OPTIMIZER-STEP batch: the accumulation path SPLITS the loader
+        # batch into microbatches (train/step.py), so accumulation does NOT
+        # multiply the effective batch (unlike the reference, whose loader
+        # yields per-microbatch batches).
         from linnaeus_tpu.utils.schedule_utils import apply_lr_scaling
 
-        effective_bs = (
-            int(config.DATA.BATCH_SIZE)
-            * get_process_count()
-            * max(1, int(config.TRAIN.ACCUMULATION_STEPS))
-        )
+        effective_bs = int(config.DATA.BATCH_SIZE) * get_process_count()
         apply_lr_scaling(config, effective_bs)
         config.freeze()
 
@@ -292,27 +291,13 @@ class Trainer:
                 )
         from linnaeus_tpu.train.step import make_preprocess_fn
 
+        self._mix_cfg = mix_cfg
+        self._augment_fn = augment_fn
         self._preprocess = make_preprocess_fn(
             mix_cfg, has_meta=meta_dim > 0, num_classes=self.num_classes,
             augment_fn=augment_fn,
         )
-        # donate the input state: XLA aliases the new params/opt-state onto
-        # the old buffers instead of allocating fresh ones each step
-        self._train_step = jax.jit(
-            make_train_step(
-                self.train_criteria,
-                self.task_keys,
-                mix_cfg,
-                clip_grad=float(config.TRAIN.CLIP_GRAD or 0.0),
-                accumulation_steps=max(int(config.TRAIN.ACCUMULATION_STEPS), 1),
-                phase1_mask_null=bool(config.TRAIN.PHASE1_MASK_NULL_LOSS),
-                has_meta=meta_dim > 0,
-                lr_schedule=self.lr_schedule,
-                num_classes=self.num_classes,
-                augment_fn=augment_fn,
-            ),
-            donate_argnums=(0,),
-        )
+        self._build_train_step()
         null_tasks = ()
         if bool(config.METRICS.get("TRACK_NULL_VS_NON_NULL", False)):
             null_tasks = tuple(
@@ -392,18 +377,60 @@ class Trainer:
                     f"linear_heads={gw.USE_LINEAR_HEADS_FOR_GRADNORM_REFORWARD}"
                 )
 
+            train_accum = max(int(config.TRAIN.ACCUMULATION_STEPS), 1)
+
             def gradnorm_step(state, batch, scalars):
                 # Re-forward the SAME collated batch the train step consumed
                 # (reference: gradient_weighting.py:367-430): regenerate the
                 # step's preprocess randomness (the train step that processed
                 # this batch already incremented state.step, hence -1) and
-                # re-derive the mixed/augmented/meta-masked tensors.
+                # re-derive the mixed/augmented/meta-masked tensors. Under
+                # gradient accumulation the train step preprocesses each
+                # microbatch with fold_in(r_pre, i) — mirror that split so
+                # mixing partners and augmentation draws match exactly.
                 from linnaeus_tpu.train.step import train_step_rngs
 
                 batch = dict(batch)
                 batch["_scalars"] = scalars
                 r_pre, _ = train_step_rngs(state.rng, state.step - 1)
-                images, targets, meta, _ = self._preprocess(batch, r_pre)
+                if train_accum == 1:
+                    images, targets, meta, _ = self._preprocess(batch, r_pre)
+                else:
+                    def split(x):
+                        return x.reshape(
+                            (train_accum, x.shape[0] // train_accum)
+                            + x.shape[1:]
+                        )
+
+                    imgs_l, tgts_l, meta_l = [], [], []
+                    for i in range(train_accum):
+                        mb = {
+                            "images": split(batch["images"])[i],
+                            "targets": {
+                                t: split(v)[i]
+                                for t, v in batch["targets"].items()
+                            },
+                            "_scalars": scalars,
+                        }
+                        if batch.get("aux") is not None:
+                            mb["aux"] = split(batch["aux"])[i]
+                        if batch.get("group_ids") is not None:
+                            mb["group_ids"] = split(batch["group_ids"])[i]
+                        im, tg, me, _ = self._preprocess(
+                            mb, jax.random.fold_in(r_pre, i)
+                        )
+                        imgs_l.append(im)
+                        tgts_l.append(tg)
+                        meta_l.append(me)
+                    images = jnp.concatenate(imgs_l)
+                    targets = {
+                        t: jnp.concatenate([tg[t] for tg in tgts_l])
+                        for t in tgts_l[0]
+                    }
+                    meta = (
+                        jnp.concatenate(meta_l)
+                        if meta_l[0] is not None else None
+                    )
                 new_gn, metrics = update(
                     state.params, images, targets,
                     meta, state.gradnorm, state.batch_stats,
@@ -420,6 +447,63 @@ class Trainer:
         # callbacks run before resources close during drain(), so the
         # emergency checkpoint lands before the loaders shut down
         self.shutdown.register_callback(self._on_preempt)
+
+    def _build_train_step(self) -> None:
+        """(Re)jit the train step. Called at build time and again after
+        AutoBatch rebuilds the LR schedule (the step closes over
+        self.lr_schedule for the lr metric). The input state is donated so
+        XLA aliases new params/opt-state onto the old buffers."""
+        from linnaeus_tpu.train.step import make_train_step
+
+        cfg = self.config
+        self._train_step = jax.jit(
+            make_train_step(
+                self.train_criteria,
+                self.task_keys,
+                self._mix_cfg,
+                clip_grad=float(cfg.TRAIN.CLIP_GRAD or 0.0),
+                accumulation_steps=max(int(cfg.TRAIN.ACCUMULATION_STEPS), 1),
+                phase1_mask_null=bool(cfg.TRAIN.PHASE1_MASK_NULL_LOSS),
+                has_meta=self.meta_dim > 0,
+                lr_schedule=self.lr_schedule,
+                num_classes=self.num_classes,
+                augment_fn=self._augment_fn,
+            ),
+            donate_argnums=(0,),
+        )
+
+    def _rebuild_optimizer_for_batch(self, old_bs: int, new_bs: int,
+                                     total_steps: int) -> None:
+        """AutoBatch changed the effective batch AFTER schedules/optimizer
+        were built: re-scale the LR for the new batch (relative factor — the
+        absolute scaling already ran once), rebuild the per-group schedules
+        against the new total_steps, rebuild the optimizer, and re-init its
+        state on the existing (already mesh-placed) params."""
+        from linnaeus_tpu.optim import build_group_schedules, build_optimizer
+
+        factor = new_bs / max(old_bs, 1)
+        self.config.defrost()
+        self.config.LR_SCHEDULER.BASE_LR = (
+            float(self.config.LR_SCHEDULER.BASE_LR) * factor
+        )
+        self.config.freeze()
+        logger.info(
+            f"AutoBatch: re-scaled base LR by x{factor:.3f} -> "
+            f"{self.config.LR_SCHEDULER.BASE_LR:.3e}; rebuilding schedules "
+            f"for total_steps={total_steps}"
+        )
+        self.group_schedules = build_group_schedules(
+            self.config, total_steps, self.steps_per_epoch
+        )
+        self.lr_schedule = self.group_schedules["default"]
+        self.tx = build_optimizer(
+            self.config, self.lr_schedule, params=self.state.params,
+            group_schedules=self.group_schedules,
+        )
+        self.state = self.state.replace(
+            tx=self.tx, opt_state=self.tx.init(self.state.params)
+        )
+        self._build_train_step()
 
     def _run_autobatch(self) -> None:
         """Compiled-memory AutoBatch (reference: main.py:1249-1396): probe the
@@ -460,6 +544,7 @@ class Trainer:
         if found == int(self.config.DATA.BATCH_SIZE):
             return
         logger.info(f"AutoBatch: updating DATA.BATCH_SIZE -> {found}")
+        old_bs = int(self.config.DATA.BATCH_SIZE)
         self.config.defrost()
         self.config.DATA.BATCH_SIZE = found
         self.config.freeze()
@@ -473,6 +558,8 @@ class Trainer:
         self.config.defrost()
         self.config.LR_SCHEDULER.TOTAL_STEPS = total_steps
         self.config.freeze()
+        # schedules/optimizer were built for the old batch and total_steps
+        self._rebuild_optimizer_for_batch(old_bs, found, total_steps)
 
     def _run_autobatch_val(self) -> None:
         """Eval-side AutoBatch (reference: DATA.AUTOBATCH.ENABLED_VAL,

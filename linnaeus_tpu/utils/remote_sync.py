@@ -15,8 +15,17 @@ from linnaeus_tpu.utils.logging import get_main_logger
 logger = get_main_logger()
 
 
+_last_sync_mtime: dict[str, float] = {}
+
+
 def sync_to_bucket(config, local_dir: str) -> bool:
-    """Sync an output directory to the configured B2 bucket (if enabled)."""
+    """Sync an output directory to the configured B2 bucket (if enabled).
+
+    Incremental within a process: only files modified since the previous
+    successful sync of the same directory are uploaded — with
+    SYNC_ON_CHECKPOINT a multi-GB checkpoint tree would otherwise re-upload
+    in full at every save and again at shutdown.
+    """
     bucket_cfg = config.ENV.OUTPUT.BUCKET
     if not bucket_cfg.get("ENABLED", False):
         return False
@@ -30,14 +39,28 @@ def sync_to_bucket(config, local_dir: str) -> bool:
         "production", bucket_cfg.APP_KEY_ID, bucket_cfg.APP_KEY
     )
     bucket = api.get_bucket_by_name(bucket_cfg.BUCKET)
-    uploaded = 0
+    since = _last_sync_mtime.get(local_dir, 0.0)
+    newest = since
+    uploaded = skipped = 0
     for root, _dirs, files in os.walk(local_dir):
         for fname in files:
             local_path = os.path.join(root, fname)
+            try:
+                mtime = os.path.getmtime(local_path)
+            except OSError:
+                continue
+            if mtime <= since:
+                skipped += 1
+                continue
             rel = os.path.relpath(local_path, local_dir)
             bucket.upload_local_file(local_path, rel)
             uploaded += 1
-    logger.info(f"Synced {uploaded} files to b2://{bucket_cfg.BUCKET}")
+            newest = max(newest, mtime)
+    _last_sync_mtime[local_dir] = newest
+    logger.info(
+        f"Synced {uploaded} files to b2://{bucket_cfg.BUCKET}"
+        + (f" ({skipped} unchanged skipped)" if skipped else "")
+    )
     return True
 
 

@@ -112,11 +112,16 @@ def apply_lr_scaling(config, effective_batch_size: int) -> float:
     was_frozen = config.is_frozen()
     config.defrost()
     config.LR_SCHEDULER.BASE_LR = scaled
+    # recorded so per-group BASE_LR overrides scale by the same factor
+    # (the reference multiplies EVERY param group's LR)
+    config.LR_SCHEDULER.LR_SCALING_FACTOR = factor
     if was_frozen:
         config.freeze()
     logger.info(
         f"LR scaling: base_lr={scaled:.3e} = {base_lr:.3e} x {factor:.4f} "
-        f"(effective bs {effective_batch_size} / reference bs {ref_bs:.0f})"
+        f"(effective bs {effective_batch_size} / reference bs {ref_bs:.0f}; "
+        f"reference LR at that bs: "
+        f"{float(config.LR_SCHEDULER.REFERENCE_LR):.1e})"
     )
     if scaled < float(config.LR_SCHEDULER.MIN_LR):
         logger.warning(

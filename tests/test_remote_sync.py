@@ -78,3 +78,62 @@ def test_trainer_sync_outputs_gated(monkeypatch, tmp_path):
     cfg.ENV.OUTPUT.BUCKET.ENABLED = False
     Trainer._sync_outputs(dummy)
     assert calls == [str(tmp_path)]  # still one call
+
+
+def test_sync_to_bucket_incremental(tmp_path, monkeypatch):
+    """Second sync of an unchanged tree uploads nothing; touched files
+    re-upload (guards the per-checkpoint full-reupload regression)."""
+    import os
+    import time
+
+    from linnaeus_tpu.utils import remote_sync as rs
+
+    uploads = []
+
+    class FakeBucket:
+        def upload_local_file(self, path, rel):
+            uploads.append(rel)
+
+    class FakeApi:
+        def __init__(self, *a, **k):
+            pass
+
+        def authorize_account(self, *a, **k):
+            pass
+
+        def get_bucket_by_name(self, name):
+            return FakeBucket()
+
+    import types, sys
+
+    fake = types.ModuleType("b2sdk.v2")
+    fake.B2Api = FakeApi
+    fake.InMemoryAccountInfo = object
+    monkeypatch.setitem(sys.modules, "b2sdk", types.ModuleType("b2sdk"))
+    monkeypatch.setitem(sys.modules, "b2sdk.v2", fake)
+
+    from linnaeus_tpu.configuration import get_default_config
+
+    cfg = get_default_config()
+    cfg.ENV.OUTPUT.BUCKET.ENABLED = True
+    cfg.ENV.OUTPUT.BUCKET.BUCKET = "b"
+    cfg.ENV.OUTPUT.BUCKET.APP_KEY_ID = "k"
+    cfg.ENV.OUTPUT.BUCKET.APP_KEY = "s"
+
+    d = tmp_path / "exp"
+    d.mkdir()
+    (d / "a.txt").write_text("1")
+    (d / "b.txt").write_text("2")
+    rs._last_sync_mtime.pop(str(d), None)
+    assert rs.sync_to_bucket(cfg, str(d)) is True
+    assert sorted(uploads) == ["a.txt", "b.txt"]
+
+    uploads.clear()
+    assert rs.sync_to_bucket(cfg, str(d)) is True
+    assert uploads == []  # nothing changed
+
+    time.sleep(0.01)
+    (d / "a.txt").write_text("3")
+    os.utime(d / "a.txt")
+    assert rs.sync_to_bucket(cfg, str(d)) is True
+    assert uploads == ["a.txt"]

@@ -187,3 +187,19 @@ def test_model_build_with_nondefault_aggregation():
     flat = jax.tree_util.tree_leaves_with_path(variables["params"])
     names = {"/".join(str(k) for k in path) for path, _ in flat}
     assert not any("'aggregate'" in n for n in names)
+
+
+def test_model_build_with_identity_aggregation():
+    """Identity aggregation through MFormerV1 (round-2 review: the registry
+    call passes dtype=, which IdentityAggregation must accept)."""
+    import jax
+    import jax.numpy as jnp
+
+    from test_train_step import tiny_model
+
+    model = tiny_model().clone(aggregation="Identity")
+    v = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 5)),
+    )
+    assert "params" in v
