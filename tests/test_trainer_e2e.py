@@ -550,3 +550,32 @@ def test_trainer_fsdp_with_batchnorm_model(data_dir, tmp_path):
     trainer.train()
     assert trainer.metrics.get("val", "loss") is not None
     trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_trainer_train_autobatch_rebuilds_schedule(data_dir, tmp_path):
+    """Train-side AutoBatch changes DATA.BATCH_SIZE after schedules and
+    optimizer were built; the Trainer must re-scale the LR for the new
+    effective batch and rebuild schedules/optimizer/step (round-2 review:
+    previously the LR stayed scaled for the pre-AutoBatch batch)."""
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_tab", epochs=1)
+    base_lr_at_ref = 1e-4  # default BASE_LR; REFERENCE_BS=8 (make_config)
+    cfg.DATA.AUTOBATCH.ENABLED = True
+    # force the search to land on 16 (2x the configured batch of 8)
+    cfg.DATA.AUTOBATCH.MIN_BATCH_SIZE = 16
+    cfg.DATA.AUTOBATCH.MAX_BATCH_SIZE = 16
+    trainer = Trainer(cfg)
+    assert int(cfg.DATA.BATCH_SIZE) == 16
+    # initial scaling: 8/8 = 1x; autobatch rescale: 16/8 = 2x
+    assert float(cfg.LR_SCHEDULER.BASE_LR) == pytest.approx(
+        2.0 * base_lr_at_ref
+    )
+    # the live schedule reflects the rebuilt BASE_LR (post-warmup peak)
+    lrs = [float(trainer.lr_schedule(s)) for s in range(
+        int(cfg.LR_SCHEDULER.TOTAL_STEPS) + 1)]
+    assert max(lrs) == pytest.approx(2.0 * base_lr_at_ref, rel=1e-6)
+    trainer.train()
+    assert trainer.progress.global_step >= trainer.steps_per_epoch
+    trainer.train_loader.close()
