@@ -27,8 +27,30 @@ jax.config.update("jax_platforms", "cpu")
 # most of it compiles). Caching compiled executables across tests and runs
 # cuts warm reruns to a fraction; keyed on HLO, so correctness is
 # unaffected. Override the location with JAX_TEST_CACHE_DIR='' to disable.
+#
+# The cache dir is suffixed with a hash of the host's CPU feature flags:
+# XLA:CPU AOT executables embed the compile machine's features, and loading
+# one on a host without them SEGFAULTS (observed on this VM, which migrates
+# across heterogeneous machines mid-round).
+
+
+def _cpu_feature_tag() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.md5(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nocpuinfo"
+
+
 _cache_dir = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_compile_cache")
 if _cache_dir:
+    _cache_dir = f"{_cache_dir}-{_cpu_feature_tag()}"
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -43,3 +65,22 @@ def eight_devices():
     devices = jax.devices()
     assert len(devices) >= 8, f"expected >=8 virtual devices, got {len(devices)}"
     return devices
+
+
+@pytest.fixture
+def no_compile_cache():
+    """Disable the persistent compilation cache for one test.
+
+    Deserializing a cached SPMD executable compiled for a RESHAPED device
+    mesh (2x4 over the same 8 CPU devices) segfaults deep in jax's
+    compilation-cache read path when it happens late in a long-lived
+    process (observed deterministically at the same suite position across
+    three full runs; the same tests pass in isolation). The two
+    tensor-parallel tests opt out of the cache entirely.
+    """
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)

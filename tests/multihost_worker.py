@@ -25,7 +25,9 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     cache = os.environ.get("JAX_TEST_CACHE_DIR")
     if cache:
-        jax.config.update("jax_compilation_cache_dir", cache)
+        # per-process dir: both workers compile IDENTICAL HLO, and two
+        # processes racing to write the same cache entry corrupt it
+        jax.config.update("jax_compilation_cache_dir", f"{cache}-w{proc_id}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",

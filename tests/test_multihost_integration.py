@@ -58,9 +58,13 @@ def test_two_process_data_sharding_and_train_step(mh_data_dir, tmp_path):
     env = dict(os.environ)
     # the workers set their own JAX env; strip the conftest's 8-device flag
     env.pop("XLA_FLAGS", None)
-    env["JAX_TEST_CACHE_DIR"] = env.get(
-        "JAX_TEST_CACHE_DIR", "/tmp/jax_test_compile_cache"
-    )
+    # Workers get per-process cache dirs, ISOLATED from the main suite's
+    # cache: both workers compile identical HLO (same key), and concurrent
+    # writes of the same entry corrupted the shared cache — the parent
+    # process then SEGFAULTED deserializing it in a later trainer test
+    # (observed twice at the same suite position).
+    base_cache = env.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_compile_cache")
+    env["JAX_TEST_CACHE_DIR"] = base_cache + "-mhworker"
     repo_root = os.path.dirname(os.path.dirname(worker))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     def launch(port):
