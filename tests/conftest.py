@@ -65,22 +65,3 @@ def eight_devices():
     devices = jax.devices()
     assert len(devices) >= 8, f"expected >=8 virtual devices, got {len(devices)}"
     return devices
-
-
-@pytest.fixture
-def no_compile_cache():
-    """Disable the persistent compilation cache for one test.
-
-    Deserializing a cached SPMD executable compiled for a RESHAPED device
-    mesh (2x4 over the same 8 CPU devices) segfaults deep in jax's
-    compilation-cache read path when it happens late in a long-lived
-    process (observed deterministically at the same suite position across
-    three full runs; the same tests pass in isolation). The two
-    tensor-parallel tests opt out of the cache entirely.
-    """
-    import jax
-
-    prev = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    yield
-    jax.config.update("jax_compilation_cache_dir", prev)
