@@ -48,6 +48,23 @@ def enable_compile_cache(config) -> None:
     cache_dir = str(cc.get("DIR", "")) or os.path.expanduser(
         "~/.cache/linnaeus_tpu/xla-cache"
     )
+    # XLA:CPU AOT executables embed the compile host's CPU features;
+    # loading one on a host without them segfaults. Key the cache by the
+    # feature set so VM migrations across heterogeneous machines get a
+    # fresh cache instead of SIGILL/SIGSEGV.
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    cache_dir += "-" + hashlib.md5(
+                        flags.encode()
+                    ).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
