@@ -579,7 +579,30 @@ def test_trainer_train_autobatch_rebuilds_schedule(data_dir, tmp_path):
     """Train-side AutoBatch changes DATA.BATCH_SIZE after schedules and
     optimizer were built; the Trainer must re-scale the LR for the new
     effective batch and rebuild schedules/optimizer/step (round-2 review:
-    previously the LR stayed scaled for the pre-AutoBatch batch)."""
+    previously the LR stayed scaled for the pre-AutoBatch batch).
+
+    Runs in a SUBPROCESS: this test compiles the train step TWICE (probe +
+    rebuilt), and that second compile segfaults inside XLA:CPU late in a
+    long-lived pytest process (xdist pinpointed the worker crash here;
+    the same test passes in a fresh process)."""
+    import subprocess
+    import sys
+
+    if os.environ.get("LINNAEUS_AB_TEST_INNER") != "1":
+        env = {**os.environ, "LINNAEUS_AB_TEST_INNER": "1"}
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             f"{__file__}::test_trainer_train_autobatch_rebuilds_schedule",
+             "-x", "-q"],
+            env=env, capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, (
+            f"inner autobatch test failed:\n{r.stdout[-3000:]}\n"
+            f"{r.stderr[-2000:]}"
+        )
+        return
+
     from linnaeus_tpu.train.loop import Trainer
 
     cfg = make_config(data_dir, tmp_path / "out_tab", epochs=1)
