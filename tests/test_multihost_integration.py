@@ -51,6 +51,12 @@ def mh_data_dir(tmp_path_factory):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("PYTEST_XDIST_WORKER") is not None,
+    reason="spawns two jax.distributed subprocesses; under xdist the "
+    "4 concurrent heavy processes starve a small host — run this module "
+    "without -n",
+)
 def test_two_process_data_sharding_and_train_step(mh_data_dir, tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
