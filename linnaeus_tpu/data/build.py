@@ -71,6 +71,43 @@ def build_datasets(config) -> dict[str, Any]:
             "DATA.H5 must provide TRAIN_LABELS_PATH or LABELS_PATH"
         )
 
+    # pre-training image existence verification for hybrid datasets
+    # (reference: vectorized_dataset_processor.py:263-288 verifies the
+    # primary labels file's identifiers against the image dir BEFORE
+    # processing; under-threshold missing samples are excluded from the
+    # valid indices, over-threshold raises)
+    if (
+        config.DATA.HYBRID.USE_HYBRID
+        and config.DATA.HYBRID.VERIFY_IMAGES.ENABLED
+    ):
+        from .image_verifier import ImageVerifier
+
+        vi = config.DATA.HYBRID.VERIFY_IMAGES
+        verifier = ImageVerifier(
+            str(config.DATA.HYBRID.IMAGES_DIR),
+            file_extension=str(config.DATA.HYBRID.FILE_EXTENSION),
+            num_workers=int(vi.NUM_WORKERS),
+            chunk_size=int(vi.CHUNK_SIZE),
+            max_missing_ratio=float(vi.MAX_MISSING_RATIO),
+            max_missing_count=int(vi.MAX_MISSING_COUNT),
+            log_missing=bool(vi.LOG_MISSING),
+        )
+        missing_idx, _ = verifier.verify_images(
+            [str(s) for s in train_labels.img_identifiers]
+        )
+        if missing_idx:
+            missing_arr = np.fromiter(missing_idx, dtype=np.int64)
+            train_idx = np.asarray(train_idx)
+            train_idx = train_idx[~np.isin(train_idx, missing_arr)]
+            if val_idx is not None and val_labels is train_labels:
+                # single-file mode: the same file backs both splits
+                val_idx = np.asarray(val_idx)
+                val_idx = val_idx[~np.isin(val_idx, missing_arr)]
+            logger.info(
+                f"ImageVerifier: excluded {len(missing_idx)} samples with "
+                "missing image files (within thresholds)"
+            )
+
     mem_cache = int(config.DATA.PREFETCH.MEM_CACHE_SIZE)
     train_dataset = PrefetchingDataset(
         train_labels,

@@ -66,9 +66,18 @@ class ImageVerifier:
                 f"ImageVerifier: {len(missing)}/{n} missing "
                 f"({ratio:.2%}); first: {missing_ids[:50]}"
             )
-        if len(missing) > self.max_missing_count and ratio > self.max_missing_ratio:
+        # reference semantics (vectorized_dataset_processor.py:326-337):
+        # a threshold of 0 is DISABLED; exceeding either enabled threshold
+        # aborts
+        count_exceeded = (
+            self.max_missing_count > 0 and len(missing) > self.max_missing_count
+        )
+        ratio_exceeded = (
+            self.max_missing_ratio > 0 and ratio > self.max_missing_ratio
+        )
+        if count_exceeded or ratio_exceeded:
             raise RuntimeError(
-                f"Too many missing images: {len(missing)} "
+                f"Too many missing images: {len(missing)} ({ratio:.2%}) "
                 f"(max count {self.max_missing_count}, "
                 f"max ratio {self.max_missing_ratio})"
             )

@@ -147,12 +147,22 @@ class GroupedBatchSampler:
             == self.process_index
         )
         shard = self.indices[mine]
-        # sort by group so batches are group-coherent, then shuffle group blocks
+        # group-coherent order with shuffled group blocks AND shuffled
+        # within-group order, in ONE sort (the per-group boolean-scan loop
+        # was O(G*N) — the reference's own weakness at 1e5+ groups,
+        # grouped_batch_sampler.py:409-425): key = (random group rank << 31)
+        # | per-sample noise, then argsort. Distributionally identical to
+        # permuting group blocks then permuting within each block.
         gids = gid_arr[mine]
-        uniq = np.unique(gids)
-        uniq = uniq[rng.permutation(len(uniq))]
-        chunks = [shard[gids == g][rng.permutation(int((gids == g).sum()))] for g in uniq]
-        flat = np.concatenate(chunks) if chunks else np.array([], dtype=np.int64)
+        if len(gids) == 0:
+            flat = np.array([], dtype=np.int64)
+        else:
+            uniq, inv = np.unique(gids, return_inverse=True)
+            group_rank = rng.permutation(len(uniq)).astype(np.int64)
+            key = (group_rank[inv] << 31) | rng.integers(
+                0, 1 << 31, len(gids), dtype=np.int64
+            )
+            flat = shard[np.argsort(key)]
         nb = len(flat) // self.batch_size
         return [
             flat[i * self.batch_size:(i + 1) * self.batch_size]

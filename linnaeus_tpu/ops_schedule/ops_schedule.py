@@ -283,6 +283,9 @@ class OpsSchedule:
             max_loss is not None
             and early_stop_state is not None
             and early_stop_state.best_value is not None
+            # MAX_LOSS only applies when the tracked metric IS a loss
+            # (reference: ops_schedule.py:242-249 gates on 'loss' in name)
+            and not early_stop_state.higher_is_better
             and early_stop_state.best_value > float(max_loss)
         ):
             logger.info("Early stop: loss exceeded MAX_LOSS")

@@ -132,19 +132,31 @@ def tp_param_sharding(mesh: Mesh, params: Any) -> Any:
       mlp fc1 kernel   (dim, hidden) -> (None, model)   column-parallel
       mlp fc2 kernel   (hidden, dim) -> (model, None)   row-parallel
 
-    plus the matching biases on the sharded output dims. Everything else
-    (conv trunk, norms, heads, meta heads) replicates over 'model'. XLA's
+    plus the matching biases on the sharded output dims, and the per-task
+    head classifiers column-parallel (``head/*/kernel`` — the 1000-way L10
+    classifier is the single largest matrix in the flagship). Everything
+    else (conv trunk, norms, meta heads) replicates over 'model'. XLA's
     SPMD partitioner derives the activation shardings and inserts the
     all-reduces after the row-parallel matmuls.
+
+    Raises if the mesh's model axis is 1 (nothing would shard — a config
+    error, not a silent no-op) or if no parameter matched the path
+    patterns (a module rename silently de-sharding the model).
     """
     n_model = mesh.devices.shape[1]
+    if n_model <= 1:
+        raise ValueError(
+            "PARAM_SHARDING='tp' requires PARALLEL.MESH.MODEL > 1 "
+            f"(mesh model axis has {n_model} device)"
+        )
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     flat = flatten_dict(params, sep="/")
     specs: dict[str, NamedSharding] = {}
+    n_sharded = 0
     for path, p in flat.items():
         spec = P()
-        if hasattr(p, "ndim") and n_model > 1:
+        if hasattr(p, "ndim"):
             if path.endswith("attn/qkv/kernel") or path.endswith(
                 "mlp/Dense_0/kernel"
             ):
@@ -160,7 +172,29 @@ def tp_param_sharding(mesh: Mesh, params: Any) -> Any:
             ):
                 if p.shape[0] % n_model == 0:
                     spec = P(MODEL_AXIS)
+            elif (
+                path.startswith("head/")
+                and path.endswith("/kernel")
+                and p.ndim == 2
+                and p.shape[1] % n_model == 0
+            ):
+                # column-parallel classifier: logits all-gather is B*C*2
+                # bytes — negligible next to holding a replicated
+                # (dim, num_classes) matrix + its adamw moments per device
+                spec = P(None, MODEL_AXIS)
+        if spec != P():
+            n_sharded += 1
         specs[path] = NamedSharding(mesh, spec)
+    if n_sharded == 0:
+        raise ValueError(
+            "tensor-parallel sharding matched ZERO parameters — a module "
+            "rename has de-sharded the model (expected attn/qkv, attn/proj, "
+            "mlp/Dense_0, mlp/Dense_1, head/*/kernel paths)"
+        )
+    logger.info(
+        f"TP sharding: {n_sharded}/{len(flat)} params sharded over "
+        f"{n_model} model-parallel devices"
+    )
     return unflatten_dict(specs, sep="/")
 
 

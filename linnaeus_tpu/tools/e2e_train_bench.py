@@ -1,0 +1,241 @@
+"""End-to-end training throughput: real HDF5 loader feeding the real step.
+
+The reference reports samples/sec with the input pipeline in the loop
+(main.py:1822-1842 epoch timing). ``train_bench.py`` measures the device
+step alone (synthetic, fori_loop); this tool closes the gap: a file-backed
+HDF5 dataset is read by the production ``H5DataLoader`` (threaded chunk
+reads, bounded futures window, ``jax.device_put`` double-buffering) and fed
+to the production jitted+donated train step, one dispatch per batch exactly
+like ``Trainer._train_one_epoch``.
+
+Reported:
+  * ``e2e_ms_per_step`` / ``e2e_images_per_sec`` — steady-state wall clock
+    per step with the feed in the loop (forced complete by a final host
+    read; per-step dispatches chain through the donated TrainState so the
+    final read transitively waits on every step);
+  * ``device_ms_per_step`` — the same geometry measured device-only in the
+    same process (fori_loop differencing, see train_bench.py);
+  * ``feed_overlap`` — device/e2e: 1.0 means the feed fully hides under the
+    step; lower means host-bound;
+  * ``avg_wait_ms`` — loader-side time blocked on batch futures;
+  * ``device_put_ms`` — one-off host->device transfer cost per batch
+    (diagnostic: through the remote-TPU tunnel this can dominate).
+
+Usage:
+    python -m linnaeus_tpu.tools.e2e_train_bench --steps 150
+    python -m linnaeus_tpu.tools.e2e_train_bench --gen 25600  # regenerate
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def generate_dataset(prefix: str, n: int, img: int) -> tuple[str, str]:
+    """File-backed HDF5 with the flagship's 4 task levels + 5-dim meta.
+    Chunked one image per chunk (the random-access unit of the grouped
+    sampler)."""
+    import h5py
+
+    labels_path = f"{prefix}_labels.h5"
+    images_path = f"{prefix}_images.h5"
+    rng = np.random.default_rng(0)
+    with h5py.File(labels_path, "w") as f:
+        f.create_dataset(
+            "img_identifiers", data=np.array([f"i{i}" for i in range(n)], "S12")
+        )
+        f.create_dataset("taxa_L10", data=rng.integers(1, 1000, n))
+        f.create_dataset("taxa_L20", data=rng.integers(1001, 1400, n))
+        f.create_dataset("taxa_L30", data=rng.integers(1401, 1500, n))
+        f.create_dataset("taxa_L40", data=rng.integers(1501, 1530, n))
+        f.create_dataset("temporal", data=rng.normal(size=(n, 2)).astype("f4"))
+        f.create_dataset("spatial", data=rng.normal(size=(n, 3)).astype("f4"))
+    with h5py.File(images_path, "w") as f:
+        dset = f.create_dataset(
+            "images", shape=(n, img, img, 3), dtype="u1",
+            chunks=(1, img, img, 3),
+        )
+        block = 512
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            dset[s:e] = rng.integers(0, 256, (e - s, img, img, 3), "u1")
+    return labels_path, images_path
+
+
+def build_loader(labels: str, images: str, batch: int, io_threads: int,
+                 window: int, depth: int, device_put_fn):
+    from linnaeus_tpu.configuration import get_default_config
+    from linnaeus_tpu.data.build import build_datasets, build_loaders
+
+    cfg = get_default_config()
+    cfg.DATA.IMG_SIZE = 224
+    cfg.DATA.BATCH_SIZE = batch
+    cfg.DATA.H5.LABELS_PATH = labels
+    cfg.DATA.H5.IMAGES_PATH = images
+    cfg.DATA.TASK_KEYS_H5 = ["taxa_L10", "taxa_L20", "taxa_L30", "taxa_L40"]
+    cfg.DATA.PARTIAL.LEVELS = True
+    cfg.DATA.PREFETCH.NUM_IO_THREADS = io_threads
+    cfg.DATA.PREFETCH.BATCH_CONCURRENCY = window
+    cfg.DATA.PREFETCH.DEVICE_PREFETCH_DEPTH = depth
+    cfg.DATA.PREFETCH.MEM_CACHE_SIZE = 0  # force real HDF5 chunk reads
+    cfg.DATA.SAMPLER.TYPE = "grouped"
+    cfg.DATA.SAMPLER.GROUPED_MODE = "mixed-pairs"
+    cfg.SCHEDULE.MIX.GROUP_LEVELS = ["taxa_L20"]
+    bundle = build_datasets(cfg)
+    train_loader, _ = build_loaders(cfg, bundle, device_put_fn=device_put_fn)
+    return train_loader
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("e2e_train_bench")
+    p.add_argument("--steps", type=int, default=150,
+                   help="timed steps (after warmup)")
+    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--gen", type=int, default=0, metavar="N",
+                   help="(re)generate the dataset with N samples")
+    p.add_argument("--prefix", default="/tmp/e2ebench")
+    p.add_argument("--io-threads", type=int, default=8)
+    p.add_argument("--window", type=int, default=4)
+    p.add_argument("--depth", type=int, default=2)
+    p.add_argument("--skip-device-only", action="store_true")
+    p.add_argument("--progress", action="store_true",
+                   help="print stage markers (diagnostics)")
+    args = p.parse_args(argv)
+
+    t_origin = time.perf_counter()
+
+    def mark(msg: str) -> None:
+        if args.progress:
+            print(f"[{time.perf_counter() - t_origin:7.1f}s] {msg}",
+                  flush=True)
+
+    labels = f"{args.prefix}_labels.h5"
+    images = f"{args.prefix}_images.h5"
+    need = args.gen or (
+        0 if os.path.exists(labels) and os.path.exists(images)
+        else (args.steps + args.warmup + 4) * args.batch
+    )
+    if need:
+        t0 = time.perf_counter()
+        labels, images = generate_dataset(args.prefix, need, 224)
+        print(json.dumps({"generated": need,
+                          "gen_s": round(time.perf_counter() - t0, 1)}))
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_model
+    from linnaeus_tpu.data.collate import MixConfig
+    from linnaeus_tpu.loss import soft_target_cross_entropy
+    from linnaeus_tpu.train.state import create_train_state
+    from linnaeus_tpu.train.step import ScheduleScalars, make_train_step
+
+    mark("imports done")
+    model = _flagship_model(attn_fp32_softmax=False)
+    tasks = model.task_keys
+    nc = dict(model.num_classes)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(
+        rng, jnp.zeros((2, 224, 224, 3), jnp.bfloat16),
+        jnp.zeros((2, 5), jnp.float32),
+    )
+    state = create_train_state(
+        model, variables["params"], optax.adamw(1e-4), num_tasks=len(tasks),
+        rng=rng, batch_stats=variables.get("batch_stats"),
+    )
+    mark("model init done")
+    criteria = {t: soft_target_cross_entropy for t in tasks}
+    step_j = jax.jit(
+        make_train_step(
+            criteria, tasks,
+            MixConfig(mixup_enabled=True, chunk_bounds=((0, 2), (2, 5))),
+            clip_grad=5.0, has_meta=True, num_classes=nc,
+        ),
+        donate_argnums=(0,),
+    )
+    scalars = ScheduleScalars(
+        mix_prob=jnp.float32(0.5),
+        use_cutmix=jnp.asarray(False),
+        meta_mask_prob=jnp.float32(0.3),
+        partial_mask_prob=jnp.float32(0.0),
+        partial_combo_mask=jnp.zeros(5, jnp.float32),
+        null_mask_prob=jnp.float32(1.0),
+    )
+
+    record = {"batch": args.batch, "io_threads": args.io_threads,
+              "window": args.window, "depth": args.depth}
+
+    # one-off transfer diagnostic: ms to device_put one host batch and force
+    # its materialization with a host read
+    probe = {
+        "images": np.random.default_rng(1).integers(
+            0, 256, (args.batch, 224, 224, 3), np.uint8
+        ),
+        "aux": np.zeros((args.batch, 5), np.float32),
+    }
+    mark("state built; probing device_put")
+    jax.device_put(probe)  # warm the transfer path
+    t0 = time.perf_counter()
+    dev = jax.device_put(probe)
+    _ = float(jnp.sum(dev["aux"])) + float(dev["images"][0, 0, 0, 0])
+    record["device_put_ms"] = round(1000 * (time.perf_counter() - t0), 1)
+
+    mark(f"device_put probe done: {record['device_put_ms']} ms")
+    loader = build_loader(labels, images, args.batch, args.io_threads,
+                          args.window, args.depth, jax.device_put)
+    total_batches = len(loader)
+    needed = args.warmup + args.steps
+    record["steps"] = args.steps
+
+    done = 0
+    t_timed_start = None
+    epoch = 0
+    while done < needed:
+        loader.set_epoch(epoch)
+        for batch in loader:
+            state, metrics = step_j(state, batch, scalars)
+            done += 1
+            if done == 1 or done % 20 == 0:
+                mark(f"step {done}/{needed}")
+            if done == args.warmup:
+                # force everything dispatched so far to completion, then
+                # open the timing window
+                _ = float(jax.tree.leaves(state.params)[0]
+                          .astype(jnp.float32).sum())
+                t_timed_start = time.perf_counter()
+            if done >= needed:
+                break
+        epoch += 1
+    # the donated-state chain means this read waits on every timed step
+    final = float(jax.tree.leaves(state.params)[0].astype(jnp.float32).sum())
+    assert final == final, "NaN"
+    elapsed = time.perf_counter() - t_timed_start
+    e2e_ms = 1000.0 * elapsed / args.steps
+    record["e2e_ms_per_step"] = round(e2e_ms, 2)
+    record["e2e_images_per_sec"] = round(args.batch / (e2e_ms / 1000.0), 1)
+    record["loader"] = {k: (round(v, 2) if isinstance(v, float) else v)
+                        for k, v in loader.pipeline_metrics().items()
+                        if not isinstance(v, dict)}
+    record["total_batches_per_epoch"] = total_batches
+    loader.close()
+
+    if not args.skip_device_only:
+        from linnaeus_tpu.tools.train_bench import measure
+
+        dev = measure(batch=args.batch, img=224, fp32_scores=False)
+        record["device_ms_per_step"] = dev["train_ms_per_step"]
+        record["feed_overlap"] = round(
+            dev["train_ms_per_step"] / e2e_ms, 4
+        )
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

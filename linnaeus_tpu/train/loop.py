@@ -121,8 +121,12 @@ class Trainer:
         self.progress = TrainingProgress(expected_total_steps=total_steps)
         self.metrics = MetricsTracker(list(self.task_keys))
         self.ops_schedule = OpsSchedule(config, self.progress, self.metrics)
+        # direction inferred from the metric name, reference convention
+        # (ops_schedule.py:164-170: 'loss' in name -> lower is better)
+        es_metric = str(config.TRAIN.EARLY_STOP.METRIC)
         self.early_stop = EarlyStopState(
-            metric_name=str(config.TRAIN.EARLY_STOP.METRIC)
+            metric_name=es_metric,
+            higher_is_better="loss" not in es_metric.lower(),
         )
         if is_main_process():
             logger.info(
@@ -215,10 +219,10 @@ class Trainer:
             from linnaeus_tpu.parallel.mesh import PARAM_SHARDING_FNS
 
             if sharding_mode == "tp" and self.mesh.devices.shape[1] == 1:
-                logger.warning(
+                raise ValueError(
                     "PARAM_SHARDING='tp' with PARALLEL.MESH.MODEL=1: the "
-                    "model axis has one device, so nothing will shard — set "
-                    "PARALLEL.MESH.MODEL > 1"
+                    "model axis has one device, so nothing would shard — "
+                    "set PARALLEL.MESH.MODEL > 1"
                 )
             param_shardings = PARAM_SHARDING_FNS[sharding_mode](
                 self.mesh, self.state.params
@@ -628,6 +632,8 @@ class Trainer:
             self.metrics.load_state_dict(sidecar["metrics"])
         if "ops_schedule" in sidecar:
             self.ops_schedule.load_state_dict(sidecar["ops_schedule"])
+        if "early_stop" in sidecar:
+            self.early_stop.load_state_dict(sidecar["early_stop"])
         # wandb run continuity (reference: checkpoint.py:1051-1054)
         run_id = sidecar.get("wandb_run_id")
         if run_id and self.wandb_run is None and is_main_process():
@@ -981,7 +987,7 @@ class Trainer:
         improved = self.metrics.check_best(phase, self.progress.current_epoch)
         if phase == MetricsTracker.VAL:
             self.early_stop.update(
-                summary.get("loss", float("inf")), self.progress.global_step,
+                self._early_stop_metric(summary), self.progress.global_step,
                 min_delta=self.config.TRAIN.EARLY_STOP.get("MIN_DELTA"),
             )
         if is_main_process():
@@ -994,6 +1000,29 @@ class Trainer:
                 self.progress.global_step, phase, summary
             )
         self.progress.enter_stage(TrainingStage.TRAINING)
+
+    def _early_stop_metric(self, summary: dict[str, float]) -> float:
+        """Resolve TRAIN.EARLY_STOP.METRIC against the validation summary
+        (reference: ops_schedule.py:216 pulls the configured metric from the
+        tracker, e.g. 'val_loss' or 'val_chain_accuracy'). Accepts the
+        reference's 'val_*' / 'val/*' prefixes; summary keys themselves
+        ('loss', 'chain_accuracy', 'acc1/taxa_L10') also work."""
+        name = self.early_stop.metric_name
+        key = name
+        for prefix in ("val_", "val/"):
+            if key.lower().startswith(prefix):
+                key = key[len(prefix):]
+                break
+        if key in summary:
+            return float(summary[key])
+        if not getattr(self, "_warned_es_metric", False):
+            self._warned_es_metric = True
+            logger.warning(
+                f"TRAIN.EARLY_STOP.METRIC={name!r} not found in validation "
+                f"summary (keys: {sorted(summary)}); falling back to loss"
+            )
+        fallback = summary.get("loss", float("inf"))
+        return float(-fallback if self.early_stop.higher_is_better else fallback)
 
     # ---------------------------------------------------------- checkpoint
     def _save_checkpoint(self) -> None:
@@ -1021,6 +1050,7 @@ class Trainer:
             training_progress=self.progress,
             metrics_state=self.metrics.state_dict(),
             ops_schedule_state=self.ops_schedule.state_dict(),
+            early_stop_state=self.early_stop.state_dict(),
             config_dump=self.config.dump(),
             metric_value=metric,
             wandb_run_id=wandb_run_id,

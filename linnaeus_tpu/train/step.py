@@ -285,31 +285,71 @@ def make_train_step(
                 # every microbatch (each sees the previous microbatch's
                 # stats) instead of being silently discarded under
                 # accumulation. None carries through unchanged (no-BN model).
-                acc_grads, acc_loss, bs, i = carry
+                acc_grads, acc_loss, acc_stats, bs, i = carry
                 mb = dict(mb)
                 mb["_scalars"] = scalars
                 r_i = jax.random.fold_in(r_pre, i)
-                images, targets, meta, _ = preprocess(mb, r_i)
-                (total, (_, _, nbs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                images, targets, meta, mb_mixed = preprocess(mb, r_i)
+                (total, (mb_out, mb_comp, nbs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(
                     state.params, state.apply_fn, images, targets, meta,
                     scalars, jax.random.fold_in(r_loss, i),
                     state.gradnorm.task_weights, bs,
                 )
                 bs = bs if nbs is None else nbs
                 acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-                return (acc_grads, acc_loss + total, bs, i + 1), None
+                # scalar per-task stats ride the carry so accumulation runs
+                # report the same metric keys as accum=1 (reference logs
+                # per-task losses/accuracy regardless of accumulation,
+                # train.py:350). Accuracy counts vs the RAW microbatch
+                # targets (pre-mixing), like the accum=1 path.
+                stats = {"mixed": mb_mixed.astype(jnp.float32).sum()}
+                for t in task_keys:
+                    raw_tgt = mb["targets"][t]
+                    stats[f"loss/{t}"] = mb_comp["tasks"][t]
+                    stats[f"correct1/{t}"] = _topk_correct(
+                        mb_out[t], raw_tgt, 1
+                    ).astype(jnp.float32)
+                    k3 = min(3, mb_out[t].shape[-1])
+                    stats[f"correct3/{t}"] = _topk_correct(
+                        mb_out[t], raw_tgt, k3
+                    ).astype(jnp.float32)
+                    stats[f"valid/{t}"] = _valid_mask(raw_tgt).sum().astype(
+                        jnp.float32
+                    )
+                acc_stats = jax.tree.map(jnp.add, acc_stats, stats)
+                return (acc_grads, acc_loss + total, acc_stats, bs, i + 1), None
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, total, final_bs, _), _ = jax.lax.scan(
+            zero_stats = {"mixed": jnp.float32(0.0)}
+            for t in task_keys:
+                for k in ("loss", "correct1", "correct3", "valid"):
+                    zero_stats[f"{k}/{t}"] = jnp.float32(0.0)
+            (grads, total, acc_stats, final_bs, _), _ = jax.lax.scan(
                 body,
-                (zero_grads, jnp.float32(0.0), state.batch_stats, jnp.int32(0)),
+                (zero_grads, jnp.float32(0.0), zero_stats,
+                 state.batch_stats, jnp.int32(0)),
                 micro,
             )
             if final_bs is not None:
                 new_batch_stats = final_bs
             grads = jax.tree.map(lambda g: g / accum, grads)
             total = total / accum
-            outputs, components, mixed_mask = None, {"total": total}, None
+            components = {
+                "total": total,
+                "tasks": {
+                    t: acc_stats[f"loss/{t}"] / accum for t in task_keys
+                },
+            }
+            outputs, mixed_mask = None, None
+            accum_metrics = {"mixed_frac": acc_stats["mixed"] /
+                             jnp.float32(batch["images"].shape[0])}
+            for t in task_keys:
+                accum_metrics[f"loss/{t}"] = components["tasks"][t]
+                denom = jnp.maximum(acc_stats[f"valid/{t}"], 1.0)
+                accum_metrics[f"acc1/{t}"] = acc_stats[f"correct1/{t}"] / denom
+                accum_metrics[f"acc3/{t}"] = acc_stats[f"correct3/{t}"] / denom
 
         # fp32 grads for clip/update numerics
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
@@ -336,6 +376,8 @@ def make_train_step(
                 metrics[f"loss/{t}"] = components["tasks"][t]
             metrics.update(_accuracy_metrics(outputs, batch["targets"]))
             metrics["mixed_frac"] = mixed_mask.astype(jnp.float32).mean()
+        else:
+            metrics.update(accum_metrics)
         return new_state, metrics
 
     return train_step

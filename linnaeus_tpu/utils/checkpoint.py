@@ -38,6 +38,7 @@ def save_checkpoint(
     training_progress=None,
     metrics_state: dict | None = None,
     ops_schedule_state: dict | None = None,
+    early_stop_state: dict | None = None,
     config_dump: str | None = None,
     wandb_run_id: str | None = None,
     metric_value: float | None = None,
@@ -66,6 +67,11 @@ def save_checkpoint(
         sidecar["metrics"] = metrics_state
     if ops_schedule_state is not None:
         sidecar["ops_schedule"] = ops_schedule_state
+    if early_stop_state is not None:
+        # patience/best must survive resume or a run that should have
+        # stopped keeps training (reference: early_stop_state serialized
+        # with the checkpoint, utils/checkpoint.py)
+        sidecar["early_stop"] = early_stop_state
     with open(os.path.join(path, SIDECAR_NAME), "w") as f:
         json.dump(sidecar, f, indent=2, default=_json_default)
     if config_dump is not None:

@@ -331,6 +331,68 @@ def test_mixed_pairs_vectorized_speed_1m():
     assert elapsed < 1.0, f"mixed-pairs epoch took {elapsed:.2f}s at 1M samples"
 
 
+def test_strict_group_vectorized_speed_1m():
+    """VERDICT r2 #7 done-criterion: <1s/epoch at 1M rows / 100k groups
+    (the per-group boolean-scan loop was O(G*N))."""
+    import time
+
+    from linnaeus_tpu.data.sampler import GroupedBatchSampler
+
+    rng = np.random.default_rng(0)
+    n = 1_000_000
+    groups = rng.integers(0, 100_000, n).astype(np.int64)
+    indices = np.arange(n, dtype=np.int64)
+    s = GroupedBatchSampler(
+        {"L": groups}, indices, batch_size=256, mode="strict-group"
+    )
+    assert s.batches()  # warm-up epoch (first call pays page faults)
+    s.set_epoch(1)
+    t0 = time.perf_counter()
+    batches = s.batches()
+    elapsed = time.perf_counter() - t0
+    assert batches
+    assert elapsed < 1.0, f"strict-group epoch took {elapsed:.2f}s at 1M rows"
+
+
+def test_strict_group_vectorized_distribution():
+    """The one-sort implementation keeps the loop version's properties:
+    whole groups stay contiguous, group-block order and within-group order
+    are shuffled per epoch, sample multiset is exactly the shard."""
+    from linnaeus_tpu.data.sampler import GroupedBatchSampler
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    groups = rng.integers(0, 37, n).astype(np.int64)
+    groups[:64] = -1  # some ungrouped
+    indices = np.arange(n, dtype=np.int64)
+    s = GroupedBatchSampler(
+        {"L": groups}, indices, batch_size=64, mode="strict-group"
+    )
+    orders = []
+    for epoch in (0, 1):
+        s.set_epoch(epoch)
+        flat = np.concatenate(s.batches())
+        # group-coherence: each group's samples occupy one contiguous run
+        # in the pre-batch ordering (check via first/last occurrence spans)
+        g_of = groups[flat]
+        seen_done = set()
+        prev = None
+        for g in g_of:
+            if g != prev:
+                assert g not in seen_done, f"group {g} split into two runs"
+                if prev is not None:
+                    seen_done.add(prev)
+                prev = g
+        orders.append(flat)
+    # different epochs produce different orders (group blocks shuffled)
+    assert not np.array_equal(orders[0], orders[1])
+    # within-group order is shuffled, not sorted by index
+    g0 = orders[0][groups[orders[0]] == groups[orders[0]][0]]
+    assert not np.array_equal(g0, np.sort(g0))
+    # multiset preservation across the two epochs
+    assert np.array_equal(np.sort(orders[0]), np.sort(orders[1]))
+
+
 # ----------------------------------------------------------- multi-host tests
 def test_mixed_pairs_multi_host_disjoint_exact_cover():
     """VERDICT #3: across process_index 0..7 the per-host batches are a
@@ -397,6 +459,66 @@ def test_strict_group_multi_host_partition():
                 g = int(groups[i])
                 # a group never spans two hosts
                 assert owner.setdefault(g, pidx) == pidx
+
+
+def test_image_verifier_excludes_missing_under_threshold(labels_h5, tmp_path):
+    """DATA.HYBRID.VERIFY_IMAGES: under-threshold missing files warn and get
+    excluded from the train/val indices; over-threshold raises (reference:
+    vectorized_dataset_processor.py:263-337, image_verifier.py:16-180)."""
+    from PIL import Image
+
+    from linnaeus_tpu.data.build import build_datasets
+
+    with h5py.File(labels_h5, "r") as f:
+        idents = [x.decode() for x in f["img_identifiers"][...]]
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for ident in idents:
+        arr = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{ident}.png")
+
+    cfg = get_default_config()
+    cfg.DATA.TASK_KEYS_H5 = ["taxa_L10", "taxa_L20"]
+    cfg.DATA.IMG_SIZE = 32
+    cfg.DATA.H5.LABELS_PATH = str(labels_h5)
+    cfg.DATA.H5.TRAIN_VAL_SPLIT_RATIO = 0.8
+    cfg.DATA.HYBRID.USE_HYBRID = True
+    cfg.DATA.HYBRID.IMAGES_DIR = str(img_dir)
+    cfg.DATA.HYBRID.FILE_EXTENSION = ".png"
+    cfg.DATA.HYBRID.ALLOW_MISSING_IMAGES = True
+    cfg.DATA.HYBRID.VERIFY_IMAGES.ENABLED = True
+
+    # baseline: all image files present, verification a no-op
+    bundle0 = build_datasets(cfg)
+    all0 = set(int(i) for i in bundle0["train_indices"]) | set(
+        int(i) for i in bundle0["val_indices"]
+    )
+    # delete 3 baseline-valid images (avoid samples other validity rules
+    # already exclude)
+    missing = set(sorted(all0)[:3])
+    for k in missing:
+        (img_dir / f"{idents[k]}.png").unlink()
+
+    # thresholds at 0 = disabled (reference semantics): exclude + proceed
+    bundle = build_datasets(cfg)
+    survivors = set(int(i) for i in bundle["train_indices"]) | set(
+        int(i) for i in bundle["val_indices"]
+    )
+    assert missing.isdisjoint(survivors)
+    assert len(survivors) == len(all0) - len(missing)
+
+    # over-threshold: MAX_MISSING_COUNT=2 < 3 missing -> abort
+    cfg.DATA.HYBRID.VERIFY_IMAGES.ENABLED = True
+    cfg.DATA.HYBRID.VERIFY_IMAGES.MAX_MISSING_COUNT = 2
+    cfg.DATA.HYBRID.VERIFY_IMAGES.MAX_MISSING_RATIO = 0.001
+    with pytest.raises(RuntimeError, match="missing"):
+        build_datasets(cfg)
+    # generous thresholds pass again
+    cfg.DATA.HYBRID.VERIFY_IMAGES.MAX_MISSING_COUNT = 10
+    cfg.DATA.HYBRID.VERIFY_IMAGES.MAX_MISSING_RATIO = 0.5
+    bundle2 = build_datasets(cfg)
+    assert missing.isdisjoint(set(bundle2["train_indices"]))
 
 
 def test_hybrid_dir_image_source_end_to_end(labels_h5, tmp_path):

@@ -137,6 +137,46 @@ def test_early_stop_patience():
     assert sched.should_stop_early(early_stop_state=es)
 
 
+def test_early_stop_accuracy_metric_direction():
+    """Higher-is-better metrics: improvement resets patience; MAX_LOSS is
+    gated off for non-loss metrics (reference: ops_schedule.py:164-170,
+    242-249)."""
+    sched, tp, _ = make_schedule(
+        **{
+            "TRAIN.EARLY_STOP.ACTIVE": True,
+            "TRAIN.EARLY_STOP.PATIENCE_STEPS": 100,
+            "TRAIN.EARLY_STOP.MAX_LOSS": 0.5,
+        }
+    )
+    es = EarlyStopState(metric_name="val_chain_accuracy", higher_is_better=True)
+    assert es.update(0.30, step=0)
+    assert not es.update(0.25, step=50)  # worse -> no improvement
+    tp.global_step = 50
+    # accuracy metrics must not trip the MAX_LOSS guard even when
+    # best_value numerically exceeds MAX_LOSS
+    es_acc = EarlyStopState(metric_name="val_acc", higher_is_better=True)
+    es_acc.update(0.9, step=0)  # 0.9 > MAX_LOSS=0.5, but it's an accuracy
+    assert not sched.should_stop_early(early_stop_state=es_acc)
+    assert es.update(0.40, step=120)  # improvement resets the clock
+    assert es.steps_since_improvement == 0
+    tp.global_step = 250
+    es.update(0.35, step=250)  # 130 steps without improvement
+    assert sched.should_stop_early(early_stop_state=es)
+
+
+def test_early_stop_state_roundtrip():
+    es = EarlyStopState(metric_name="val_acc1/taxa_L10", higher_is_better=True)
+    es.update(0.5, step=10)
+    es.update(0.4, step=30)
+    clone = EarlyStopState()
+    clone.load_state_dict(es.state_dict())
+    assert clone.metric_name == "val_acc1/taxa_L10"
+    assert clone.higher_is_better is True
+    assert clone.best_value == pytest.approx(0.5)
+    assert clone.best_step == 10
+    assert clone.steps_since_improvement == 20
+
+
 def test_training_progress_roundtrip():
     tp = TrainingProgress(global_step=42, current_epoch=3, expected_total_steps=100)
     tp.queue_validation(TrainingStage.VALIDATION_NORMAL)

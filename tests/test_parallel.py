@@ -137,3 +137,65 @@ def test_tensor_parallel_train_step(eight_devices):
         "stage3_block0/attn/qkv/kernel"
     ]
     assert q.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+
+def test_tp_sharding_exact_coverage(eight_devices):
+    """Walk the whole TP sharding tree and pin EXACTLY which params shard
+    (VERDICT r2 #8): a Flax module rename that de-shards a layer must fail
+    this test, and the runtime guards must raise on zero coverage or a
+    1-device model axis."""
+    from flax.traverse_util import flatten_dict
+
+    from linnaeus_tpu.parallel.mesh import tp_param_sharding
+
+    P = jax.sharding.PartitionSpec
+    mesh = Mesh(np.asarray(eight_devices).reshape(2, 4), ("data", "model"))
+    params = {
+        "stage3_block0": {
+            "attn": {
+                "qkv": {"kernel": jnp.ones((32, 96)), "bias": jnp.ones(96)},
+                "proj": {"kernel": jnp.ones((32, 32)), "bias": jnp.ones(32)},
+                "freqs": jnp.ones((2, 2, 8)),
+            },
+            "mlp": {
+                "Dense_0": {"kernel": jnp.ones((32, 128)), "bias": jnp.ones(128)},
+                "Dense_1": {"kernel": jnp.ones((128, 32)), "bias": jnp.ones(32)},
+            },
+            "norm1": {"scale": jnp.ones(32), "bias": jnp.ones(32)},
+        },
+        "head": {
+            "head_taxa_L10": {
+                "Dense_0": {"kernel": jnp.ones((64, 1000)), "bias": jnp.ones(1000)}
+            },
+            # non-divisible class count: stays replicated, no crash
+            "head_taxa_L40": {
+                "Dense_0": {"kernel": jnp.ones((64, 30)), "bias": jnp.ones(30)}
+            },
+        },
+        "stem": {"Conv_0": {"kernel": jnp.ones((4, 4, 3, 8))}},
+    }
+    specs = flatten_dict(tp_param_sharding(mesh, params), sep="/")
+    expected_sharded = {
+        "stage3_block0/attn/qkv/kernel": P(None, "model"),
+        "stage3_block0/attn/qkv/bias": P("model"),
+        "stage3_block0/attn/proj/kernel": P("model", None),
+        "stage3_block0/mlp/Dense_0/kernel": P(None, "model"),
+        "stage3_block0/mlp/Dense_0/bias": P("model"),
+        "stage3_block0/mlp/Dense_1/kernel": P("model", None),
+        "head/head_taxa_L10/Dense_0/kernel": P(None, "model"),
+    }
+    for path, want in expected_sharded.items():
+        assert specs[path].spec == want, f"{path} de-sharded: {specs[path].spec}"
+    for path, s in specs.items():
+        if path not in expected_sharded:
+            assert s.spec == P(), f"unexpected sharding on {path}: {s.spec}"
+
+    # rename protection: nothing matches -> hard error, not silent no-op
+    renamed = {"stage3_block0": {"attention": params["stage3_block0"]["attn"]}}
+    with pytest.raises(ValueError, match="ZERO"):
+        tp_param_sharding(mesh, renamed)
+
+    # model axis of 1 -> config error
+    mesh1 = Mesh(np.asarray(eight_devices).reshape(8, 1), ("data", "model"))
+    with pytest.raises(ValueError, match="MODEL"):
+        tp_param_sharding(mesh1, params)

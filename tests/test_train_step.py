@@ -128,6 +128,23 @@ def test_gradient_accumulation_matches_full_batch(train_setup):
     l2 = jax.tree.leaves(s2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+    # observability parity: accumulation must report the same metric keys
+    # (per-task losses, accuracy, mixed_frac) as accum=1 (reference logs
+    # these regardless of accumulation, train.py:350)
+    assert set(m1.keys()) == set(m2.keys())
+    for t in TASKS:
+        np.testing.assert_allclose(
+            float(m1[f"acc1/{t}"]), float(m2[f"acc1/{t}"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(m1[f"acc3/{t}"]), float(m2[f"acc3/{t}"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(m1[f"loss/{t}"]), float(m2[f"loss/{t}"]), rtol=1e-4
+        )
+    np.testing.assert_allclose(
+        float(m1["mixed_frac"]), float(m2["mixed_frac"]), atol=1e-6
+    )
 
 
 def test_eval_step_counts(train_setup):

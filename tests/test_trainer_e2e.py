@@ -134,6 +134,46 @@ def test_trainer_end_to_end(data_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_early_stop_plateaued_accuracy_and_resume(data_dir, tmp_path):
+    """TRAIN.EARLY_STOP.METRIC selects an accuracy metric (direction-aware),
+    patience fires on plateau, and best/patience survive checkpoint resume
+    (reference: ops_schedule.py:175-249, early_stop_state.py:9)."""
+    from linnaeus_tpu.train.loop import Trainer
+
+    epochs = 6
+    cfg = make_config(data_dir, tmp_path / "out", epochs=epochs)
+    cfg.TRAIN.EARLY_STOP.ACTIVE = True
+    cfg.TRAIN.EARLY_STOP.METRIC = "val_chain_accuracy"
+    cfg.TRAIN.EARLY_STOP.PATIENCE_STEPS = 1
+    # MIN_DELTA larger than any possible accuracy gain: the first validation
+    # sets best, every later one is a deterministic "no improvement"
+    cfg.TRAIN.EARLY_STOP.MIN_DELTA = 10.0
+    trainer = Trainer(cfg)
+    trainer.train()
+    # stopped after epoch 2's validation, far short of 6 epochs
+    assert trainer.progress.global_step < epochs * trainer.steps_per_epoch
+    assert trainer.early_stop.higher_is_better is True
+    assert trainer.early_stop.metric_name == "val_chain_accuracy"
+    assert trainer.early_stop.best_value is not None
+    assert trainer.early_stop.steps_since_improvement >= 1
+
+    # resume restores early-stop state from the sidecar
+    trainer2 = Trainer(cfg)
+    assert trainer2.try_resume()
+    assert trainer2.early_stop.best_value == pytest.approx(
+        trainer.early_stop.best_value
+    )
+    assert trainer2.early_stop.best_step == trainer.early_stop.best_step
+    assert (
+        trainer2.early_stop.steps_since_improvement
+        == trainer.early_stop.steps_since_improvement
+    )
+    assert trainer2.early_stop.higher_is_better is True
+    trainer.train_loader.close()
+    trainer2.train_loader.close()
+
+
+@pytest.mark.slow
 def test_trainer_mformer_v0_end_to_end(data_dir, tmp_path):
     """mFormerV0 through the Trainer: exercises BatchNorm stats threading."""
     from linnaeus_tpu.train.loop import Trainer
