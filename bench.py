@@ -1,11 +1,22 @@
-"""Benchmark harness: mFormerV1_sm inference throughput on the available chip.
+"""Benchmark harness: the four headline numbers on the available chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Baseline (BASELINE.md): the reference publishes no wall-clock numbers; the
-north-star target is >=5000 images/sec/chip inference for mFormerV1_sm
-(per-chip share of the v5e-8 target). vs_baseline is measured/5000.
+Probes, in priority order (each budget-guarded so the headline line always
+prints even when remote compiles eat the clock):
+  1. 224px mFormerV1_sm inference (the north-star metric; vs_baseline =
+     measured / 5000 img/s/chip, BASELINE.json);
+  2. 384px flash-routed inference (stage-3 N=580 takes the Pallas flash
+     kernels — the high-resolution serving config; was skipped in r2);
+  3. synthetic train step (full jitted step: on-device collate, bf16
+     fwd/bwd, clip, adamw);
+  4. end-to-end train (REAL file-backed HDF5 loader feeding the real step —
+     reference main.py:1822-1842 reports samples/sec with the pipeline in
+     the loop). Through the tunneled single-chip setup host->device runs at
+     ~30-60 MB/s and serializes with compute, so this number is
+     transfer-bound here; feed health is judged by the loader's avg_wait
+     (host-side stall per batch) — see docs/performance.md.
 
 Methodology notes (hard-won on this platform):
   * the remote-TPU client reports buffers ready before chained programs
@@ -21,13 +32,29 @@ Methodology notes (hard-won on this platform):
 from __future__ import annotations
 
 import json
+import os
 import time
+
+BUDGET_384 = 330.0   # start 384px probe only if elapsed < this
+BUDGET_TRAIN = 460.0
+BUDGET_E2E = 560.0
 
 
 def main() -> None:
     t_start = time.perf_counter()
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache (works for backends that serialize
+    # executables; harmless no-op otherwise). Keyed per-user dir; the
+    # remote compiler decides reusability.
+    try:
+        cache_dir = os.path.expanduser("~/.cache/linnaeus_tpu/bench-xla-cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from __graft_entry__ import _flagship_model
 
@@ -84,23 +111,11 @@ def main() -> None:
         "unit": "images/sec",
         "vs_baseline": round(float(images_per_sec) / target, 4),
     }
-    # train-step numbers alongside inference (same production config:
-    # bf16-stored scores — now the training default; full step incl.
-    # on-device mixing/masking/clip/adamw)
-    try:
-        from linnaeus_tpu.tools.train_bench import measure
 
-        train = measure(batch=128, img=224, fp32_scores=False)
-        record["train_ms_per_step_b128_224px"] = train["train_ms_per_step"]
-        record["train_images_per_sec"] = train["train_images_per_sec"]
-    except Exception as e:  # never let the train probe kill the headline
-        record["train_bench_error"] = str(e)[:200]
     # 384px flash-routed serving config (stage-3 N=580 takes the Pallas
-    # flash kernels, stage-4 keeps XLA sdpa — docs/performance.md): the
-    # high-resolution first-class bench, n reduced to bound wall time.
-    # Skipped when the earlier probes already ate the budget (slow remote
-    # compiles) so the headline line always gets printed.
-    if time.perf_counter() - t_start < 420.0:
+    # flash kernels, stage-4 keeps XLA sdpa — docs/performance.md). Probe
+    # #2 by priority: it was squeezed out of the r2 record.
+    if time.perf_counter() - t_start < BUDGET_384:
         try:
             model384 = model.clone(img_size=(384, 384), use_flash_attn=True)
             ips384 = measure_inference(model384, batch=64, img=384, n1=5, n2=15)
@@ -111,6 +126,48 @@ def main() -> None:
             record["bench_384_error"] = str(e)[:200]
     else:
         record["bench_384_skipped"] = "time budget"
+
+    # synthetic train-step (same production config: bf16-stored scores —
+    # the training default; full step incl. on-device mixing/masking/
+    # clip/adamw)
+    if time.perf_counter() - t_start < BUDGET_TRAIN:
+        try:
+            from linnaeus_tpu.tools.train_bench import measure
+
+            train = measure(batch=128, img=224, fp32_scores=False)
+            record["train_ms_per_step_b128_224px"] = train["train_ms_per_step"]
+            record["train_images_per_sec"] = train["train_images_per_sec"]
+        except Exception as e:  # never let the train probe kill the headline
+            record["train_bench_error"] = str(e)[:200]
+    else:
+        record["train_bench_skipped"] = "time budget"
+
+    # end-to-end train: real HDF5 -> threaded loader -> device_put ->
+    # jitted step per batch (the reference's epoch-loop samples/sec)
+    if time.perf_counter() - t_start < BUDGET_E2E:
+        try:
+            from linnaeus_tpu.tools.e2e_train_bench import run_e2e
+
+            e2e = run_e2e(steps=50, warmup=5, batch=128,
+                          prefix="/tmp/bench_e2e", dataset_samples=8192,
+                          skip_device_only=True)
+            record["e2e_train_images_per_sec"] = e2e["e2e_images_per_sec"]
+            record["e2e_train_ms_per_step"] = e2e["e2e_ms_per_step"]
+            record["e2e_feed_wait_ms_per_batch"] = e2e["loader"]["avg_wait_ms"]
+            if "train_ms_per_step_b128_224px" in record:
+                record["e2e_feed_overlap"] = round(
+                    record["train_ms_per_step_b128_224px"]
+                    / max(e2e["e2e_ms_per_step"], 1e-9), 4,
+                )
+            record["e2e_note"] = (
+                "tunnel host->device ~30-60 MB/s serializes with compute; "
+                "loader avg_wait is the host-pipeline health metric"
+            )
+        except Exception as e:
+            record["e2e_bench_error"] = str(e)[:200]
+    else:
+        record["e2e_bench_skipped"] = "time budget"
+
     print(json.dumps(record))
 
 

@@ -148,13 +148,16 @@ class H5DataLoader:
             emitted += 1
             self.metrics["batches_emitted"] += 1
             self.metrics["samples_emitted"] += self.sampler.batch_size
+            # update running telemetry EVERY yield (a consumer that stops
+            # mid-epoch — early exit, preemption, bench with a step budget —
+            # must still see real numbers, and the Trainer logs
+            # pipeline_metrics at step cadence, not epoch cadence)
+            elapsed = max(time.perf_counter() - epoch_start, 1e-9)
+            self.metrics["throughput_samples_per_sec"] = (
+                emitted * self.sampler.batch_size / elapsed
+            )
+            self.metrics["avg_wait_ms"] = 1000.0 * total_wait / emitted
             yield batch
-
-        elapsed = max(time.perf_counter() - epoch_start, 1e-9)
-        self.metrics["throughput_samples_per_sec"] = (
-            emitted * self.sampler.batch_size / elapsed
-        )
-        self.metrics["avg_wait_ms"] = 1000.0 * total_wait / max(emitted, 1)
         if self.debug:
             logger.debug(
                 f"[DATALOADER] epoch={self._epoch} done: "

@@ -367,3 +367,137 @@ def test_mformer_v1_sm_full_geometry_param_equality(reference_pkg):
         for x in jax.tree.leaves(v["params"])
     )
     assert n_ours == n_ref == 29_886_574
+
+
+@pytest.mark.slow
+def test_training_dynamics_parity(reference_pkg):
+    """N-step loss-trajectory parity vs the reference hot loop's math
+    (train.py:13-443): identical converted initial weights, identical
+    synthetic batches, mixing/masking off, soft-target CE summed over tasks
+    (per-task batch mean x unit task weight — the reference's
+    weighted_hierarchical_loss composition, loss/hierarchical_loss.py), SGD
+    without momentum on both sides, fp32, CPU. Catches drift in the step's
+    forward/loss/backward/update math that single-forward logit parity
+    cannot (e.g. a wrong loss reduction, a silently scaled gradient).
+
+    Known acceptable divergence: fp32 summation order differs between
+    XLA fusions and torch kernels, so per-step losses drift ~1e-6
+    relative at step 1, growing with step count; tolerances below bound
+    the COMPOUNDED drift over 30 steps.
+    """
+    ref_config, RefMFormerV1 = reference_pkg
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from linnaeus_tpu.data.collate import MixConfig
+    from linnaeus_tpu.loss import soft_target_cross_entropy
+    from linnaeus_tpu.models import MFormerV1
+    from linnaeus_tpu.train.state import create_train_state
+    from linnaeus_tpu.train.step import ScheduleScalars, make_train_step
+    from linnaeus_tpu.utils.pretrained import load_reference_mformer_v1
+
+    torch.manual_seed(0)
+    cfg = _ref_config(ref_config)
+    ref_model = RefMFormerV1(cfg, num_classes=NC, taxonomy_tree=None)
+    ref_model.train()  # all drop rates are 0, so train==eval numerics
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    flax_model = MFormerV1(
+        img_size=(64, 64),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=tuple(DIMS),
+        rope_depths=(1, 1),
+        rope_dims=tuple(ROPE_DIMS),
+        rope_num_heads=(2, 2),
+        rope_mlp_ratio=(4.0, 4.0),
+        drop_path_rate=0.0,
+        rope_mixed=True,
+        meta_components=(("TEMPORAL", 2), ("SPATIAL", 3)),
+        task_keys=tuple(TASKS),
+        num_classes=NC,
+        head_configs={t: {"TYPE": "Linear"} for t in TASKS},
+        rope_fidelity="reference_cos",
+        act_exact=True,
+    )
+    params0 = flax_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3)), jnp.zeros((2, 5))
+    )["params"]
+    params0 = load_reference_mformer_v1(
+        params0, sd,
+        convnext_depths=(1, 1, 1, 1),
+        rope_depths=(1, 1),
+        meta_names=("TEMPORAL", "SPATIAL"),
+        task_keys=tuple(TASKS),
+    )
+
+    # fixed synthetic batch cycle; labels 1..C-1 (no nulls -> the null
+    # branch is identity on both sides)
+    n_steps, B = 30, 4
+    rng = np.random.default_rng(42)
+    batches = []
+    for _ in range(6):
+        batches.append({
+            "images": rng.normal(size=(B, 64, 64, 3)).astype(np.float32) * 0.5,
+            "aux": rng.normal(size=(B, 5)).astype(np.float32),
+            "targets": {
+                t: rng.integers(1, NC[t], B).astype(np.int32) for t in TASKS
+            },
+        })
+
+    lr = 0.05
+
+    # ---- torch side: forward -> sum of per-task mean soft-CE -> SGD
+    opt = torch.optim.SGD(ref_model.parameters(), lr=lr, momentum=0.0)
+    ref_losses = []
+    for i in range(n_steps):
+        b = batches[i % len(batches)]
+        images_t = torch.from_numpy(b["images"]).permute(0, 3, 1, 2).contiguous()
+        meta_t = torch.from_numpy(b["aux"])
+        out = ref_model(images_t, meta_t)
+        total = None
+        for t in TASKS:
+            onehot = torch.nn.functional.one_hot(
+                torch.from_numpy(b["targets"][t]).long(), NC[t]
+            ).float()
+            logp = torch.nn.functional.log_softmax(out[t], dim=-1)
+            task_loss = -(onehot * logp).sum(-1).mean()
+            total = task_loss if total is None else total + task_loss
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+        ref_losses.append(float(total.detach()))
+
+    # ---- our side: the production train step, mixing/masking disabled
+    state = create_train_state(
+        flax_model, params0, optax.sgd(lr), num_tasks=len(TASKS),
+        rng=jax.random.PRNGKey(0),
+    )
+    criteria = {t: soft_target_cross_entropy for t in TASKS}
+    step = jax.jit(make_train_step(
+        criteria, tuple(TASKS),
+        MixConfig(mixup_enabled=False, cutmix_enabled=False),
+        clip_grad=0.0, has_meta=True, num_classes=NC,
+    ))
+    scalars = ScheduleScalars.zeros(5)
+    our_losses = []
+    for i in range(n_steps):
+        b = batches[i % len(batches)]
+        state, metrics = step(
+            state,
+            {"images": jnp.asarray(b["images"]),
+             "aux": jnp.asarray(b["aux"]),
+             "targets": {t: jnp.asarray(v) for t, v in b["targets"].items()}},
+            scalars,
+        )
+        our_losses.append(float(metrics["loss"]))
+
+    ours = np.asarray(our_losses)
+    theirs = np.asarray(ref_losses)
+    # early steps: tight; whole trajectory: bounded compounded drift
+    np.testing.assert_allclose(ours[:5], theirs[:5], rtol=2e-4)
+    np.testing.assert_allclose(ours, theirs, rtol=5e-3)
+    # the trajectory actually went somewhere (parameters are updating —
+    # with random labels at this lr the direction is not guaranteed)
+    assert abs(theirs[-1] - theirs[0]) > 0.02
+    assert float(np.std(theirs)) > 1e-3
