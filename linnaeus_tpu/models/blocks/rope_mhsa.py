@@ -41,6 +41,81 @@ def _mixed_freqs_init(theta: float, head_dim: int, num_heads: int):
     return init
 
 
+class _QKVProject(nn.Module):
+    """Fused-qkv projection emitting per-head q/k/v with all reshuffling on
+    the weights, never the activations.
+
+    Two tricks, both free because they act on the tiny (C, 3C) kernel:
+
+    * **pair de-interleave** — attention scores are invariant under a fixed
+      head-dim permutation applied to both q and k (v untouched), so the
+      RoPE pair features are permuted to contiguous [evens|odds] halves at
+      the weight level, making the rotation stride-1 math (the interleaved
+      path burned ~0.8 ms/step in (…, half, 2)-shaped relayouts at B=128);
+    * **weight-level head split** — the kernel is viewed as (C, 3, H, D) and
+      q/k/v come out of the matmul already (B, N, H, D), so no (B, N, 3C)
+      activation ever needs a split/reshape relayout (another ~1.5 ms/step
+      of copies in the 224px step).
+
+    The stored parameter tree is identical to ``nn.Dense`` (same "kernel"/
+    "bias" names and shapes), so checkpoints, pretrained torch conversion
+    (utils/pretrained.py) and the TP sharding rules (parallel/mesh.py) are
+    unaffected; only the compute-time view changes.
+    """
+
+    dim: int
+    num_heads: int
+    perm: tuple
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        C, H = self.dim, self.num_heads
+        D = C // H
+        kernel = self.param("kernel", trunc_normal_init, (x.shape[-1], 3 * C))
+        perm = jnp.asarray(np.asarray(self.perm, np.int64))
+        kp = kernel[:, perm].reshape(x.shape[-1], 3, H, D).astype(self.dtype)
+        xc = x.astype(self.dtype)
+        # token-major outputs: the matmul's row dim stays (b, n) so the
+        # result is written contiguously. (Emitting head-major
+        # 'bnc,chd->bhnd' here was measured SLOWER — 62.7 vs 60.0 ms/step at
+        # B=128/224px — the matmul-output scatter to (B,H,N,D) costs more
+        # than the attention-einsum transposes it removes.)
+        q = jnp.einsum("bnc,chd->bnhd", xc, kp[:, 0])
+        k = jnp.einsum("bnc,chd->bnhd", xc, kp[:, 1])
+        v = jnp.einsum("bnc,chd->bnhd", xc, kp[:, 2])
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (3 * C,))
+            bp = bias[perm].reshape(3, H, D).astype(self.dtype)
+            q, k, v = q + bp[0], k + bp[1], v + bp[2]
+        return q, k, v
+
+
+class _ProjFromHeads(nn.Module):
+    """Output projection consuming (B, N, H, D) directly: the merge back to
+    (B, N, C) is folded into the matmul by viewing the (C, C) kernel as
+    (H, D, C) — the activation-side reshape copy disappears. Parameter tree
+    identical to ``nn.Dense``."""
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C, H = self.dim, self.num_heads
+        D = C // H
+        kernel = self.param("kernel", trunc_normal_init, (C, self.dim))
+        y = jnp.einsum(
+            "bnhd,hdc->bnc", x, kernel.reshape(H, D, self.dim).astype(self.dtype)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return y + bias.astype(self.dtype)
+
+
 class RoPE2DAttention(nn.Module):
     dim: int
     img_grid_size: tuple[int, int]
@@ -54,6 +129,12 @@ class RoPE2DAttention(nn.Module):
     # turns the rotation into per-position cos(theta) scaling. Use it when
     # migrating checkpoints trained with the reference.
     rope_fidelity: str = "rotate"
+    # De-interleave the RoPE pair features at the qkv *weight* level (scores
+    # are invariant to a shared q/k head-dim permutation; v is untouched) so
+    # the rotation is contiguous-half math instead of a stride-2 pair walk.
+    # Mathematically equivalent to the interleaved path up to matmul
+    # summation order; saves the (…, half, 2)-shaped relayout copies.
+    rope_deinterleave: bool = True
     qkv_bias: bool = True
     qk_scale: float | None = None
     attn_drop: float = 0.0
@@ -74,21 +155,31 @@ class RoPE2DAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
 
-        qkv = nn.Dense(
-            3 * self.dim,
-            use_bias=self.qkv_bias,
-            kernel_init=trunc_normal_init,
-            dtype=self.dtype,
-            name="qkv",
-        )(x)
-        # Token-major split: q/k/v are contiguous lane slices of the qkv
-        # output, and every downstream op works on (B, N, H, hd) directly —
-        # no (3, B, H, N, hd) transpose ever materializes (saves ~0.6 ms of
-        # copy fusions per block at B=128, N=199 on v5e).
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, N, self.num_heads, head_dim)
-        k = k.reshape(B, N, self.num_heads, head_dim)
-        v = v.reshape(B, N, self.num_heads, head_dim)
+        if self.rope_deinterleave:
+            q, k, v = _QKVProject(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                perm=tuple(
+                    rope.qkv_deinterleave_perm(self.dim, self.num_heads).tolist()
+                ),
+                use_bias=self.qkv_bias,
+                dtype=self.dtype,
+                name="qkv",
+            )(x)
+        else:
+            qkv = nn.Dense(
+                3 * self.dim,
+                use_bias=self.qkv_bias,
+                kernel_init=trunc_normal_init,
+                dtype=self.dtype,
+                name="qkv",
+            )(x)
+            # Token-major split: q/k/v stay (B, N, H, hd) — no (3, B, H, N,
+            # hd) transpose ever materializes.
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, N, self.num_heads, head_dim)
+            k = k.reshape(B, N, self.num_heads, head_dim)
+            v = v.reshape(B, N, self.num_heads, head_dim)
 
         # RoPE angles for the image grid (extra tokens bypass rotation)
         if self.rope_mixed:
@@ -111,7 +202,10 @@ class RoPE2DAttention(nn.Module):
         if self.rope_fidelity == "reference_cos":
             sin = jnp.zeros_like(sin)
 
-        q, k = rope.apply_rotary_emb_bnhd(q, k, cos, sin, n_extra=n_extra)
+        if self.rope_deinterleave:
+            q, k = rope.apply_rotary_emb_deint(q, k, cos, sin, n_extra=n_extra)
+        else:
+            q, k = rope.apply_rotary_emb_bnhd(q, k, cos, sin, n_extra=n_extra)
 
         out = scaled_dot_product_attention(
             q, k, v, scale=scale, use_flash=self.use_flash_attn,
@@ -124,10 +218,17 @@ class RoPE2DAttention(nn.Module):
             # prob matrix is fused away. Kept for config parity.
             out = nn.Dropout(self.attn_drop)(out, deterministic=deterministic)
 
-        out = out.reshape(B, N, C)
-        out = nn.Dense(
-            self.dim, kernel_init=trunc_normal_init, dtype=self.dtype, name="proj"
-        )(out)
+        if self.rope_deinterleave:
+            out = _ProjFromHeads(
+                dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
+                name="proj",
+            )(out)
+        else:
+            out = out.reshape(B, N, C)
+            out = nn.Dense(
+                self.dim, kernel_init=trunc_normal_init, dtype=self.dtype,
+                name="proj",
+            )(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -148,6 +249,7 @@ class RoPE2DMHSABlock(nn.Module):
     drop_path: float = 0.0
     use_flash_attn: bool = False
     rope_fidelity: str = "rotate"
+    rope_deinterleave: bool = True
     act_exact: bool = False
     attn_fp32_softmax: bool = True
     dtype: jnp.dtype = jnp.float32
@@ -166,6 +268,7 @@ class RoPE2DMHSABlock(nn.Module):
             proj_drop=self.drop,
             use_flash_attn=self.use_flash_attn,
             rope_fidelity=self.rope_fidelity,
+            rope_deinterleave=self.rope_deinterleave,
             attn_fp32_softmax=self.attn_fp32_softmax,
             dtype=self.dtype,
             name="attn",

@@ -120,6 +120,7 @@ def build_model(
             rope_theta=float(rs.get("ROPE_THETA", 10000.0)),
             rope_mixed=bool(rs.get("ROPE_MIXED", True)),
             rope_fidelity=str(config.MODEL.get("ROPE_FIDELITY", "rotate")),
+            rope_deinterleave=bool(config.MODEL.get("ROPE_DEINTERLEAVE", True)),
             aggregation=str(
                 config.MODEL.get("AGGREGATION", {}).get("TYPE", "default")
             ),

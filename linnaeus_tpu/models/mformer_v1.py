@@ -55,6 +55,10 @@ class MFormerV1(nn.Module):
     # see RoPE2DAttention.rope_fidelity: 'rotate' (correct) or
     # 'reference_cos' (bit-compatible with reference-trained checkpoints)
     rope_fidelity: str = "rotate"
+    # weight-level RoPE de-interleave + head split (see blocks/rope_mhsa.py
+    # _QKVProject) — mathematically equivalent; False keeps the plain
+    # nn.Dense qkv path for layout A/B measurements
+    rope_deinterleave: bool = True
     # erf GELU for torch parity; tanh-approx is the fast TPU default
     act_exact: bool = False
     use_flash_attn: bool = False
@@ -152,6 +156,7 @@ class MFormerV1(nn.Module):
                 drop_path=float(next(dp)),
                 use_flash_attn=self.use_flash_attn,
                 rope_fidelity=self.rope_fidelity,
+                rope_deinterleave=self.rope_deinterleave,
                 act_exact=self.act_exact,
                 attn_fp32_softmax=self.attn_fp32_softmax,
                 dtype=self.dtype,
@@ -174,6 +179,7 @@ class MFormerV1(nn.Module):
                 drop_path=float(next(dp)),
                 use_flash_attn=self.use_flash_attn,
                 rope_fidelity=self.rope_fidelity,
+                rope_deinterleave=self.rope_deinterleave,
                 act_exact=self.act_exact,
                 attn_fp32_softmax=self.attn_fp32_softmax,
                 dtype=self.dtype,

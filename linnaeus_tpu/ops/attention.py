@@ -18,21 +18,41 @@ def sdpa_reference(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
+    fp32_softmax: bool = True,
 ) -> jnp.ndarray:
-    """Softmax attention, fp32 accumulation. q,k,v: (B, H, N, D)."""
+    """Softmax attention on head-major (B, H, N, D) operands.
+
+    Both einsums have (b, h) as leading batch dims matching the operand
+    layout, so no internal operand/output transposes are needed — when q/k/v
+    arrive head-major (weight-level head split in blocks/rope_mhsa.py) this
+    is the churn-free formulation. ``fp32_softmax=False`` stores scores in
+    the compute dtype (softmax max/exp/sum still f32 in-fusion) — see
+    :func:`sdpa_bnhd`.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     out_dtype = v.dtype
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk",
-        q.astype(jnp.float32) * scale,
-        k.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    probs = jax.nn.softmax(logits, axis=-1)
+    if fp32_softmax:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            q.astype(jnp.float32) * scale,
+            k.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    else:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            q * jnp.asarray(scale, q.dtype),
+            k,
+            preferred_element_type=q.dtype,
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            v.dtype
+        )
     out = jnp.einsum(
         "bhqk,bhkd->bhqd",
-        probs.astype(v.dtype),
+        probs,
         v,
         preferred_element_type=jnp.float32,
     )
@@ -134,4 +154,4 @@ def scaled_dot_product_attention(
             return flash_attention(q, k, v, scale=scale)
     if layout == "bnhd":
         return sdpa_bnhd(q, k, v, scale=scale, fp32_softmax=fp32_softmax)
-    return sdpa_reference(q, k, v, scale=scale)
+    return sdpa_reference(q, k, v, scale=scale, fp32_softmax=fp32_softmax)

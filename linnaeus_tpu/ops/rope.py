@@ -142,6 +142,81 @@ def angles_to_cos_sin(angles: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.cos(angles), jnp.sin(angles)
 
 
+def deinterleave_perm(head_dim: int) -> np.ndarray:
+    """Static permutation mapping interleaved pair features (e0,o0,e1,o1,…)
+    to contiguous halves [e0,e1,… | o0,o1,…] within one head."""
+    half = head_dim // 2
+    p = np.empty(head_dim, np.int64)
+    p[:half] = np.arange(0, head_dim, 2)
+    p[half:] = np.arange(1, head_dim, 2)
+    return p
+
+
+def qkv_deinterleave_perm(dim: int, num_heads: int) -> np.ndarray:
+    """Column permutation for a (C, 3C) fused-qkv kernel that de-interleaves
+    the RoPE pair features of q and k per head; v columns stay put.
+
+    Attention scores q·kᵀ are invariant under any fixed permutation of the
+    head dim applied to BOTH q and k, and v is untouched, so permuting the
+    projection *weights* (a static gather on a tiny (C,3C) matrix, ~µs)
+    makes the rotation pure contiguous-half math on the activations — no
+    trailing-2 reshape/stack, no strided lane slices (measured 0.8 ms/step
+    of (…,half,2)-shaped relayout copies at B=128 on v5e; see
+    docs/performance.md layout-churn table).
+    """
+    head_dim = dim // num_heads
+    hp = deinterleave_perm(head_dim)
+    per_head = np.concatenate(
+        [hp + h * head_dim for h in range(num_heads)]
+    )
+    return np.concatenate(
+        [per_head, per_head + dim, np.arange(dim, dtype=np.int64) + 2 * dim]
+    )
+
+
+def apply_rotary_emb_deint(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    n_extra: int = 0,
+    layout: str = "bnhd",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotation on de-interleaved q/k: first D/2 features are the even
+    (real) pair members, second D/2 the odd (imaginary) ones.
+
+    Equivalent to :func:`apply_rotary_emb_bnhd` composed with the per-head
+    permutation from :func:`deinterleave_perm` — both contiguous-half slices
+    map onto full vector lanes instead of a stride-2 walk.
+
+    ``layout``: "bnhd" (token-major) or "bhnd" (head-major, straight out of
+    a weight-level-split qkv einsum). cos/sin stay (N_img, H, half) either
+    way; the head-major broadcast transpose runs on the tiny angle table.
+    """
+    dtype = query.dtype
+    half = cos.shape[-1]
+    if n_extra:
+        pad_c = jnp.ones((n_extra,) + cos.shape[1:], cos.dtype)
+        pad_s = jnp.zeros((n_extra,) + sin.shape[1:], sin.dtype)
+        cos = jnp.concatenate([pad_c, cos], axis=0)
+        sin = jnp.concatenate([pad_s, sin], axis=0)
+    if layout == "bhnd":
+        cos_b = jnp.transpose(cos, (1, 0, 2))[None].astype(dtype)
+        sin_b = jnp.transpose(sin, (1, 0, 2))[None].astype(dtype)
+    else:
+        cos_b = cos[None].astype(dtype)  # (1, N, H, half)
+        sin_b = sin[None].astype(dtype)
+
+    def rot(x):
+        xe = x[..., :half]
+        xo = x[..., half:]
+        return jnp.concatenate(
+            [xe * cos_b - xo * sin_b, xe * sin_b + xo * cos_b], axis=-1
+        )
+
+    return rot(query), rot(key)
+
+
 def apply_rotary_emb_bnhd(
     query: jnp.ndarray,
     key: jnp.ndarray,

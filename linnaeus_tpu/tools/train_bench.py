@@ -53,7 +53,8 @@ def _v0_sm_model(img: int, fp32_scores: bool):
 
 
 def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
-               flash: bool = False, arch: str = "v1"):
+               flash: bool = False, arch: str = "v1",
+               rope_deinterleave: bool = True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -68,11 +69,12 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
         model = _v0_sm_model(img, fp32_scores)
     else:
         model = _flagship_model(attn_fp32_softmax=fp32_scores)
-        if img != 224 or remat or flash:
+        if img != 224 or remat or flash or not rope_deinterleave:
             model = model.clone(
                 img_size=(img, img),
                 gradient_checkpointing=remat,
                 use_flash_attn=flash,
+                rope_deinterleave=rope_deinterleave,
             )
     tasks = model.task_keys
     nc = dict(model.num_classes)
@@ -130,8 +132,10 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
 
 def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
             remat: bool = False, flash: bool = False,
-            n1: int = 4, n2: int = 12, arch: str = "v1") -> dict:
-    run_j, state = build_step(batch, img, fp32_scores, remat, flash, arch)
+            n1: int = 4, n2: int = 12, arch: str = "v1",
+            rope_deinterleave: bool = True) -> dict:
+    run_j, state = build_step(batch, img, fp32_scores, remat, flash, arch,
+                              rope_deinterleave=rope_deinterleave)
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
@@ -160,6 +164,8 @@ def main(argv=None) -> None:
     p.add_argument("--fp32-scores", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--flash", action="store_true")
+    p.add_argument("--no-deinterleave", action="store_true",
+                   help="legacy interleaved-RoPE layout (A/B baseline)")
     p.add_argument("--arch", choices=("v1", "v0"), default="v1",
                    help="v1 = mFormerV1_sm flagship; v0 = mFormerV0_sm")
     p.add_argument("--sweep", action="store_true",
@@ -183,6 +189,7 @@ def main(argv=None) -> None:
     print(json.dumps(measure(
         batch=args.batch, img=args.img, fp32_scores=args.fp32_scores,
         remat=args.remat, flash=args.flash, arch=args.arch,
+        rope_deinterleave=not args.no_deinterleave,
     )))
 
 

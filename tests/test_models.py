@@ -208,3 +208,64 @@ def test_attn_fp32_softmax_knob():
     a16 = mk(True, jnp.bfloat16).apply({"params": params}, x16).astype(jnp.float32)
     b16 = mk(False, jnp.bfloat16).apply({"params": params}, x16).astype(jnp.float32)
     assert float(jnp.max(jnp.abs(a16 - b16))) < 0.1
+
+
+def test_rope_deinterleave_equivalence():
+    """The weight-level de-interleave + head-split path (rope_deinterleave,
+    the default) is mathematically equivalent to the interleaved nn.Dense
+    path: scores are invariant under the shared q/k head-dim permutation and
+    v/proj are untouched — same param tree, same outputs (up to matmul
+    summation order). Covers mixed + axial RoPE and both fidelity modes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from linnaeus_tpu.models.blocks.rope_mhsa import RoPE2DAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 19, 48), jnp.float32)
+    for mixed in (True, False):
+        for fidelity in ("rotate", "reference_cos"):
+            p0, outs = None, {}
+            for deint in (False, True):
+                m = RoPE2DAttention(
+                    dim=48, img_grid_size=(4, 4), extra_token_num=3,
+                    num_heads=4, rope_mixed=mixed, qkv_bias=True,
+                    rope_fidelity=fidelity, rope_deinterleave=deint,
+                )
+                if p0 is None:
+                    p0 = m.init(jax.random.PRNGKey(1), x)
+                # identical param tree consumed by both paths
+                outs[deint] = np.asarray(m.apply(p0, x))
+            np.testing.assert_allclose(
+                outs[True], outs[False], atol=1e-5,
+                err_msg=f"mixed={mixed} fidelity={fidelity}",
+            )
+
+
+def test_rope_deinterleave_grad_equivalence():
+    """Gradients through both layout paths agree — the de-interleave must
+    not change training dynamics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from linnaeus_tpu.models.blocks.rope_mhsa import RoPE2DMHSABlock
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 19, 48), jnp.float32)
+    p0, grads = None, {}
+    for deint in (False, True):
+        m = RoPE2DMHSABlock(
+            dim=48, img_grid_size=(4, 4), extra_token_num=3, num_heads=4,
+            rope_deinterleave=deint,
+        )
+        if p0 is None:
+            p0 = m.init(jax.random.PRNGKey(1), x)
+
+        def loss(p):
+            return jnp.sum(m.apply(p, x) ** 2)
+
+        grads[deint] = jax.grad(loss)(p0)
+    flat_a = jax.tree_util.tree_leaves(grads[True])
+    flat_b = jax.tree_util.tree_leaves(grads[False])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
