@@ -267,6 +267,11 @@ def _build_default_config() -> CN:
     # models/blocks/rope_mhsa.py); False keeps the plain nn.Dense qkv
     # layout for A/B measurements.
     _C.MODEL.ROPE_DEINTERLEAVE = True
+    # mFormerV0 analog of the same layout rewrite: weight-level head
+    # split/merge in RelativeAttention (no RoPE pairs to de-interleave).
+    # Default off — measured neutral-to-slightly-slower there (negative
+    # result, docs/performance.md); the knob stays for A/B runs.
+    _C.MODEL.ATTN_HEAD_SPLIT = False
     # erf GELU (torch-exact) vs tanh approximation (default; ~1.5x faster
     # end-to-end on v5e with negligible accuracy impact)
     _C.MODEL.ACT_EXACT_GELU = False

@@ -16,7 +16,13 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .common import DropPath, Mlp, trunc_normal_init
+from .common import (
+    DropPath,
+    Mlp,
+    ProjFromHeads,
+    QKVProjectHeads,
+    trunc_normal_init,
+)
 
 
 def build_relative_position_index(h: int, w: int, extra: int) -> np.ndarray:
@@ -74,6 +80,17 @@ class RelativeAttention(nn.Module):
     # the compute dtype — softmax math stays f32 in-fusion (serving knob,
     # same semantics as ops/attention.py:sdpa_bnhd)
     attn_fp32_softmax: bool = True
+    # weight-level head split/merge (blocks/common.py QKVProjectHeads /
+    # ProjFromHeads): q/k/v leave the qkv matmul already (B, N, H, D) and
+    # the proj matmul consumes heads directly — no (B, N, 3C) activation
+    # split or head-merge relayout copies. Mathematically equivalent, same
+    # param tree. Default OFF: unlike the RoPE path (where the same rewrite
+    # saved ~4 ms/step), V0 traces measured it neutral-to-slightly-slower
+    # (75.0 vs 74.2 ms/step at B=128/224px) — there are no RoPE pair
+    # relayouts to remove, the contiguous q/k/v lane slices were already
+    # free, and the (C,3,H,D) weight view adds data-formatting cost. See
+    # docs/performance.md.
+    head_split: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -92,16 +109,22 @@ class RelativeAttention(nn.Module):
         )
         rel_idx = build_relative_position_index(h, w, self.extra_token_num)
 
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
-                       kernel_init=trunc_normal_init, dtype=self.dtype,
-                       name="qkv")(x)
-        # Token-major (B, N, H, hd) split — the head axis stays a dot_general
-        # batch dim, so no (3, B, H, N, hd) transpose copy materializes (same
-        # optimization as rope_mhsa.py; ~0.6 ms/block at B=128 on v5e).
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, N, self.num_heads, head_dim)
-        k = k.reshape(B, N, self.num_heads, head_dim)
-        v = v.reshape(B, N, self.num_heads, head_dim)
+        if self.head_split:
+            q, k, v = QKVProjectHeads(
+                dim=self.dim, num_heads=self.num_heads,
+                use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
+            )(x)
+        else:
+            qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
+                           kernel_init=trunc_normal_init, dtype=self.dtype,
+                           name="qkv")(x)
+            # Token-major (B, N, H, hd) split — the head axis stays a
+            # dot_general batch dim, so no (3, B, H, N, hd) transpose copy
+            # materializes (same optimization as rope_mhsa.py).
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, N, self.num_heads, head_dim)
+            k = k.reshape(B, N, self.num_heads, head_dim)
+            v = v.reshape(B, N, self.num_heads, head_dim)
 
         score_dtype = jnp.float32 if self.attn_fp32_softmax else q.dtype
         logits = jnp.einsum(
@@ -116,9 +139,13 @@ class RelativeAttention(nn.Module):
         probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        out = out.reshape(B, N, C)
-        out = nn.Dense(self.dim, kernel_init=trunc_normal_init,
-                       dtype=self.dtype, name="proj")(out)
+        if self.head_split:
+            out = ProjFromHeads(dim=self.dim, num_heads=self.num_heads,
+                                dtype=self.dtype, name="proj")(out)
+        else:
+            out = out.reshape(B, N, C)
+            out = nn.Dense(self.dim, kernel_init=trunc_normal_init,
+                           dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -144,6 +171,7 @@ class RelativeMHSABlock(nn.Module):
     proj_drop: float = 0.0
     act_exact: bool = False
     attn_fp32_softmax: bool = True
+    head_split: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -174,6 +202,7 @@ class RelativeMHSABlock(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.proj_drop,
             attn_fp32_softmax=self.attn_fp32_softmax,
+            head_split=self.head_split,
             dtype=self.dtype,
             name="attn",
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), deterministic)

@@ -21,7 +21,13 @@ import flax.linen as nn
 
 from linnaeus_tpu.ops import rope
 from linnaeus_tpu.ops.attention import scaled_dot_product_attention
-from .common import DropPath, Mlp, trunc_normal_init
+from .common import (
+    DropPath,
+    Mlp,
+    ProjFromHeads,
+    QKVProjectHeads,
+    trunc_normal_init,
+)
 
 
 def _mixed_freqs_init(theta: float, head_dim: int, num_heads: int):
@@ -39,81 +45,6 @@ def _mixed_freqs_init(theta: float, head_dim: int, num_heads: int):
         return jnp.stack([fx, fy], axis=0).astype(dtype)  # (2, H, half)
 
     return init
-
-
-class _QKVProject(nn.Module):
-    """Fused-qkv projection emitting per-head q/k/v with all reshuffling on
-    the weights, never the activations.
-
-    Two tricks, both free because they act on the tiny (C, 3C) kernel:
-
-    * **pair de-interleave** — attention scores are invariant under a fixed
-      head-dim permutation applied to both q and k (v untouched), so the
-      RoPE pair features are permuted to contiguous [evens|odds] halves at
-      the weight level, making the rotation stride-1 math (the interleaved
-      path burned ~0.8 ms/step in (…, half, 2)-shaped relayouts at B=128);
-    * **weight-level head split** — the kernel is viewed as (C, 3, H, D) and
-      q/k/v come out of the matmul already (B, N, H, D), so no (B, N, 3C)
-      activation ever needs a split/reshape relayout (another ~1.5 ms/step
-      of copies in the 224px step).
-
-    The stored parameter tree is identical to ``nn.Dense`` (same "kernel"/
-    "bias" names and shapes), so checkpoints, pretrained torch conversion
-    (utils/pretrained.py) and the TP sharding rules (parallel/mesh.py) are
-    unaffected; only the compute-time view changes.
-    """
-
-    dim: int
-    num_heads: int
-    perm: tuple
-    use_bias: bool = True
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(
-        self, x: jnp.ndarray
-    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        C, H = self.dim, self.num_heads
-        D = C // H
-        kernel = self.param("kernel", trunc_normal_init, (x.shape[-1], 3 * C))
-        perm = jnp.asarray(np.asarray(self.perm, np.int64))
-        kp = kernel[:, perm].reshape(x.shape[-1], 3, H, D).astype(self.dtype)
-        xc = x.astype(self.dtype)
-        # token-major outputs: the matmul's row dim stays (b, n) so the
-        # result is written contiguously. (Emitting head-major
-        # 'bnc,chd->bhnd' here was measured SLOWER — 62.7 vs 60.0 ms/step at
-        # B=128/224px — the matmul-output scatter to (B,H,N,D) costs more
-        # than the attention-einsum transposes it removes.)
-        q = jnp.einsum("bnc,chd->bnhd", xc, kp[:, 0])
-        k = jnp.einsum("bnc,chd->bnhd", xc, kp[:, 1])
-        v = jnp.einsum("bnc,chd->bnhd", xc, kp[:, 2])
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (3 * C,))
-            bp = bias[perm].reshape(3, H, D).astype(self.dtype)
-            q, k, v = q + bp[0], k + bp[1], v + bp[2]
-        return q, k, v
-
-
-class _ProjFromHeads(nn.Module):
-    """Output projection consuming (B, N, H, D) directly: the merge back to
-    (B, N, C) is folded into the matmul by viewing the (C, C) kernel as
-    (H, D, C) — the activation-side reshape copy disappears. Parameter tree
-    identical to ``nn.Dense``."""
-
-    dim: int
-    num_heads: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        C, H = self.dim, self.num_heads
-        D = C // H
-        kernel = self.param("kernel", trunc_normal_init, (C, self.dim))
-        y = jnp.einsum(
-            "bnhd,hdc->bnc", x, kernel.reshape(H, D, self.dim).astype(self.dtype)
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-        return y + bias.astype(self.dtype)
 
 
 class RoPE2DAttention(nn.Module):
@@ -156,7 +87,7 @@ class RoPE2DAttention(nn.Module):
         scale = self.qk_scale or head_dim**-0.5
 
         if self.rope_deinterleave:
-            q, k, v = _QKVProject(
+            q, k, v = QKVProjectHeads(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 perm=tuple(
@@ -219,7 +150,7 @@ class RoPE2DAttention(nn.Module):
             out = nn.Dropout(self.attn_drop)(out, deterministic=deterministic)
 
         if self.rope_deinterleave:
-            out = _ProjFromHeads(
+            out = ProjFromHeads(
                 dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
                 name="proj",
             )(out)

@@ -134,6 +134,7 @@ def build_model(
             attn_depths=tuple(st.get("ATTN_DEPTHS", (5, 2))),
             num_heads=tuple(st.get("NUM_HEADS", (8, 8))),
             mlp_ratio=tuple(float(r) for r in st.get("MLP_RATIO", (4.0, 4.0))),
+            head_split=bool(config.MODEL.get("ATTN_HEAD_SPLIT", False)),
             **common,
         )
     else:

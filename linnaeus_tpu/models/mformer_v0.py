@@ -51,6 +51,11 @@ class MFormerV0(nn.Module):
     use_flash_attn: bool = False  # relative attention has no flash variant
     # fp32-stored attention scores (reference parity); False = serving knob
     attn_fp32_softmax: bool = True
+    # weight-level head split/merge in attention (blocks/common.py) —
+    # mathematically equivalent, same param tree. Default OFF: measured
+    # neutral-to-slightly-slower for RelativeAttention (negative result in
+    # docs/performance.md), unlike the RoPE path where it wins ~4 ms/step.
+    head_split: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -157,6 +162,7 @@ class MFormerV0(nn.Module):
                 proj_drop=self.drop_rate,
                 act_exact=self.act_exact,
                 attn_fp32_softmax=self.attn_fp32_softmax,
+                head_split=self.head_split,
                 dtype=self.dtype,
                 name=f"stage3_block{i}",
             )(y, extras(1, dims[3]) if i == 0 else None, deterministic)
@@ -191,6 +197,7 @@ class MFormerV0(nn.Module):
                 proj_drop=self.drop_rate,
                 act_exact=self.act_exact,
                 attn_fp32_softmax=self.attn_fp32_softmax,
+                head_split=self.head_split,
                 dtype=self.dtype,
                 name=f"stage4_block{i}",
             )(y, extras(2, dims[4]) if i == 0 else None, deterministic)

@@ -25,13 +25,18 @@ import os
 
 
 def capture(out: str, batch: int, img: int, fp32_scores: bool,
-            steps: int) -> None:
+            steps: int, arch: str = "v1", deinterleave: bool = True,
+            v0_head_split: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
     from linnaeus_tpu.tools.train_bench import build_step
+    from linnaeus_tpu.utils.compile_cache import enable_compile_cache
 
-    run_j, state = build_step(batch, img, fp32_scores, remat=False)
+    enable_compile_cache()
+    run_j, state = build_step(batch, img, fp32_scores, remat=False,
+                              arch=arch, rope_deinterleave=deinterleave,
+                              v0_head_split=v0_head_split)
     float(run_j(state, jnp.int32(1)))  # compile + warm
     with jax.profiler.trace(out):
         float(run_j(state, jnp.int32(steps)))  # host read inside the trace
@@ -105,6 +110,12 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--img", type=int, default=224)
     p.add_argument("--fp32-scores", action="store_true")
+    p.add_argument("--arch", choices=("v1", "v0"), default="v1")
+    p.add_argument("--no-deinterleave", action="store_true",
+                   help="v1 A/B: legacy interleaved-RoPE nn.Dense qkv")
+    p.add_argument("--v0-head-split", action="store_true",
+                   help="v0 A/B: weight-level head split in "
+                        "RelativeAttention (default off)")
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--parse-only", action="store_true")
@@ -113,7 +124,9 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     if not args.parse_only:
-        capture(args.out, args.batch, args.img, args.fp32_scores, args.steps)
+        capture(args.out, args.batch, args.img, args.fp32_scores, args.steps,
+                arch=args.arch, deinterleave=not args.no_deinterleave,
+                v0_head_split=args.v0_head_split)
     res = parse(args.out)
     if args.dump_json:
         with open(args.dump_json, "w") as fh:

@@ -54,7 +54,7 @@ def _v0_sm_model(img: int, fp32_scores: bool):
 
 def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
                flash: bool = False, arch: str = "v1",
-               rope_deinterleave: bool = True):
+               rope_deinterleave: bool = True, v0_head_split: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -67,6 +67,10 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
 
     if arch == "v0":
         model = _v0_sm_model(img, fp32_scores)
+        if v0_head_split:
+            # A/B switch: weight-level head split in RelativeAttention
+            # (measured neutral-to-slower there; default off)
+            model = model.clone(head_split=True)
     else:
         model = _flagship_model(attn_fp32_softmax=fp32_scores)
         if img != 224 or remat or flash or not rope_deinterleave:
@@ -133,9 +137,14 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
 def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
             remat: bool = False, flash: bool = False,
             n1: int = 4, n2: int = 12, arch: str = "v1",
-            rope_deinterleave: bool = True) -> dict:
+            rope_deinterleave: bool = True,
+            v0_head_split: bool = False) -> dict:
+    from linnaeus_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     run_j, state = build_step(batch, img, fp32_scores, remat, flash, arch,
-                              rope_deinterleave=rope_deinterleave)
+                              rope_deinterleave=rope_deinterleave,
+                              v0_head_split=v0_head_split)
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
@@ -166,6 +175,9 @@ def main(argv=None) -> None:
     p.add_argument("--flash", action="store_true")
     p.add_argument("--no-deinterleave", action="store_true",
                    help="legacy interleaved-RoPE layout (A/B baseline)")
+    p.add_argument("--v0-head-split", action="store_true",
+                   help="v0 A/B: weight-level head split in "
+                        "RelativeAttention (default off; measured neutral)")
     p.add_argument("--arch", choices=("v1", "v0"), default="v1",
                    help="v1 = mFormerV1_sm flagship; v0 = mFormerV0_sm")
     p.add_argument("--sweep", action="store_true",
@@ -190,6 +202,7 @@ def main(argv=None) -> None:
         batch=args.batch, img=args.img, fp32_scores=args.fp32_scores,
         remat=args.remat, flash=args.flash, arch=args.arch,
         rope_deinterleave=not args.no_deinterleave,
+        v0_head_split=args.v0_head_split,
     )))
 
 

@@ -43,37 +43,14 @@ def enable_compile_cache(config) -> None:
         return
     import os
 
-    import jax
+    from linnaeus_tpu.utils.compile_cache import (
+        enable_compile_cache as _enable,
+    )
 
-    cache_dir = str(cc.get("DIR", "")) or os.path.expanduser(
+    base = str(cc.get("DIR", "")) or os.path.expanduser(
         "~/.cache/linnaeus_tpu/xla-cache"
     )
-    # XLA:CPU AOT executables embed the compile host's CPU features;
-    # loading one on a host without them segfaults. Key the cache by the
-    # feature set so VM migrations across heterogeneous machines get a
-    # fresh cache instead of SIGILL/SIGSEGV.
-    try:
-        import hashlib
-
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    cache_dir += "-" + hashlib.md5(
-                        flags.encode()
-                    ).hexdigest()[:10]
-                    break
-    except OSError:
-        pass
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs",
-            float(cc.get("MIN_COMPILE_SECS", 1.0)),
-        )
-    except Exception:  # cache is an optimization, never fatal
-        pass
+    _enable(base, float(cc.get("MIN_COMPILE_SECS", 1.0)))
 
 
 def main(argv=None) -> None:

@@ -269,3 +269,38 @@ def test_rope_deinterleave_grad_equivalence():
     flat_b = jax.tree_util.tree_leaves(grads[False])
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_relative_attention_head_split_equivalence():
+    """mFormerV0's RelativeAttention with the weight-level head split
+    (head_split, the default) matches the plain nn.Dense layout on the same
+    param tree — outputs and grads (same rewrite as the RoPE path; no
+    permutation involved since there are no RoPE pairs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from linnaeus_tpu.models.blocks.relative_mhsa import RelativeAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 19, 48), jnp.float32)
+    for qkv_bias in (True, False):
+        p0, outs, grads = None, {}, {}
+        for split in (False, True):
+            m = RelativeAttention(
+                dim=48, img_size=(4, 4), extra_token_num=3, num_heads=4,
+                qkv_bias=qkv_bias, head_split=split,
+            )
+            if p0 is None:
+                p0 = m.init(jax.random.PRNGKey(1), x)
+            outs[split] = np.asarray(m.apply(p0, x))
+
+            def loss(p):
+                return jnp.sum(m.apply(p, x) ** 2)
+
+            grads[split] = jax.grad(loss)(p0)
+        np.testing.assert_allclose(
+            outs[True], outs[False], atol=1e-5, err_msg=f"qkv_bias={qkv_bias}"
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(grads[True]),
+                        jax.tree_util.tree_leaves(grads[False])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
