@@ -154,6 +154,57 @@ def _flash_bwd_dq_kernel(
         dq_ref[0] = (dq_scratch[:] * scale).astype(dq_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, scale: float, n_valid: int,
+):
+    """Single-program backward for the full-row-block case (nq = nk = 1).
+
+    When the whole (padded) sequence fits one block — every 224/384px stage,
+    since _auto_blocks caps at 1024 — the split dQ / dK-dV kernels each
+    recompute s, p and dp from HBM-resident q/k/v/do. Fusing them computes
+    the five N^2 D matmuls (s, dp, dv, dq, dk) exactly once: 5 instead of 9
+    matmul units and one kernel launch instead of two (measured 133.5 ms
+    XLA-sdpa vs 136.8 split-kernel at 384px B=64 train; this closes the
+    kernel's deficit — see docs/performance.md).
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0][:, None]      # (BQ, 1)
+    delta = delta_ref[0, 0][:, None]  # (BQ, 1)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BQ, BK)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse)
+
+    # dV = P^T @ dO
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta)).astype(k.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dq_ref.dtype)
+    dk_ref[0] = (jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dk_ref.dtype)
+
+
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scratch, dv_scratch,
@@ -380,6 +431,52 @@ def _flash_bwd_rule(scale, block_q, block_k, residuals, g):
         dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1
     ).reshape(BH, nq_pad // block_q, block_q)
     lse_f = lse
+
+    if nq_pad == block_q and nk_pad == block_k:
+        # full-row blocks (every <=1024-token stage): one fused program per
+        # (b, h) computes s/p/dp once for all three grads — 5 matmul units
+        # instead of the split kernels' 9
+        def fspec(block, D):
+            return pl.BlockSpec(
+                (1, block, D), lambda bh: (bh, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def fvec(block):
+            return pl.BlockSpec(
+                (1, 1, block), lambda bh: (bh, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _flash_bwd_fused_kernel, scale=float(scale), n_valid=N
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(qf.shape, q.dtype),
+                jax.ShapeDtypeStruct(kf.shape, k.dtype),
+                jax.ShapeDtypeStruct(vf.shape, v.dtype),
+            ),
+            grid=(BH,),
+            in_specs=[
+                fspec(block_q, D),   # q
+                fspec(block_k, D),   # k
+                fspec(block_k, D),   # v
+                fspec(block_q, D),   # do
+                fvec(block_q),       # lse
+                fvec(block_q),       # delta
+            ],
+            out_specs=(fspec(block_q, D), fspec(block_k, D), fspec(block_k, D)),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * BH * N * N * D,
+                bytes_accessed=8 * BH * nq_pad * D * qf.dtype.itemsize,
+                transcendentals=BH * N * N,
+            ),
+        )(qf, kf, vf, dof, lse_f, delta)
+        dq = dq[:, :N, :].reshape(B, H, N, D)
+        dk = dk[:, :N, :].reshape(B, H, N, D)
+        dv = dv[:, :N, :].reshape(B, H, N, D)
+        return dq, dk, dv
 
     grid_dq = (BH, nq_pad // block_q, nk_pad // block_k)
     dq = pl.pallas_call(

@@ -85,3 +85,21 @@ def test_both_backward_strategies_match(bwd):
     )(q)
     g_ref = jax.grad(lambda q: (sdpa_reference(q, k, v) ** 2).sum())(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-3)
+
+
+def test_split_backward_kernels_multiblock():
+    """The tiled dQ / dK-dV kernels (used when the padded row exceeds
+    MAX_BLOCK) still match reference grads — exercised explicitly with
+    128-token blocks since auto_blocks makes every N<=1024 case take the
+    fused single-program backward instead."""
+    B, H, N, D = 1, 2, 300, 32  # 128-blocks -> 3 q-blocks x 3 k-blocks
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = [jax.random.normal(kk, (B, H, N, D)) for kk in ks]
+    g = jax.grad(
+        lambda q: (fa.flash_attention(
+            q, k, v, bwd="kernel", block_q=128, block_k=128,
+            auto_blocks=False,
+        ) ** 2).sum()
+    )(q)
+    g_ref = jax.grad(lambda q: (sdpa_reference(q, k, v) ** 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-3)
