@@ -1,0 +1,102 @@
+"""Ring attention: sequence-parallel exact attention over a mesh axis.
+
+Scales attention past one chip's HBM/FLOPs by sharding the TOKEN dimension
+across devices: each device keeps its local query block resident while the
+key/value blocks rotate around the ring via ``jax.lax.ppermute`` (one hop
+per step, P steps on a P-device axis), accumulating the exact softmax with
+the online (streaming max/denominator) recurrence — the same math as the
+Pallas flash kernel (ops/flash_attention.py), lifted one level up so the
+blocks live on *different chips* instead of different VMEM tiles.
+
+No reference analog (the reference tops out at single-GPU flash-attn,
+rope_2d_mhsa.py:459-491); this is the TPU-native path to 1024px+ inputs
+where one stage-3 token tensor no longer fits a single chip: communication
+rides the ICI ring and overlaps with the per-chunk matmuls, and reverse-mode
+AD flows through ``lax.scan`` + ``ppermute`` (its transpose is the inverted
+ring), so training works without custom VJPs.
+
+Layout contract: q/k/v are (B, H, N, D) with N sharded over ``axis_name``
+(global view); the result has the same sharding as q.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "model",
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Exact softmax attention with the token dim sharded over ``axis_name``.
+
+    q, k, v: (B, H, N, D) global arrays (sharded or not — shard_map
+    constrains them to P(None, None, axis_name, None)). Returns (B, H, N, D)
+    with the same sharding. N must divide evenly by the axis size.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n = q.shape[2]
+    p_size = mesh.shape[axis_name]
+    if n % p_size:
+        raise ValueError(
+            f"ring_attention: N={n} not divisible by mesh axis "
+            f"'{axis_name}' of size {p_size}"
+        )
+    spec = P(None, None, axis_name, None)
+    fn = jax.shard_map(
+        functools.partial(
+            _ring_attention_shard, axis_name=axis_name, scale=float(scale)
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)
+
+
+def _ring_attention_shard(q, k, v, *, axis_name: str, scale: float):
+    p_size = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % p_size) for i in range(p_size)]
+
+    B, H, n_loc, D = q.shape
+    qs = q.astype(jnp.float32) * scale
+
+    def step(carry, _):
+        kc, vc, m, l, acc = carry
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", qs, kc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        return (kc, vc, m_new, l_new, acc_new), None
+
+    # initial carries must be marked device-varying over the ring axis so
+    # the scan carry type is stable (the body's outputs are varying)
+    m0 = jax.lax.pvary(
+        jnp.full((B, H, n_loc, 1), -jnp.inf, jnp.float32), (axis_name,)
+    )
+    l0 = jax.lax.pvary(jnp.zeros((B, H, n_loc, 1), jnp.float32), (axis_name,))
+    acc0 = jax.lax.pvary(jnp.zeros((B, H, n_loc, D), jnp.float32), (axis_name,))
+    (_, _, _, l, acc), _ = jax.lax.scan(
+        step, (k, v, m0, l0, acc0), None, length=p_size
+    )
+    return (acc / jnp.maximum(l, 1e-30)).astype(v.dtype)
