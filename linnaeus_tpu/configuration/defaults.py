@@ -544,6 +544,11 @@ def _build_default_config() -> CN:
     # largest axis along the data axis), or 'tp' (Megatron column/row-parallel
     # transformer projections over the model axis — set MESH.MODEL > 1)
     _C.PARALLEL.PARAM_SHARDING = "replicated"
+    # Sequence parallelism: run RoPE attention as a ppermute ring over the
+    # model axis (ops/ring_attention.py) — the token dim shards across
+    # chips, for inputs whose stage-3 token tensor exceeds one chip's HBM
+    # (1024px+). Requires MESH.MODEL > 1 and MODEL.TYPE=mFormerV1.
+    _C.PARALLEL.SEQUENCE_PARALLEL = False
     # Use jax.distributed.initialize() for multi-host
     _C.PARALLEL.MULTI_HOST = False
 

@@ -66,6 +66,12 @@ class RoPE2DAttention(nn.Module):
     # Mathematically equivalent to the interleaved path up to matmul
     # summation order; saves the (…, half, 2)-shaped relayout copies.
     rope_deinterleave: bool = True
+    # sequence parallelism: a jax.sharding.Mesh (static, hashable) routes
+    # attention through ops/ring_attention.py with the token dim sharded
+    # over ring_axis — the beyond-one-chip path for 1024px+ inputs. None =
+    # single-chip attention (sdpa or flash).
+    ring_mesh: object = None
+    ring_axis: str = "model"
     qkv_bias: bool = True
     qk_scale: float | None = None
     attn_drop: float = 0.0
@@ -138,10 +144,32 @@ class RoPE2DAttention(nn.Module):
         else:
             q, k = rope.apply_rotary_emb_bnhd(q, k, cos, sin, n_extra=n_extra)
 
-        out = scaled_dot_product_attention(
-            q, k, v, scale=scale, use_flash=self.use_flash_attn,
-            layout="bnhd", fp32_softmax=self.attn_fp32_softmax,
-        )
+        if self.ring_mesh is not None:
+            # sequence parallelism: token dim sharded over the ring axis.
+            # Transpose to head-major, pad N to a ring multiple (padded key
+            # columns masked exactly via n_valid), run the ppermute ring,
+            # slice + transpose back. For token tensors big enough to need
+            # this, the two transposes are noise next to the N^2 attention.
+            from linnaeus_tpu.ops.ring_attention import ring_attention
+
+            p_size = self.ring_mesh.shape[self.ring_axis]
+            n_pad = (-N) % p_size
+            qh, kh, vh = (
+                jnp.transpose(t, (0, 2, 1, 3)) for t in (q, k, v)
+            )  # (B, H, N, D)
+            if n_pad:
+                pad = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+                qh, kh, vh = (jnp.pad(t, pad) for t in (qh, kh, vh))
+            out = ring_attention(
+                qh, kh, vh, self.ring_mesh, axis_name=self.ring_axis,
+                scale=scale, n_valid=N,
+            )[:, :, :N, :]
+            out = jnp.transpose(out, (0, 2, 1, 3))  # (B, N, H, D)
+        else:
+            out = scaled_dot_product_attention(
+                q, k, v, scale=scale, use_flash=self.use_flash_attn,
+                layout="bnhd", fp32_softmax=self.attn_fp32_softmax,
+            )
         # NOTE: attention-prob dropout is intentionally dropped on the flash
         # path (as in the reference flash branch); the jnp path applies it.
         if self.attn_drop > 0 and not self.use_flash_attn and not deterministic:
@@ -181,6 +209,8 @@ class RoPE2DMHSABlock(nn.Module):
     use_flash_attn: bool = False
     rope_fidelity: str = "rotate"
     rope_deinterleave: bool = True
+    ring_mesh: object = None
+    ring_axis: str = "model"
     act_exact: bool = False
     attn_fp32_softmax: bool = True
     dtype: jnp.dtype = jnp.float32
@@ -200,6 +230,8 @@ class RoPE2DMHSABlock(nn.Module):
             use_flash_attn=self.use_flash_attn,
             rope_fidelity=self.rope_fidelity,
             rope_deinterleave=self.rope_deinterleave,
+            ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis,
             attn_fp32_softmax=self.attn_fp32_softmax,
             dtype=self.dtype,
             name="attn",

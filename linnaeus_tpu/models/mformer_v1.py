@@ -56,9 +56,14 @@ class MFormerV1(nn.Module):
     # 'reference_cos' (bit-compatible with reference-trained checkpoints)
     rope_fidelity: str = "rotate"
     # weight-level RoPE de-interleave + head split (see blocks/rope_mhsa.py
-    # _QKVProject) — mathematically equivalent; False keeps the plain
+    # QKVProjectHeads) — mathematically equivalent; False keeps the plain
     # nn.Dense qkv path for layout A/B measurements
     rope_deinterleave: bool = True
+    # sequence parallelism: set to a jax.sharding.Mesh to run attention as
+    # a ppermute ring over ring_axis (ops/ring_attention.py) — the
+    # beyond-one-chip path for 1024px+ token tensors
+    ring_mesh: object = None
+    ring_axis: str = "model"
     # erf GELU for torch parity; tanh-approx is the fast TPU default
     act_exact: bool = False
     use_flash_attn: bool = False
@@ -157,6 +162,8 @@ class MFormerV1(nn.Module):
                 use_flash_attn=self.use_flash_attn,
                 rope_fidelity=self.rope_fidelity,
                 rope_deinterleave=self.rope_deinterleave,
+                ring_mesh=self.ring_mesh,
+                ring_axis=self.ring_axis,
                 act_exact=self.act_exact,
                 attn_fp32_softmax=self.attn_fp32_softmax,
                 dtype=self.dtype,
@@ -180,6 +187,8 @@ class MFormerV1(nn.Module):
                 use_flash_attn=self.use_flash_attn,
                 rope_fidelity=self.rope_fidelity,
                 rope_deinterleave=self.rope_deinterleave,
+                ring_mesh=self.ring_mesh,
+                ring_axis=self.ring_axis,
                 act_exact=self.act_exact,
                 attn_fp32_softmax=self.attn_fp32_softmax,
                 dtype=self.dtype,

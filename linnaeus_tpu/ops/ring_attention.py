@@ -16,7 +16,11 @@ AD flows through ``lax.scan`` + ``ppermute`` (its transpose is the inverted
 ring), so training works without custom VJPs.
 
 Layout contract: q/k/v are (B, H, N, D) with N sharded over ``axis_name``
-(global view); the result has the same sharding as q.
+(global view); the result has the same sharding as q. When the real token
+count doesn't divide by the ring size, pad N and pass ``n_valid``: padded
+KEY columns are masked out of the softmax exactly (their p-mass is zeroed
+before the denominator), padded QUERY rows produce garbage that the caller
+slices away — the same contract as the flash kernels' padding.
 """
 
 from __future__ import annotations
@@ -25,7 +29,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+NEG_INF = -1e30
 
 
 def ring_attention(
@@ -35,12 +41,15 @@ def ring_attention(
     mesh: Mesh,
     axis_name: str = "model",
     scale: float | None = None,
+    n_valid: int | None = None,
 ) -> jnp.ndarray:
     """Exact softmax attention with the token dim sharded over ``axis_name``.
 
     q, k, v: (B, H, N, D) global arrays (sharded or not — shard_map
     constrains them to P(None, None, axis_name, None)). Returns (B, H, N, D)
-    with the same sharding. N must divide evenly by the axis size.
+    with the same sharding. N must divide evenly by the axis size;
+    ``n_valid`` (< N) marks trailing token padding to exclude from the
+    softmax.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -51,10 +60,13 @@ def ring_attention(
             f"ring_attention: N={n} not divisible by mesh axis "
             f"'{axis_name}' of size {p_size}"
         )
+    if n_valid is None or n_valid > n:
+        n_valid = n
     spec = P(None, None, axis_name, None)
     fn = jax.shard_map(
         functools.partial(
-            _ring_attention_shard, axis_name=axis_name, scale=float(scale)
+            _ring_attention_shard, axis_name=axis_name, scale=float(scale),
+            n_valid=int(n_valid), n_global=int(n),
         ),
         mesh=mesh,
         in_specs=(spec, spec, spec),
@@ -63,23 +75,38 @@ def ring_attention(
     return fn(q, k, v)
 
 
-def _ring_attention_shard(q, k, v, *, axis_name: str, scale: float):
+def _ring_attention_shard(
+    q, k, v, *, axis_name: str, scale: float, n_valid: int, n_global: int
+):
     p_size = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % p_size) for i in range(p_size)]
+    my_idx = jax.lax.axis_index(axis_name)
 
     B, H, n_loc, D = q.shape
     qs = q.astype(jnp.float32) * scale
+    mask_padding = n_valid < n_global
+    col_local = jnp.arange(n_loc)
 
-    def step(carry, _):
+    def step(carry, s_idx):
         kc, vc, m, l, acc = carry
         s = jnp.einsum(
             "bhqd,bhkd->bhqk", qs, kc.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+        if mask_padding:
+            # after s_idx hops the block on this device originated on ring
+            # position (my_idx - s_idx) mod P -> its global column offset
+            src = jax.lax.rem(my_idx - s_idx + p_size, p_size)
+            col = col_local + src * n_loc  # (n_loc,) global column ids
+            valid = (col < n_valid)[None, None, None, :]
+            s = jnp.where(valid, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
+        if mask_padding:
+            # a fully-masked block would otherwise contribute exp(0)=1 mass
+            p = jnp.where(valid, p, 0.0)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jnp.einsum(
             "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32),
@@ -97,6 +124,6 @@ def _ring_attention_shard(q, k, v, *, axis_name: str, scale: float):
     l0 = jax.lax.pvary(jnp.zeros((B, H, n_loc, 1), jnp.float32), (axis_name,))
     acc0 = jax.lax.pvary(jnp.zeros((B, H, n_loc, D), jnp.float32), (axis_name,))
     (_, _, _, l, acc), _ = jax.lax.scan(
-        step, (k, v, m0, l0, acc0), None, length=p_size
+        step, (k, v, m0, l0, acc0), jnp.arange(p_size)
     )
     return (acc / jnp.maximum(l, 1e-30)).astype(v.dtype)

@@ -171,6 +171,22 @@ class Trainer:
 
         # ---------------- model / optimizer / state
         self.model = build_model(config, self.num_classes, self.taxonomy_tree)
+        if bool(config.PARALLEL.get("SEQUENCE_PARALLEL", False)):
+            if int(self.mesh.shape.get("model", 1)) < 2:
+                raise ValueError(
+                    "PARALLEL.SEQUENCE_PARALLEL requires PARALLEL.MESH.MODEL"
+                    " > 1 (the token dim shards over the model axis)"
+                )
+            if not hasattr(self.model, "ring_mesh"):
+                raise ValueError(
+                    f"PARALLEL.SEQUENCE_PARALLEL: {config.MODEL.TYPE} has no"
+                    " ring-attention path (mFormerV1 only)"
+                )
+            self.model = self.model.clone(ring_mesh=self.mesh)
+            logger.info(
+                f"Sequence parallelism: attention rings over the "
+                f"{int(self.mesh.shape['model'])}-way model axis"
+            )
         from linnaeus_tpu.optim import build_group_schedules
 
         self.group_schedules = build_group_schedules(

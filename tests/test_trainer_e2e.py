@@ -664,3 +664,50 @@ def test_trainer_train_autobatch_rebuilds_schedule(data_dir, tmp_path):
     trainer.train()
     assert trainer.progress.global_step >= trainer.steps_per_epoch
     trainer.train_loader.close()
+
+
+@pytest.mark.slow
+def test_trainer_sequence_parallel(data_dir, tmp_path):
+    """PARALLEL.SEQUENCE_PARALLEL routes attention through the ppermute
+    ring (ops/ring_attention.py) inside the full jitted train step on a
+    (data=2, model=4) mesh; training and validation must run end-to-end.
+
+    Runs in a SUBPROCESS like the TP test: a fresh SPMD train-step compile
+    late in a long-lived pytest process trips the XLA:CPU segfault."""
+    import subprocess
+    import sys
+
+    if os.environ.get("LINNAEUS_SP_TEST_INNER") != "1":
+        env = {**os.environ, "LINNAEUS_SP_TEST_INNER": "1"}
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             f"{__file__}::test_trainer_sequence_parallel", "-x", "-q"],
+            env=env, capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, (
+            f"inner SP test failed:\n{r.stdout[-3000:]}\n{r.stderr[-2000:]}"
+        )
+        return
+
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_sp", epochs=1)
+    cfg.PARALLEL.MESH.DATA = 2
+    cfg.PARALLEL.MESH.MODEL = 4
+    cfg.PARALLEL.SEQUENCE_PARALLEL = True
+    trainer = Trainer(cfg)
+    assert trainer.model.ring_mesh is not None
+    trainer.train()
+    assert trainer.metrics.get("val", "loss") is not None
+    trainer.train_loader.close()
+
+
+def test_sequence_parallel_requires_model_axis(data_dir, tmp_path):
+    """SEQUENCE_PARALLEL on a model=1 mesh must raise, not silently no-op."""
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_sp_bad", epochs=1)
+    cfg.PARALLEL.SEQUENCE_PARALLEL = True
+    with pytest.raises(ValueError, match="MESH.MODEL"):
+        Trainer(cfg)
