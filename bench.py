@@ -45,14 +45,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache (works for backends that serialize
-    # executables; harmless no-op otherwise). Keyed per-user dir; the
-    # remote compiler decides reusability.
+    # persistent compile cache — the shared host-keyed helper (CPU-feature
+    # suffix guards against stale XLA:CPU AOT executables after VM
+    # migration; the TPU backend just sees a stable dir). Same dir as the
+    # tools, so the train probe's later enable_compile_cache() call is a
+    # no-op instead of a mid-run cache switch.
     try:
-        cache_dir = os.path.expanduser("~/.cache/linnaeus_tpu/bench-xla-cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from linnaeus_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     except Exception:
         pass
 

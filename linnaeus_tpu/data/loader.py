@@ -107,6 +107,11 @@ class H5DataLoader:
         epoch_start = time.perf_counter()
         total_wait = 0.0
         emitted = 0
+        # reset per-epoch telemetry up front: an epoch that yields zero
+        # batches (shard shrank below batch_size, autobatch raised it) must
+        # report 0, not the previous epoch's numbers
+        self.metrics["throughput_samples_per_sec"] = 0.0
+        self.metrics["avg_wait_ms"] = 0.0
 
         def submit(idx_array):
             return pool.submit(

@@ -42,14 +42,17 @@ def ring_attention(
     axis_name: str = "model",
     scale: float | None = None,
     n_valid: int | None = None,
+    batch_axis: str | None = "data",
 ) -> jnp.ndarray:
     """Exact softmax attention with the token dim sharded over ``axis_name``.
 
-    q, k, v: (B, H, N, D) global arrays (sharded or not — shard_map
-    constrains them to P(None, None, axis_name, None)). Returns (B, H, N, D)
-    with the same sharding. N must divide evenly by the axis size;
-    ``n_valid`` (< N) marks trailing token padding to exclude from the
-    softmax.
+    q, k, v: (B, H, N, D) global arrays. N must divide evenly by the axis
+    size; ``n_valid`` (< N) marks trailing token padding to exclude from
+    the softmax. ``batch_axis``: keep the batch dim sharded over this mesh
+    axis (dropped automatically if absent from the mesh) — without it a
+    dp x sp mesh would all-gather the batch over 'data' and compute
+    attention redundantly on every data-parallel device. Pass None for a
+    batch that must stay replicated (B not divisible by the data axis).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -62,11 +65,17 @@ def ring_attention(
         )
     if n_valid is None or n_valid > n:
         n_valid = n
-    spec = P(None, None, axis_name, None)
+    ba = (
+        batch_axis
+        if batch_axis and batch_axis in mesh.shape and batch_axis != axis_name
+        else None
+    )
+    spec = P(ba, None, axis_name, None)
     fn = jax.shard_map(
         functools.partial(
             _ring_attention_shard, axis_name=axis_name, scale=float(scale),
             n_valid=int(n_valid), n_global=int(n),
+            vary_axes=(axis_name,) + ((ba,) if ba else ()),
         ),
         mesh=mesh,
         in_specs=(spec, spec, spec),
@@ -76,7 +85,8 @@ def ring_attention(
 
 
 def _ring_attention_shard(
-    q, k, v, *, axis_name: str, scale: float, n_valid: int, n_global: int
+    q, k, v, *, axis_name: str, scale: float, n_valid: int, n_global: int,
+    vary_axes: tuple = (),
 ):
     p_size = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % p_size) for i in range(p_size)]
@@ -116,13 +126,15 @@ def _ring_attention_shard(
         vc = jax.lax.ppermute(vc, axis_name, perm)
         return (kc, vc, m_new, l_new, acc_new), None
 
-    # initial carries must be marked device-varying over the ring axis so
-    # the scan carry type is stable (the body's outputs are varying)
+    # initial carries must be marked device-varying over every mapped mesh
+    # axis (ring + batch) so the scan carry type is stable (the body's
+    # outputs are varying over both)
+    vary = vary_axes or (axis_name,)
     m0 = jax.lax.pvary(
-        jnp.full((B, H, n_loc, 1), -jnp.inf, jnp.float32), (axis_name,)
+        jnp.full((B, H, n_loc, 1), -jnp.inf, jnp.float32), vary
     )
-    l0 = jax.lax.pvary(jnp.zeros((B, H, n_loc, 1), jnp.float32), (axis_name,))
-    acc0 = jax.lax.pvary(jnp.zeros((B, H, n_loc, D), jnp.float32), (axis_name,))
+    l0 = jax.lax.pvary(jnp.zeros((B, H, n_loc, 1), jnp.float32), vary)
+    acc0 = jax.lax.pvary(jnp.zeros((B, H, n_loc, D), jnp.float32), vary)
     (_, _, _, l, acc), _ = jax.lax.scan(
         step, (k, v, m0, l0, acc0), jnp.arange(p_size)
     )

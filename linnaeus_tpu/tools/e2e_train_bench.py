@@ -192,6 +192,9 @@ def run_e2e(steps: int = 150, warmup: int = 10, batch: int = 128,
     done = 0
     t_timed_start = None
     epoch = 0
+    # warmup == 0: the timing window opens immediately (includes the first
+    # dispatch); warmup > 0 re-opens it after the warmup steps complete
+    t_timed_start = time.perf_counter()
     while done < needed:
         loader.set_epoch(epoch)
         for host_batch in loader:

@@ -1,9 +1,10 @@
-"""dp vs dp×tp train-step comparison on the virtual 8-device CPU mesh.
+"""dp vs dp×tp vs dp×sp train-step comparison on the virtual 8-device CPU mesh.
 
 Runs the SAME scaled-up mFormerV1 geometry and batch through the full
-jitted train step under (data=8, model=1) pure data-parallel and
-(data=2, model=4) Megatron-style tensor-parallel shardings, asserts loss
-parity, and reports step wall-clock for both. On the 1-core CPU host the
+jitted train step under (data=8, model=1) pure data-parallel,
+(data=2, model=4) Megatron-style tensor-parallel, and (data=2, model=4)
+sequence-parallel (ring attention) shardings, asserts loss parity, and
+reports step wall-clock for each. On the 1-core CPU host the
 absolute times measure partitioning/collective overhead (all 8 "devices"
 share one core), NOT real TPU scaling — the point is that the TP program
 compiles, runs, matches dp losses, and has bounded overhead. Run on a real
@@ -88,22 +89,23 @@ def main() -> None:
     )
     scalars = ScheduleScalars.zeros(5)
 
-    def bench(mesh, param_specs, label):
+    def bench(mesh, param_specs, label, base_state=None):
+        st_base = base_state if base_state is not None else state
         if param_specs is None:
             placed = jax.tree.map(
                 lambda x: jax.device_put(x, NamedSharding(mesh, P())),
-                state.params,
+                st_base.params,
             )
         else:
-            placed = jax.tree.map(jax.device_put, state.params, param_specs)
+            placed = jax.tree.map(jax.device_put, st_base.params, param_specs)
         repl = NamedSharding(mesh, P())
-        st = state.replace(
+        st = st_base.replace(
             params=placed,
             opt_state=tx.init(placed),
-            step=jax.device_put(state.step, repl),
-            rng=jax.device_put(state.rng, repl),
+            step=jax.device_put(st_base.step, repl),
+            rng=jax.device_put(st_base.rng, repl),
             gradnorm=jax.tree.map(
-                lambda x: jax.device_put(x, repl), state.gradnorm
+                lambda x: jax.device_put(x, repl), st_base.gradnorm
             ),
         )
         b = shard_batch(batch, mesh)
@@ -127,9 +129,21 @@ def main() -> None:
     assert abs(dp["loss_step1"] - tp["loss_step1"]) < 1e-3, (
         f"tp loss diverges: {tp['loss_step1']} vs {dp['loss_step1']}"
     )
-    print(json.dumps({"dp": dp, "tp": tp,
+    # sequence parallel: same mesh shape, params replicated, token dim
+    # ringed inside attention (PARALLEL.SEQUENCE_PARALLEL in the Trainer)
+    sp_state = create_train_state(
+        model.clone(ring_mesh=tp_mesh), state.params, tx,
+        num_tasks=len(tasks), rng=rng,
+    )
+    sp = bench(tp_mesh, None, "dp x sp (2x4 ring)", base_state=sp_state)
+    assert abs(dp["loss_step1"] - sp["loss_step1"]) < 1e-3, (
+        f"sp loss diverges: {sp['loss_step1']} vs {dp['loss_step1']}"
+    )
+    print(json.dumps({"dp": dp, "tp": tp, "sp": sp,
                       "tp_overhead": round(
-                          tp["ms_per_step"] / dp["ms_per_step"], 3)}))
+                          tp["ms_per_step"] / dp["ms_per_step"], 3),
+                      "sp_overhead": round(
+                          sp["ms_per_step"] / dp["ms_per_step"], 3)}))
 
 
 if __name__ == "__main__":

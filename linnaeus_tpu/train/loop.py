@@ -177,6 +177,14 @@ class Trainer:
                     "PARALLEL.SEQUENCE_PARALLEL requires PARALLEL.MESH.MODEL"
                     " > 1 (the token dim shards over the model axis)"
                 )
+            if str(config.PARALLEL.get("PARAM_SHARDING", "replicated")) == "tp":
+                raise ValueError(
+                    "PARALLEL.SEQUENCE_PARALLEL and PARAM_SHARDING='tp' both"
+                    " shard the model axis incompatibly (head-sharded qkv"
+                    " activations would be resharded token-wise and back at"
+                    " every layer — a full all-to-all each direction); pick"
+                    " one, or use fsdp+sp"
+                )
             if not hasattr(self.model, "ring_mesh"):
                 raise ValueError(
                     f"PARALLEL.SEQUENCE_PARALLEL: {config.MODEL.TYPE} has no"

@@ -711,3 +711,17 @@ def test_sequence_parallel_requires_model_axis(data_dir, tmp_path):
     cfg.PARALLEL.SEQUENCE_PARALLEL = True
     with pytest.raises(ValueError, match="MESH.MODEL"):
         Trainer(cfg)
+
+
+def test_sequence_parallel_rejects_tp_combination(data_dir, tmp_path):
+    """SP and TP both shard the model axis; the combination would reshard
+    qkv activations token-wise and back at every layer — must raise."""
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_sp_tp", epochs=1)
+    cfg.PARALLEL.MESH.DATA = 2
+    cfg.PARALLEL.MESH.MODEL = 4
+    cfg.PARALLEL.SEQUENCE_PARALLEL = True
+    cfg.PARALLEL.PARAM_SHARDING = "tp"
+    with pytest.raises(ValueError, match="SEQUENCE_PARALLEL"):
+        Trainer(cfg)
