@@ -103,15 +103,27 @@ def main() -> None:
 
     model = _flagship_model(attn_fp32_softmax=False)
     batch = 128
-    images_per_sec = measure_inference(model, batch, 224)
-
     target = 5000.0  # images/sec/chip north-star (BASELINE.json)
-    record = {
-        "metric": "mFormerV1_sm_inference_images_per_sec_per_chip",
-        "value": round(float(images_per_sec), 2),
-        "unit": "images/sec",
-        "vs_baseline": round(float(images_per_sec) / target, 4),
-    }
+    try:
+        images_per_sec = measure_inference(model, batch, 224)
+        record = {
+            "metric": "mFormerV1_sm_inference_images_per_sec_per_chip",
+            "value": round(float(images_per_sec), 2),
+            "unit": "images/sec",
+            "vs_baseline": round(float(images_per_sec) / target, 4),
+        }
+    except Exception as e:
+        # the tunneled chip is occasionally UNAVAILABLE for a stretch
+        # (backend setup/compile error; observed 2026-08-17) — emit the
+        # headline record WITH the error rather than dying output-less,
+        # and let the later probes try again in case the backend recovers
+        record = {
+            "metric": "mFormerV1_sm_inference_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "bench_224_error": str(e)[:300],
+        }
 
     # 384px flash-routed serving config (stage-3 N=580 takes the Pallas
     # flash kernels, stage-4 keeps XLA sdpa — docs/performance.md). Probe
