@@ -371,6 +371,12 @@ class Trainer:
                 gradnorm_model = build_model(
                     gcfg, self.num_classes, self.taxonomy_tree
                 )
+                if getattr(self.model, "ring_mesh", None) is not None:
+                    # keep the gradnorm re-forward on the same ring-attention
+                    # path as normal steps (same memory envelope under SP)
+                    gradnorm_model = gradnorm_model.clone(
+                        ring_mesh=self.model.ring_mesh
+                    )
             else:
                 gradnorm_model = self.model
 

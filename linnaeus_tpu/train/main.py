@@ -56,7 +56,20 @@ def enable_compile_cache(config) -> None:
 def main(argv=None) -> None:
     args, config = parse_option(argv)
 
+    import os
+
     import jax
+
+    # Honor JAX_PLATFORMS even when a TPU plugin ignores the env var (the
+    # tunneled axon plugin does): without this, `JAX_PLATFORMS=cpu` CLI
+    # runs still initialize the TPU backend — and HANG when the tunnel is
+    # down (observed during a backend outage, 2026-08-17).
+    env_platforms = os.environ.get("JAX_PLATFORMS", "")
+    if env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
 
     enable_compile_cache(config)
     process_index = jax.process_index() if config.PARALLEL.MULTI_HOST else 0
