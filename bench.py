@@ -122,6 +122,7 @@ def main() -> None:
             "value": 0.0,
             "unit": "images/sec",
             "vs_baseline": 0.0,
+            "valid": False,  # NOT a measurement — backend was unavailable
             "bench_224_error": str(e)[:300],
         }
 

@@ -23,14 +23,25 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+_multi_host_initialized = False
+
+
 def initialize_multi_host(config) -> None:
-    """jax.distributed.initialize() for multi-host pods (coordinator from env)."""
-    if config.PARALLEL.get("MULTI_HOST", False):
-        jax.distributed.initialize()
-        logger.info(
-            f"Initialized multi-host JAX: process {jax.process_index()} / "
-            f"{jax.process_count()}"
-        )
+    """jax.distributed.initialize() for multi-host pods (coordinator from env).
+
+    Idempotent: the CLI calls it BEFORE its first backend touch
+    (jax.distributed.initialize must precede backend init) and the Trainer
+    calls it again for non-CLI entry points — the second call is a no-op.
+    """
+    global _multi_host_initialized
+    if not config.PARALLEL.get("MULTI_HOST", False) or _multi_host_initialized:
+        return
+    jax.distributed.initialize()
+    _multi_host_initialized = True
+    logger.info(
+        f"Initialized multi-host JAX: process {jax.process_index()} / "
+        f"{jax.process_count()}"
+    )
 
 
 def create_mesh(config=None, devices=None) -> Mesh:

@@ -30,8 +30,9 @@ def main() -> None:
     import numpy as np
     import jax
 
-    # the axon TPU plugin ignores JAX_PLATFORMS; force via config too
-    jax.config.update("jax_platforms", "cpu")
+    from linnaeus_tpu.utils.backend import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # the axon TPU plugin ignores the env var
     import jax.numpy as jnp
     import optax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

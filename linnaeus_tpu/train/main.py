@@ -56,22 +56,22 @@ def enable_compile_cache(config) -> None:
 def main(argv=None) -> None:
     args, config = parse_option(argv)
 
-    import os
-
     import jax
 
-    # Honor JAX_PLATFORMS even when a TPU plugin ignores the env var (the
-    # tunneled axon plugin does): without this, `JAX_PLATFORMS=cpu` CLI
-    # runs still initialize the TPU backend — and HANG when the tunnel is
-    # down (observed during a backend outage, 2026-08-17).
-    env_platforms = os.environ.get("JAX_PLATFORMS", "")
-    if env_platforms:
-        try:
-            jax.config.update("jax_platforms", env_platforms)
-        except Exception:
-            pass
+    from linnaeus_tpu.utils.backend import honor_jax_platforms_env
+
+    # the tunneled TPU plugin ignores the JAX_PLATFORMS env var; mirror it
+    # into jax.config before any backend use (see utils/backend.py)
+    honor_jax_platforms_env()
 
     enable_compile_cache(config)
+    # multi-host init MUST precede the first backend touch
+    # (jax.process_index() below initializes backends;
+    # jax.distributed.initialize() after that raises) — the Trainer's own
+    # call is an idempotent no-op after this one
+    from linnaeus_tpu.parallel.mesh import initialize_multi_host
+
+    initialize_multi_host(config)
     process_index = jax.process_index() if config.PARALLEL.MULTI_HOST else 0
     from linnaeus_tpu.configuration.utils import setup_output_dirs
 
