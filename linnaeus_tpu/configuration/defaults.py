@@ -277,6 +277,24 @@ def _build_default_config() -> CN:
     _C.MODEL.ACT_EXACT_GELU = False
     _C.MODEL.FIND_UNUSED_PARAMETERS = False  # parity no-op (no DDP on TPU)
 
+    # ---- Mixture-of-Experts capacity scaling (no reference analog) ----
+    # Replaces the dense MLP on every EVERY_N-th RoPE block (V-MoE
+    # placement) with a routed expert bank (models/blocks/moe.py). Expert
+    # weight banks shard over the 'model' mesh axis under
+    # PARALLEL.PARAM_SHARDING='ep' (expert parallelism). mFormerV1 only.
+    _C.MODEL.MOE = CN()
+    _C.MODEL.MOE.ENABLED = False
+    _C.MODEL.MOE.NUM_EXPERTS = 8
+    _C.MODEL.MOE.TOP_K = 2
+    _C.MODEL.MOE.CAPACITY_FACTOR = 1.25
+    _C.MODEL.MOE.EVERY_N = 2
+    # train-time router logit noise std (in units of 1/NUM_EXPERTS)
+    _C.MODEL.MOE.NOISE_STD = 0.0
+    # Switch-style load-balance loss weight (0 disables collection)
+    _C.MODEL.MOE.AUX_LOSS_WEIGHT = 0.01
+    # router z-loss weight (logit magnitude control, ST-MoE)
+    _C.MODEL.MOE.ROUTER_Z_LOSS_WEIGHT = 0.001
+
     _C.MODEL.FEATURE_RESOLVER = CN()
     _C.MODEL.FEATURE_RESOLVER.TYPE = "LearnedProjection"
     _C.MODEL.FEATURE_RESOLVER.PROJECTION_INIT_MATRIX = "xavier"
@@ -541,8 +559,10 @@ def _build_default_config() -> CN:
     _C.PARALLEL.MESH.DATA = -1
     _C.PARALLEL.MESH.MODEL = 1
     # Sharding of params: 'replicated' (pure DP), 'fsdp' (shard each param's
-    # largest axis along the data axis), or 'tp' (Megatron column/row-parallel
-    # transformer projections over the model axis — set MESH.MODEL > 1)
+    # largest axis along the data axis), 'tp' (Megatron column/row-parallel
+    # transformer projections over the model axis — set MESH.MODEL > 1), or
+    # 'ep' (expert parallelism: MoE expert banks shard over the model axis;
+    # requires MODEL.MOE.ENABLED and MESH.MODEL > 1)
     _C.PARALLEL.PARAM_SHARDING = "replicated"
     # Sequence parallelism: run RoPE attention as a ppermute ring over the
     # model axis (ops/ring_attention.py) — the token dim shards across

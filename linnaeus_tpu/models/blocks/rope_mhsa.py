@@ -213,6 +213,15 @@ class RoPE2DMHSABlock(nn.Module):
     ring_axis: str = "model"
     act_exact: bool = False
     attn_fp32_softmax: bool = True
+    # Mixture-of-Experts MLP (blocks/moe.py): use_moe swaps the dense MLP
+    # for an expert bank routed top-k per token. The param subtree lives
+    # under the same "mlp" name (wi/wo/bi/bo + router instead of
+    # Dense_0/Dense_1) so sharding rules key on the leaf names.
+    use_moe: bool = False
+    moe_num_experts: int = 8
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_noise_std: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -238,13 +247,29 @@ class RoPE2DMHSABlock(nn.Module):
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), deterministic)
         x = x + DropPath(self.drop_path)(attn_out, deterministic=deterministic)
 
-        mlp_out = Mlp(
-            hidden_features=int(self.dim * self.mlp_ratio),
-            out_features=self.dim,
-            drop=self.drop,
-            act_exact=self.act_exact,
-            dtype=self.dtype,
-            name="mlp",
-        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), deterministic)
+        if self.use_moe:
+            from .moe import MoEMlp
+
+            mlp = MoEMlp(
+                dim=self.dim,
+                hidden_features=int(self.dim * self.mlp_ratio),
+                num_experts=self.moe_num_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                noise_std=self.moe_noise_std,
+                act_exact=self.act_exact,
+                dtype=self.dtype,
+                name="mlp",
+            )
+        else:
+            mlp = Mlp(
+                hidden_features=int(self.dim * self.mlp_ratio),
+                out_features=self.dim,
+                drop=self.drop,
+                act_exact=self.act_exact,
+                dtype=self.dtype,
+                name="mlp",
+            )
+        mlp_out = mlp(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), deterministic)
         x = x + DropPath(self.drop_path)(mlp_out, deterministic=deterministic)
         return x

@@ -81,6 +81,15 @@ def build_model(
     if needs_tree and matrices is None:
         raise ValueError("Hierarchical heads configured but no taxonomy_tree provided")
 
+    if (
+        bool(config.MODEL.get("MOE", {}).get("ENABLED", False))
+        and model_type != "mFormerV1"
+    ):
+        raise ValueError(
+            "MODEL.MOE.ENABLED requires MODEL.TYPE=mFormerV1 (the MoE MLP "
+            "replaces RoPE-block MLPs; mFormerV0 has no MoE substrate)"
+        )
+
     dtype = resolve_compute_dtype(config)
     img_size = config.MODEL.IMG_SIZE
     img_size = (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
@@ -109,7 +118,14 @@ def build_model(
     if model_type == "mFormerV1":
         cs = config.MODEL.CONVNEXT_STAGES
         rs = config.MODEL.ROPE_STAGES
+        moe = config.MODEL.get("MOE", {})
+        moe_enabled = bool(moe.get("ENABLED", False))
         model = MODEL_REGISTRY[model_type](
+            moe_num_experts=int(moe.get("NUM_EXPERTS", 8)) if moe_enabled else 0,
+            moe_top_k=int(moe.get("TOP_K", 2)),
+            moe_capacity_factor=float(moe.get("CAPACITY_FACTOR", 1.25)),
+            moe_every_n=int(moe.get("EVERY_N", 2)),
+            moe_noise_std=float(moe.get("NOISE_STD", 0.0)),
             convnext_depths=tuple(cs.DEPTHS),
             convnext_dims=tuple(cs.DIMS),
             convnext_ls_init=float(cs.get("LAYER_SCALE_INIT_VALUE", 1e-6)),

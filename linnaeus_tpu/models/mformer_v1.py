@@ -64,6 +64,16 @@ class MFormerV1(nn.Module):
     # beyond-one-chip path for 1024px+ token tensors
     ring_mesh: object = None
     ring_axis: str = "model"
+    # Mixture-of-Experts capacity scaling (blocks/moe.py — no reference
+    # analog): num_experts > 0 replaces the dense MLP on every
+    # ``moe_every_n``-th RoPE block (V-MoE placement) with a routed expert
+    # bank whose weights shard over the 'model' mesh axis
+    # (PARALLEL.PARAM_SHARDING='ep').
+    moe_num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_every_n: int = 2
+    moe_noise_std: float = 0.0
     # erf GELU for torch parity; tanh-approx is the fast TPU default
     act_exact: bool = False
     use_flash_attn: bool = False
@@ -146,6 +156,21 @@ class MFormerV1(nn.Module):
         h4, w4 = h3 // 2, w3 // 2
         self._grid3, self._grid4 = (h3, w3), (h4, w4)
 
+        def _moe_block(i: int) -> bool:
+            # V-MoE placement: every moe_every_n-th block within each RoPE
+            # stage gets the expert MLP (e.g. every_n=2 -> odd blocks).
+            return (
+                self.moe_num_experts > 0
+                and i % max(self.moe_every_n, 1) == max(self.moe_every_n, 1) - 1
+            )
+
+        moe_kwargs = dict(
+            moe_num_experts=max(self.moe_num_experts, 1),
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_noise_std=self.moe_noise_std,
+        )
+
         self.stage3 = [
             rope_block(
                 dim=self.rope_dims[0],
@@ -166,6 +191,8 @@ class MFormerV1(nn.Module):
                 ring_axis=self.ring_axis,
                 act_exact=self.act_exact,
                 attn_fp32_softmax=self.attn_fp32_softmax,
+                use_moe=_moe_block(i),
+                **moe_kwargs,
                 dtype=self.dtype,
                 name=f"stage3_block{i}",
             )
@@ -191,6 +218,8 @@ class MFormerV1(nn.Module):
                 ring_axis=self.ring_axis,
                 act_exact=self.act_exact,
                 attn_fp32_softmax=self.attn_fp32_softmax,
+                use_moe=_moe_block(i),
+                **moe_kwargs,
                 dtype=self.dtype,
                 name=f"stage4_block{i}",
             )

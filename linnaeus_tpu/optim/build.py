@@ -27,7 +27,28 @@ logger = get_main_logger()
 
 def _no_decay_mask(params):
     """Decoupled-WD mask: skip 1D params (biases, norm scales, cls tokens
-    collapse to <=1 effective dims) — reference: set_weight_decay:687."""
+    collapse to <=1 effective dims) — reference: set_weight_decay:687.
+    MoE expert biases (blocks/moe.py 'bi'/'bo') carry a leading expert axis
+    so they are 2-D, but remain biases — skipped by name."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    if isinstance(params, dict):
+        flat = flatten_dict(params, sep="/")
+        # non-array nodes (e.g. optax.MaskedNode under multi_transform) pass
+        # through unchanged — mirroring jax.tree.map, which never visits
+        # zero-leaf subtrees, so the mask tree keeps the params' structure
+        mask = {
+            path: (
+                p
+                if not hasattr(p, "ndim")
+                else (
+                    p.ndim > 1
+                    and path.rsplit("/", 1)[-1] not in ("bi", "bo")
+                )
+            )
+            for path, p in flat.items()
+        }
+        return unflatten_dict(mask, sep="/")
     return jax.tree.map(lambda p: p.ndim > 1, params)
 
 

@@ -184,6 +184,15 @@ def tp_param_sharding(mesh: Mesh, params: Any) -> Any:
                 if p.shape[0] % n_model == 0:
                     spec = P(MODEL_AXIS)
             elif (
+                path.rsplit("/", 1)[-1] in _EP_LEAVES
+                and "/mlp/" in f"/{path}"
+                and p.ndim >= 1
+                and p.shape[0] % n_model == 0
+            ):
+                # MoE expert banks (blocks/moe.py): expert axis over 'model'
+                # — TP on an MoE model composes tensor + expert parallelism
+                spec = P(*((MODEL_AXIS,) + (None,) * (p.ndim - 1)))
+            elif (
                 path.startswith("head/")
                 and path.endswith("/kernel")
                 and p.ndim == 2
@@ -209,9 +218,61 @@ def tp_param_sharding(mesh: Mesh, params: Any) -> Any:
     return unflatten_dict(specs, sep="/")
 
 
+# MoE expert-bank leaf names (blocks/moe.py): leading axis = expert index
+_EP_LEAVES = ("wi", "wo", "bi", "bo")
+
+
+def ep_param_sharding(mesh: Mesh, params: Any) -> Any:
+    """Expert parallelism (PARALLEL.PARAM_SHARDING='ep'): MoE expert banks
+    (leading expert axis of mlp wi/wo/bi/bo, blocks/moe.py) shard over the
+    'model' mesh axis; everything else — including each MoE layer's router —
+    replicates. XLA's SPMD partitioner turns the dispatch/combine einsums
+    into the expert all-to-alls (the NCCL-free analog of Switch/GShard
+    expert dispatch). Requires an MoE model (raises if no expert bank is
+    found) and MESH.MODEL > 1.
+    """
+    n_model = mesh.devices.shape[1]
+    if n_model <= 1:
+        raise ValueError(
+            "PARAM_SHARDING='ep' requires PARALLEL.MESH.MODEL > 1 "
+            f"(mesh model axis has {n_model} device)"
+        )
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params, sep="/")
+    specs: dict[str, NamedSharding] = {}
+    n_sharded = 0
+    for path, p in flat.items():
+        spec = P()
+        leaf = path.rsplit("/", 1)[-1]
+        if (
+            leaf in _EP_LEAVES
+            and "/mlp/" in f"/{path}"
+            and hasattr(p, "ndim")
+            and p.ndim >= 1
+            and p.shape[0] % n_model == 0
+        ):
+            spec = P(*((MODEL_AXIS,) + (None,) * (p.ndim - 1)))
+            n_sharded += 1
+        specs[path] = NamedSharding(mesh, spec)
+    if n_sharded == 0:
+        raise ValueError(
+            "expert-parallel sharding matched ZERO parameters — "
+            "PARAM_SHARDING='ep' requires MODEL.MOE.ENABLED (no mlp/wi|wo|"
+            "bi|bo expert banks found, or NUM_EXPERTS not divisible by the "
+            "model axis)"
+        )
+    logger.info(
+        f"EP sharding: {n_sharded}/{len(flat)} expert-bank params sharded "
+        f"over {n_model} model-parallel devices"
+    )
+    return unflatten_dict(specs, sep="/")
+
+
 PARAM_SHARDING_FNS = {
     "fsdp": fsdp_param_sharding,
     "tp": tp_param_sharding,
+    "ep": ep_param_sharding,
 }
 
 

@@ -236,17 +236,18 @@ class Trainer:
             batch_stats=batch_stats,
         )
         sharding_mode = str(config.PARALLEL.get("PARAM_SHARDING", "replicated"))
-        if sharding_mode in ("fsdp", "tp"):
+        if sharding_mode in ("fsdp", "tp", "ep"):
             # fsdp: shard each param's largest divisible axis along the data
             # axis. tp: Megatron column/row-parallel over the model axis.
+            # ep: MoE expert banks over the model axis (expert parallelism).
             # Optimizer state follows via the same tree structure either way.
             from linnaeus_tpu.parallel.mesh import PARAM_SHARDING_FNS
 
-            if sharding_mode == "tp" and self.mesh.devices.shape[1] == 1:
+            if sharding_mode in ("tp", "ep") and self.mesh.devices.shape[1] == 1:
                 raise ValueError(
-                    "PARAM_SHARDING='tp' with PARALLEL.MESH.MODEL=1: the "
-                    "model axis has one device, so nothing would shard — "
-                    "set PARALLEL.MESH.MODEL > 1"
+                    f"PARAM_SHARDING='{sharding_mode}' with "
+                    "PARALLEL.MESH.MODEL=1: the model axis has one device, "
+                    "so nothing would shard — set PARALLEL.MESH.MODEL > 1"
                 )
             param_shardings = PARAM_SHARDING_FNS[sharding_mode](
                 self.mesh, self.state.params
@@ -502,6 +503,16 @@ class Trainer:
                 lr_schedule=self.lr_schedule,
                 num_classes=self.num_classes,
                 augment_fn=self._augment_fn,
+                moe_aux_weight=(
+                    float(cfg.MODEL.MOE.get("AUX_LOSS_WEIGHT", 0.01))
+                    if bool(cfg.MODEL.get("MOE", {}).get("ENABLED", False))
+                    else 0.0
+                ),
+                moe_z_weight=(
+                    float(cfg.MODEL.MOE.get("ROUTER_Z_LOSS_WEIGHT", 0.001))
+                    if bool(cfg.MODEL.get("MOE", {}).get("ENABLED", False))
+                    else 0.0
+                ),
             ),
             donate_argnums=(0,),
         )
@@ -1061,7 +1072,7 @@ class Trainer:
         # participate in the Orbax save. Pass the sharded state through.
         sharded = (
             str(self.config.PARALLEL.get("PARAM_SHARDING", "replicated"))
-            in ("fsdp", "tp")
+            in ("fsdp", "tp", "ep")
         )
         if not sharded and not is_main_process():
             return

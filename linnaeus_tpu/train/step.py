@@ -103,6 +103,33 @@ def _accuracy_metrics(outputs, targets, prefix="") -> dict[str, jnp.ndarray]:
     return m
 
 
+_MOE_KEYS = ("moe_aux", "moe_z", "moe_drop_frac")
+
+
+def _collect_moe_stats(intermediates) -> dict[str, jnp.ndarray] | None:
+    """Average the per-layer MoE aux stats sown by blocks/moe.py.
+
+    sow() stores each value as a 1-tuple under the sowing module's path;
+    every MoE layer contributes one leaf per stat name."""
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(intermediates, sep="/")
+    out = {}
+    for short, sown in (
+        ("moe_aux", "moe_aux_loss"),
+        ("moe_z", "moe_z_loss"),
+        ("moe_drop_frac", "moe_drop_frac"),
+    ):
+        vals = [
+            v[0] if isinstance(v, tuple) else v
+            for path, v in flat.items()
+            if path.endswith(sown)
+        ]
+        if vals:
+            out[short] = sum(vals) / len(vals)
+    return out or None
+
+
 def make_preprocess_fn(
     mix_cfg: MixConfig,
     has_meta: bool = True,
@@ -189,6 +216,8 @@ def make_train_step(
     lr_schedule: Callable | None = None,
     num_classes: dict[str, int] | None = None,
     augment_fn: Callable | None = None,
+    moe_aux_weight: float = 0.0,
+    moe_z_weight: float = 0.0,
 ):
     """Build the jittable train step.
 
@@ -206,6 +235,7 @@ def make_train_step(
     bandwidth; requires ``num_classes``).
     """
     accum = max(int(accumulation_steps), 1)
+    collect_moe = moe_aux_weight > 0.0 or moe_z_weight > 0.0
     preprocess = make_preprocess_fn(
         mix_cfg, has_meta=has_meta, num_classes=num_classes,
         augment_fn=augment_fn,
@@ -216,17 +246,27 @@ def make_train_step(
         r_drop, r_null, r_gumbel = jax.random.split(rng, 3)
         variables = {"params": params}
         new_batch_stats = None
+        intermediates = None
+        mutable = []
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
+            mutable.append("batch_stats")
+        if collect_moe:
+            # MoE aux losses are sown into 'intermediates' (blocks/moe.py);
+            # eval/inference never mutate the collection so sow is a no-op
+            # there — only the train step pays for collecting it.
+            mutable.append("intermediates")
+        if mutable:
             outputs, mutated = apply_fn(
                 variables,
                 images,
                 meta,
                 deterministic=False,
                 rngs={"dropout": r_drop, "gumbel": r_gumbel},
-                mutable=["batch_stats"],
+                mutable=mutable,
             )
-            new_batch_stats = mutated["batch_stats"]
+            new_batch_stats = mutated.get("batch_stats")
+            intermediates = mutated.get("intermediates")
         else:
             outputs = apply_fn(
                 variables,
@@ -247,6 +287,17 @@ def make_train_step(
             apply_class_weights=apply_class_weights,
             task_keys=task_keys,
         )
+        if intermediates is not None:
+            moe = _collect_moe_stats(intermediates)
+            if moe is not None:
+                # averaged over MoE layers (V-MoE convention), weighted into
+                # the scalar loss; raw values surfaced in components/metrics
+                total = total + (
+                    moe_aux_weight * moe["moe_aux"] + moe_z_weight * moe["moe_z"]
+                )
+                # the reported total is the OPTIMIZED total (incl. the
+                # weighted aux terms), matching what the gradient descends
+                components = dict(components, **moe, total=total)
         return total, (outputs, components, new_batch_stats)
 
     def train_step(state: TrainState, batch: dict, scalars: ScheduleScalars):
@@ -305,6 +356,9 @@ def make_train_step(
                 # train.py:350). Accuracy counts vs the RAW microbatch
                 # targets (pre-mixing), like the accum=1 path.
                 stats = {"mixed": mb_mixed.astype(jnp.float32).sum()}
+                if collect_moe:
+                    for k_moe in _MOE_KEYS:
+                        stats[k_moe] = mb_comp.get(k_moe, jnp.float32(0.0))
                 for t in task_keys:
                     raw_tgt = mb["targets"][t]
                     stats[f"loss/{t}"] = mb_comp["tasks"][t]
@@ -323,6 +377,9 @@ def make_train_step(
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
             zero_stats = {"mixed": jnp.float32(0.0)}
+            if collect_moe:
+                for k_moe in _MOE_KEYS:
+                    zero_stats[k_moe] = jnp.float32(0.0)
             for t in task_keys:
                 for k in ("loss", "correct1", "correct3", "valid"):
                     zero_stats[f"{k}/{t}"] = jnp.float32(0.0)
@@ -345,6 +402,9 @@ def make_train_step(
             outputs, mixed_mask = None, None
             accum_metrics = {"mixed_frac": acc_stats["mixed"] /
                              jnp.float32(batch["images"].shape[0])}
+            if collect_moe:
+                for k_moe in _MOE_KEYS:
+                    accum_metrics[k_moe] = acc_stats[k_moe] / accum
             for t in task_keys:
                 accum_metrics[f"loss/{t}"] = components["tasks"][t]
                 denom = jnp.maximum(acc_stats[f"valid/{t}"], 1.0)
@@ -376,6 +436,9 @@ def make_train_step(
                 metrics[f"loss/{t}"] = components["tasks"][t]
             metrics.update(_accuracy_metrics(outputs, batch["targets"]))
             metrics["mixed_frac"] = mixed_mask.astype(jnp.float32).mean()
+            for k_moe in _MOE_KEYS:
+                if k_moe in components:
+                    metrics[k_moe] = components[k_moe]
         else:
             metrics.update(accum_metrics)
         return new_state, metrics
