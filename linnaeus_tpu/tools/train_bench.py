@@ -54,7 +54,8 @@ def _v0_sm_model(img: int, fp32_scores: bool):
 
 def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
                flash: bool = False, arch: str = "v1",
-               rope_deinterleave: bool = True, v0_head_split: bool = False):
+               rope_deinterleave: bool = True, v0_head_split: bool = False,
+               moe: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -80,6 +81,11 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
                 use_flash_attn=flash,
                 rope_deinterleave=rope_deinterleave,
             )
+        if moe:
+            # the mFormerV1_sm_moe preset: 8-expert top-2 MoE MLP on every
+            # 2nd RoPE block (configs/model/archs/mFormerV1_sm_moe.yaml)
+            model = model.clone(moe_num_experts=8, moe_top_k=2,
+                                moe_every_n=2, moe_capacity_factor=1.25)
     tasks = model.task_keys
     nc = dict(model.num_classes)
 
@@ -109,6 +115,8 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
         criteria, tasks,
         MixConfig(mixup_enabled=True, chunk_bounds=((0, 2), (2, 5))),
         clip_grad=5.0, has_meta=True, num_classes=nc,
+        moe_aux_weight=0.01 if moe else 0.0,
+        moe_z_weight=0.001 if moe else 0.0,
     )
     scalars = ScheduleScalars(
         mix_prob=jnp.float32(0.5),
@@ -138,13 +146,13 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
             remat: bool = False, flash: bool = False,
             n1: int = 4, n2: int = 12, arch: str = "v1",
             rope_deinterleave: bool = True,
-            v0_head_split: bool = False) -> dict:
+            v0_head_split: bool = False, moe: bool = False) -> dict:
     from linnaeus_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     run_j, state = build_step(batch, img, fp32_scores, remat, flash, arch,
                               rope_deinterleave=rope_deinterleave,
-                              v0_head_split=v0_head_split)
+                              v0_head_split=v0_head_split, moe=moe)
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
@@ -161,6 +169,7 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
     return {
         "arch": arch, "batch": batch, "img": img,
         "fp32_scores": fp32_scores, "remat": remat, "flash": flash,
+        "moe": moe,
         "train_ms_per_step": round(ms, 2),
         "train_images_per_sec": round(batch / (ms / 1000.0), 1),
     }
@@ -180,6 +189,9 @@ def main(argv=None) -> None:
                         "RelativeAttention (default off; measured neutral)")
     p.add_argument("--arch", choices=("v1", "v0"), default="v1",
                    help="v1 = mFormerV1_sm flagship; v0 = mFormerV0_sm")
+    p.add_argument("--moe", action="store_true",
+                   help="mFormerV1_sm_moe variant: 8-expert top-2 MoE MLP "
+                        "on every 2nd RoPE block")
     p.add_argument("--sweep", action="store_true",
                    help="batch {128,256,512} x scores {bf16,fp32}")
     args = p.parse_args(argv)
@@ -202,7 +214,7 @@ def main(argv=None) -> None:
         batch=args.batch, img=args.img, fp32_scores=args.fp32_scores,
         remat=args.remat, flash=args.flash, arch=args.arch,
         rope_deinterleave=not args.no_deinterleave,
-        v0_head_split=args.v0_head_split,
+        v0_head_split=args.v0_head_split, moe=args.moe,
     )))
 
 

@@ -725,3 +725,61 @@ def test_sequence_parallel_rejects_tp_combination(data_dir, tmp_path):
     cfg.PARALLEL.PARAM_SHARDING = "tp"
     with pytest.raises(ValueError, match="SEQUENCE_PARALLEL"):
         Trainer(cfg)
+
+
+@pytest.mark.slow
+def test_trainer_expert_parallel(data_dir, tmp_path):
+    """MODEL.MOE.ENABLED + PARAM_SHARDING='ep' on a (data=2, model=4) mesh:
+    the full Trainer builds the MoE variant, shards the expert banks over
+    the model axis, and trains + validates end-to-end with the MoE aux
+    metrics flowing through the step logger.
+
+    Runs in a SUBPROCESS like the TP/SP tests: a fresh SPMD train-step
+    compile late in a long-lived pytest process trips the XLA:CPU
+    segfault."""
+    import subprocess
+    import sys
+
+    if os.environ.get("LINNAEUS_EP_TEST_INNER") != "1":
+        env = {**os.environ, "LINNAEUS_EP_TEST_INNER": "1"}
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             f"{__file__}::test_trainer_expert_parallel", "-x", "-q"],
+            env=env, capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, (
+            f"inner EP test failed:\n{r.stdout[-3000:]}\n{r.stderr[-2000:]}"
+        )
+        return
+
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_ep", epochs=1)
+    cfg.SCHEDULE.METRICS.CONSOLE_INTERVAL = 1  # record train-phase metrics
+    cfg.MODEL.MOE.ENABLED = True
+    cfg.MODEL.MOE.NUM_EXPERTS = 4
+    cfg.MODEL.MOE.EVERY_N = 1
+    cfg.PARALLEL.MESH.DATA = 2
+    cfg.PARALLEL.MESH.MODEL = 4
+    cfg.PARALLEL.PARAM_SHARDING = "ep"
+    trainer = Trainer(cfg)
+    # expert banks actually sharded over 'model'
+    wi = trainer.state.params["stage3_block0"]["mlp"]["wi"]
+    assert wi.sharding.spec[0] == "model"
+    trainer.train()
+    assert trainer.metrics.get("val", "loss") is not None
+    assert trainer.metrics.get("train", "moe_aux") is not None
+    trainer.train_loader.close()
+
+
+def test_ep_sharding_requires_model_axis(data_dir, tmp_path):
+    """PARAM_SHARDING='ep' on a model=1 mesh must raise, not silently
+    replicate."""
+    from linnaeus_tpu.train.loop import Trainer
+
+    cfg = make_config(data_dir, tmp_path / "out_ep_bad", epochs=1)
+    cfg.MODEL.MOE.ENABLED = True
+    cfg.PARALLEL.PARAM_SHARDING = "ep"
+    with pytest.raises(ValueError, match="MESH.MODEL"):
+        Trainer(cfg)
