@@ -213,6 +213,31 @@ class Trainer:
         batch_stats = variables.get("batch_stats")
         n_params = sum(p.size for p in jax.tree.leaves(params))
         logger.info(f"Model params: {n_params:,}")
+
+        # pretrained init (MODEL.PRETRAINED* — torch ckpt conversion, with
+        # sparse upcycling into MoE banks; reference: checkpoint.py:513
+        # load_pretrained in main.py's build sequence). Auto-resume wins:
+        # a checkpoint in the output dir means this run already trained past
+        # init, so pretrained weights must not clobber it.
+        if config.MODEL.get("PRETRAINED") or config.MODEL.get(
+            "PRETRAINED_CONVNEXT"
+        ) or config.MODEL.get("PRETRAINED_ROPEVIT"):
+            if bool(config.TRAIN.AUTO_RESUME) and ckpt.auto_resume_helper(
+                self.ckpt_dir
+            ):
+                logger.info(
+                    "MODEL.PRETRAINED set but an auto-resume checkpoint "
+                    "exists — skipping pretrained init (resume wins)"
+                )
+            else:
+                from linnaeus_tpu.utils.pretrained import load_pretrained
+
+                params, batch_stats = load_pretrained(
+                    config, self.model, params, batch_stats
+                )
+                params = jax.tree.map(jnp.asarray, params)
+                if batch_stats is not None:
+                    batch_stats = jax.tree.map(jnp.asarray, batch_stats)
         self.tx = build_optimizer(
             config, self.lr_schedule, params=params,
             group_schedules=self.group_schedules,

@@ -539,3 +539,182 @@ def load_reference_mformer_v1(
     _apply_entries(params, state_dict, entries, report)
     _log_report("reference-mFormerV1", report)
     return params
+
+
+# --------------------------------------------------------------------- MoE
+_MOE_LEAF_TO_DENSE = {
+    "wi": ("Dense_0", "kernel"),
+    "bi": ("Dense_0", "bias"),
+    "wo": ("Dense_1", "kernel"),
+    "bo": ("Dense_1", "bias"),
+}
+
+
+def densify_moe_params(moe_params: dict) -> dict:
+    """Replace every MoE expert-bank mlp subtree (router/wi/bi/wo/bo,
+    models/blocks/moe.py) with a dense-MLP-shaped zero template
+    (Dense_0/Dense_1) so the torch-checkpoint loaders — which map onto the
+    DENSE param layout — can run unchanged. Pair with
+    ``upcycle_dense_to_moe`` to push the loaded weights back into the bank.
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(jax_to_py(moe_params), sep="/")
+    out = {}
+    for path, v in flat.items():
+        leaf = path.rsplit("/", 1)[-1]
+        if leaf in _MOE_LEAF_TO_DENSE and "/mlp/" in f"/{path}":
+            base = path.rsplit("/", 1)[0]
+            mod, name = _MOE_LEAF_TO_DENSE[leaf]
+            out[f"{base}/{mod}/{name}"] = np.zeros(v.shape[1:], v.dtype)
+        elif leaf == "router" and "/mlp/" in f"/{path}":
+            continue
+        else:
+            out[path] = v
+    return unflatten_dict(out, sep="/")
+
+
+def upcycle_dense_to_moe(dense_params: dict, moe_params: dict) -> dict:
+    """Sparse upcycling (Komatsuzaki et al. 2023, arXiv:2212.05055):
+    initialize an MoE model from a DENSE checkpoint by replicating the
+    dense MLP into every expert of each MoE block. The router keeps the MoE
+    model's fresh (small trunc-normal) init — a zero router would tie-break
+    every token onto experts 0..k-1 and overflow their capacity. With
+    identical experts and normalized top-k gates the upcycled model's
+    forward equals the dense model's exactly (up to capacity drops), so
+    fine-tuning starts from dense-model quality.
+
+    ``dense_params`` may be the matching dense twin
+    (``model.clone(moe_num_experts=0)``) or the output of a checkpoint
+    loader run on ``densify_moe_params(moe_params)``.
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    dflat = flatten_dict(jax_to_py(dense_params), sep="/")
+    mflat = flatten_dict(jax_to_py(moe_params), sep="/")
+    out = {}
+    n_upcycled = 0
+    for path, tgt in mflat.items():
+        leaf = path.rsplit("/", 1)[-1]
+        if leaf in _MOE_LEAF_TO_DENSE and "/mlp/" in f"/{path}":
+            base = path.rsplit("/", 1)[0]
+            mod, name = _MOE_LEAF_TO_DENSE[leaf]
+            src = dflat.get(f"{base}/{mod}/{name}")
+            if src is None:
+                raise KeyError(
+                    f"upcycle: dense source missing for {path} "
+                    f"(expected {base}/{mod}/{name})"
+                )
+            if src.shape != tgt.shape[1:]:
+                raise ValueError(
+                    f"upcycle: {path} expert shape {tgt.shape[1:]} != dense "
+                    f"{src.shape}"
+                )
+            out[path] = np.broadcast_to(
+                src, (tgt.shape[0],) + src.shape
+            ).copy().astype(tgt.dtype)
+            n_upcycled += 1
+        elif leaf == "router" and "/mlp/" in f"/{path}":
+            out[path] = tgt  # fresh router init
+        else:
+            src = dflat.get(path)
+            out[path] = tgt if src is None else src.astype(tgt.dtype)
+    logger.info(f"Sparse upcycling: replicated {n_upcycled} dense MLP leaves "
+                "into expert banks")
+    return unflatten_dict(out, sep="/")
+
+
+def _is_moe_params(params: dict) -> bool:
+    from flax.traverse_util import flatten_dict
+
+    return any(
+        p.rsplit("/", 1)[-1] == "wi" and "/mlp/" in f"/{p}"
+        for p in flatten_dict(params, sep="/")
+    )
+
+
+# ------------------------------------------------------- config-driven entry
+def load_pretrained(config, model, params: dict,
+                    batch_stats: dict | None = None):
+    """Config-driven pretrained initialization (reference:
+    utils/checkpoint.py:513 ``load_pretrained`` called from main.py's build
+    sequence). Consumes:
+
+      MODEL.PRETRAINED           torch checkpoint path (hf:// / b2:// ok)
+      MODEL.PRETRAINED_SOURCE    'metaformer' (v0) | 'reference' (v1) |
+                                 'stitched'; inferred from MODEL.TYPE when
+                                 unset
+      MODEL.PRETRAINED_CONVNEXT  ConvNeXt trunk ckpt (stitched v1 init)
+      MODEL.PRETRAINED_ROPEVIT   RoPE-ViT ckpt (stitched v1 init)
+
+    For an MoE model the checkpoint is loaded into a dense-shaped template
+    and sparse-upcycled into the expert banks (router keeps fresh init).
+
+    Returns ``(params, batch_stats)`` — unchanged when nothing is
+    configured. The Trainer calls this only when no auto-resume checkpoint
+    exists (resume wins, like the reference).
+    """
+    from linnaeus_tpu.utils.remote_sync import resolve_checkpoint_path
+
+    path = config.MODEL.get("PRETRAINED")
+    cn_path = config.MODEL.get("PRETRAINED_CONVNEXT")
+    rv_path = config.MODEL.get("PRETRAINED_ROPEVIT")
+    if not path and not cn_path and not rv_path:
+        return params, batch_stats
+
+    source = config.MODEL.get("PRETRAINED_SOURCE")
+    if not source:
+        if cn_path or rv_path:
+            source = "stitched"
+        elif str(config.MODEL.TYPE) == "mFormerV0":
+            source = "metaformer"
+        else:
+            source = "reference"
+    source = str(source).lower()
+
+    moe = _is_moe_params(params)
+    target = densify_moe_params(params) if moe else params
+
+    meta_names = tuple(
+        name for name, _ in getattr(model, "meta_components", ()) or ()
+    )
+    task_keys = tuple(getattr(model, "task_keys", ()) or ())
+
+    if source == "stitched":
+        target = load_stitched_pretrained(
+            target,
+            resolve_checkpoint_path(cn_path) if cn_path else None,
+            resolve_checkpoint_path(rv_path) if rv_path else None,
+            convnext_depths=tuple(model.convnext_depths),
+            rope_depths=tuple(model.rope_depths),
+        )
+    elif source == "metaformer":
+        sd = load_torch_state_dict(resolve_checkpoint_path(path))
+        target, batch_stats = load_metaformer_into_mformer_v0(
+            target, batch_stats, sd,
+            mbconv_depths=tuple(model.mbconv_depths),
+            attn_depths=tuple(model.attn_depths),
+            meta_names=meta_names,
+            task_keys=task_keys,
+        )
+    elif source == "reference":
+        sd = load_torch_state_dict(resolve_checkpoint_path(path))
+        target = load_reference_mformer_v1(
+            target, sd,
+            convnext_depths=tuple(model.convnext_depths),
+            rope_depths=tuple(model.rope_depths),
+            meta_names=meta_names,
+            task_keys=task_keys,
+        )
+    else:
+        raise ValueError(
+            f"Unknown MODEL.PRETRAINED_SOURCE {source!r} "
+            "(expected 'metaformer', 'reference', or 'stitched')"
+        )
+
+    if moe:
+        params = upcycle_dense_to_moe(target, params)
+        logger.info("Pretrained weights sparse-upcycled into the MoE banks")
+    else:
+        params = target
+    return params, batch_stats

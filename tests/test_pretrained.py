@@ -224,3 +224,109 @@ def test_metaformer_v0_remap(tmp_path):
         jnp.zeros((1, 64, 64, 3)), None,
     )
     assert np.isfinite(np.asarray(out["t1"])).all()
+
+
+# ------------------------------------------------- MoE upcycling + config entry
+from linnaeus_tpu.utils.pretrained import (  # noqa: E402
+    densify_moe_params,
+    load_pretrained,
+    upcycle_dense_to_moe,
+)
+
+
+def tiny_moe_model():
+    return MFormerV1(
+        img_size=(32, 32),
+        convnext_depths=DEPTHS,
+        convnext_dims=DIMS,
+        rope_depths=ROPE_DEPTHS,
+        rope_dims=ROPE_DIMS,
+        rope_num_heads=(2, 2),
+        drop_path_rate=0.0,
+        task_keys=("t1",),
+        num_classes={"t1": 4},
+        head_configs={"t1": {"TYPE": "Linear"}},
+        moe_num_experts=2,
+        moe_top_k=2,
+        moe_capacity_factor=8.0,
+        moe_every_n=1,
+    )
+
+
+def test_densify_matches_dense_twin_tree():
+    """densify_moe_params must produce exactly the dense twin's param tree
+    (same paths, same shapes) so the torch loaders can run unchanged."""
+    from flax.traverse_util import flatten_dict
+
+    x = jnp.zeros((1, 32, 32, 3))
+    mp = tiny_moe_model().init(jax.random.PRNGKey(0), x, None)["params"]
+    dp = tiny_model().init(jax.random.PRNGKey(0), x, None)["params"]
+    mflat = flatten_dict(densify_moe_params(mp), sep="/")
+    dflat = flatten_dict(dp, sep="/")
+    assert set(mflat) == set(dflat)
+    for k, v in dflat.items():
+        assert mflat[k].shape == np.asarray(v).shape, k
+
+
+def test_upcycle_forward_matches_dense_twin():
+    """Sparse upcycling invariant: identical experts + normalized top-k
+    gates + ample capacity -> upcycled MoE forward == dense forward."""
+    moe, dense = tiny_moe_model(), tiny_model()
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+    mp = moe.init(jax.random.PRNGKey(0), x, None)["params"]
+    dp = dense.init(jax.random.PRNGKey(1), x, None)["params"]
+    up = upcycle_dense_to_moe(dp, mp)
+    y_moe = moe.apply({"params": up}, x, None)
+    y_dense = dense.apply({"params": dp}, x, None)
+    np.testing.assert_allclose(
+        np.asarray(y_moe["t1"]), np.asarray(y_dense["t1"]), atol=1e-4
+    )
+    # router kept its fresh init (not zero, not from dense)
+    r = np.asarray(up["stage3_block0"]["mlp"]["router"])
+    assert np.abs(r).sum() > 0
+
+
+def test_load_pretrained_config_stitched_into_moe(tmp_path):
+    """Config-driven entry: stitched torch ckpts load into an MoE model via
+    the dense template and get replicated into every expert."""
+    from linnaeus_tpu.configuration import get_default_config
+
+    conv_path = str(tmp_path / "c.pth")
+    rope_path = str(tmp_path / "r.pth")
+    torch.save(synthetic_convnext_sd(), conv_path)
+    torch.save(synthetic_ropevit_sd(), rope_path)
+    cfg = get_default_config()
+    cfg.MODEL.PRETRAINED_CONVNEXT = conv_path
+    cfg.MODEL.PRETRAINED_ROPEVIT = rope_path
+
+    model = tiny_moe_model()
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x, None)["params"]
+    new_params, _ = load_pretrained(cfg, model, params, None)
+
+    rsd = load_torch_state_dict(rope_path)
+    wi = np.asarray(new_params["stage3_block0"]["mlp"]["wi"])
+    want = convert_linear_kernel(rsd["blocks.0.mlp.fc1.weight"])
+    assert wi.shape[0] == 2
+    for e in range(wi.shape[0]):
+        np.testing.assert_allclose(wi[e], want, rtol=1e-6)
+    csd = load_torch_state_dict(conv_path)
+    np.testing.assert_allclose(
+        np.asarray(new_params["stem"]["Conv_0"]["kernel"]),
+        convert_conv_kernel(csd["downsample_layers.0.0.weight"]),
+        rtol=1e-6,
+    )
+    out = model.apply({"params": new_params}, x, None)
+    assert np.isfinite(np.asarray(out["t1"])).all()
+
+
+def test_load_pretrained_noop_without_config_keys():
+    from linnaeus_tpu.configuration import get_default_config
+
+    cfg = get_default_config()
+    model = tiny_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), None
+    )["params"]
+    out_params, out_stats = load_pretrained(cfg, model, params, None)
+    assert out_params is params and out_stats is None
