@@ -104,6 +104,9 @@ def _build_default_config() -> CN:
     # ------------------------------------------------------------------ DATA
     _C.DATA = CN()
     _C.DATA.FROM = ""
+    # parity no-op: the vectorized processor is the ONLY implementation
+    # here (data/processor.py); the reference's per-sample fallback was
+    # not carried over
     _C.DATA.USE_VECTORIZED_PROCESSOR = True
     _C.DATA.BATCH_SIZE = 64  # global per-host train batch size
     _C.DATA.BATCH_SIZE_VAL = 128
@@ -123,6 +126,8 @@ def _build_default_config() -> CN:
     _C.DATA.AUTOBATCH.TARGET_MEMORY_FRACTION = 0.8
     _C.DATA.AUTOBATCH.MAX_BATCH_SIZE = 512
     _C.DATA.AUTOBATCH.MIN_BATCH_SIZE = 1
+    # STEPS_PER_TRIAL/LOG_LEVEL are parity no-ops: autobatch here searches
+    # by compiled-executable memory (utils/autobatch.py), not timed trials
     _C.DATA.AUTOBATCH.STEPS_PER_TRIAL = 2
     _C.DATA.AUTOBATCH.LOG_LEVEL = "INFO"
     _C.DATA.AUTOBATCH.ENABLED_VAL = False
@@ -132,6 +137,7 @@ def _build_default_config() -> CN:
     _C.DATA.AUTOBATCH.STEPS_PER_TRIAL_VAL = 2
     _C.DATA.AUTOBATCH.LOG_LEVEL_VAL = "INFO"
 
+    # dataset identity strings: recorded into run config/wandb only
     _C.DATA.DATASET = CN()
     _C.DATA.DATASET.NAME = ""
     _C.DATA.DATASET.VERSION = ""
@@ -217,7 +223,7 @@ def _build_default_config() -> CN:
     # default); 'cpu' runs it on the host JAX CPU backend in the loader
     # (reference default, aug/factory.py:14-44)
     _C.AUG.SINGLE_AUG_DEVICE = "device"
-    _C.AUG.USE_OPENCV = False
+    _C.AUG.USE_OPENCV = False  # parity no-op: decode is PIL/numpy here
     _C.AUG.AUTOAUG = CN()
     _C.AUG.AUTOAUG.POLICY = "original"
     _C.AUG.AUTOAUG.COLOR_JITTER = 0.4
@@ -243,6 +249,9 @@ def _build_default_config() -> CN:
     _C.MODEL.ATTN_DROP_RATE = 0.0
     _C.MODEL.LABEL_SMOOTHING = 0.1
     _C.MODEL.ONLY_LAST_CLS = False
+    # parity no-op: extra-token count is DERIVED from DATA.META.COMPONENTS
+    # (1 cls + one per enabled component), matching the reference's own
+    # derivation in inference/model_utils.py:109-118
     _C.MODEL.EXTRA_TOKEN_NUM = 3
     _C.MODEL.META_DIMS = []  # legacy fallback; prefer DATA.META.COMPONENTS
     _C.MODEL.IMG_SIZE = 384
@@ -297,7 +306,7 @@ def _build_default_config() -> CN:
 
     _C.MODEL.FEATURE_RESOLVER = CN()
     _C.MODEL.FEATURE_RESOLVER.TYPE = "LearnedProjection"
-    _C.MODEL.FEATURE_RESOLVER.PROJECTION_INIT_MATRIX = "xavier"
+    _C.MODEL.FEATURE_RESOLVER.PROJECTION_INIT_MATRIX = "xavier"  # inert in the reference too
     _C.MODEL.FEATURE_RESOLVER.PARAMETERS = CN(new_allowed=True)
     _C.MODEL.FEATURE_RESOLVER.PARAMETERS.projection_dim = 512
 
@@ -308,19 +317,22 @@ def _build_default_config() -> CN:
     _C.MODEL.AGGREGATION = CN()
     _C.MODEL.AGGREGATION.TYPE = "default"
     _C.MODEL.AGGREGATION.PARAMETERS = CN(new_allowed=True)
+    # NORM_LAYER/ACTIVATION: inert in the reference too (read by nothing)
     _C.MODEL.AGGREGATION.PARAMETERS.NORM_LAYER = "LayerNorm"
     _C.MODEL.AGGREGATION.PARAMETERS.ACTIVATION = "GELU"
 
     _C.MODEL.CLASSIFICATION = CN()
     _C.MODEL.CLASSIFICATION.HEADS = CN(new_allowed=True)
 
+    # MODEL.NORMALIZATION.*: inert in the reference too — models hard-code
+    # their norm/activation choices (as do ours: BN in MBConv, LN elsewhere)
     _C.MODEL.NORMALIZATION = CN()
     _C.MODEL.NORMALIZATION.CONV_NORM_LAYER = "BatchNorm2d"
     _C.MODEL.NORMALIZATION.ATTENTION_NORM_LAYER = "LayerNorm"
     _C.MODEL.NORMALIZATION.ACTIVATION_LAYER = "GELU"
 
     _C.MODEL.OTHER_COMPONENTS = CN()
-    _C.MODEL.OTHER_COMPONENTS.DOWNSAMPLE_LAYERS = False
+    _C.MODEL.OTHER_COMPONENTS.DOWNSAMPLE_LAYERS = False  # inert in the reference too
 
     # mFormerV1 stage configs (filled by model-base YAMLs; listed here so the
     # keys exist for merge validation)
@@ -369,7 +381,7 @@ def _build_default_config() -> CN:
     _C.LOSS.TAXONOMY_SMOOTHING.BETA = 1.0
     _C.LOSS.TAXONOMY_SMOOTHING.UNIFORM_ROOTS = True
     _C.LOSS.TAXONOMY_SMOOTHING.FALLBACK_TO_UNIFORM = True
-    _C.LOSS.TAXONOMY_SMOOTHING.PARTIAL_SUBTREE_WEIGHTING = False
+    _C.LOSS.TAXONOMY_SMOOTHING.PARTIAL_SUBTREE_WEIGHTING = False  # inert in the reference too
 
     # ------------------------------------------------------------------ TRAIN
     _C.TRAIN = CN()
@@ -406,6 +418,8 @@ def _build_default_config() -> CN:
     _C.TRAIN.EARLY_STOP.MAX_GRAD_NORM = None
 
     # ------------------------------------------------------------------ VAL
+    # legacy validation cadence block (reference config.py:524+): superseded
+    # by SCHEDULE.VALIDATION.* here; kept so reference YAMLs merge unchanged
     _C.VAL = CN()
     _C.VAL.FROM = ""
     _C.VAL.CROP = True
@@ -507,6 +521,8 @@ def _build_default_config() -> CN:
     _C.SCHEDULE.MIX.USE_GPU = True  # parity alias for "apply on device (in-jit)"
     _C.SCHEDULE.MIX.MIN_GROUP_SIZE = 4
     _C.SCHEDULE.MIX.EXCLUDE_NULL_SAMPLES = False
+    # DEPRECATED in the reference (aug/cpu/selective_mixup.py:58); chunk
+    # bounds are derived from DATA.META.COMPONENTS (utils/meta.py)
     _C.SCHEDULE.MIX.CHUNK_BOUNDS = []
     _C.SCHEDULE.MIX.NULL_TASK_KEYS = None
     _C.SCHEDULE.MIX.SWITCH_PROB = 0.5
@@ -580,7 +596,7 @@ def _build_default_config() -> CN:
     _C.MISC.PIPELINE_METRICS_FREQ = 250
     _C.MISC.OUTPUT = "output"
     _C.MISC.SAVE_FREQ = 1
-    _C.MISC.PRINT_FREQ = 50
+    _C.MISC.PRINT_FREQ = 50  # superseded by SCHEDULE.METRICS.CONSOLE_INTERVAL
 
     _C.DEBUG = CN()
     _C.DEBUG.VALIDATION_METRICS = False
@@ -599,7 +615,7 @@ def _build_default_config() -> CN:
     _C.DEBUG.LOSS = CN()
     _C.DEBUG.LOSS.TAXONOMY_SMOOTHING = False
     _C.DEBUG.LOSS.NULL_MASKING = False
-    _C.DEBUG.LOSS.CLASS_WEIGHTING = False
+    _C.DEBUG.LOSS.CLASS_WEIGHTING = False  # inert in the reference too
     _C.DEBUG.LOSS.GRADNORM_MEMORY = False
     _C.DEBUG.LOSS.GRADNORM_METRICS = False
     _C.DEBUG.LOSS.VERBOSE_GRADNORM_LOGGING = False

@@ -63,6 +63,7 @@ def make_train_augment(
     random_erase_mode: str = "pixel",
     random_erase_area: tuple[float, float] = (0.02, 0.4),
     random_erase_aspect: tuple[float, float] = (0.3, 3.3),
+    random_erase_count: int = 1,
     hflip_prob: float = 0.5,
 ) -> Callable:
     """Full single-image train pipeline (reference CPU pipeline order:
@@ -83,12 +84,20 @@ def make_train_augment(
                 img,
             )
         if random_erase_prob > 0:
+            # AUG.RANDOM_ERASE.COUNT rectangles per gated image (static
+            # unroll — count is a compile-time constant; reference timm
+            # RandomErasing max_count semantics)
+            def _erase(im):
+                for i in range(max(int(random_erase_count), 1)):
+                    im = A.random_erasing(
+                        im, jax.random.fold_in(r_re, i), random_erase_area,
+                        random_erase_aspect, random_erase_mode,
+                    )
+                return im
+
             img = jax.lax.cond(
                 jax.random.bernoulli(r_re_gate, random_erase_prob),
-                lambda im: A.random_erasing(
-                    im, r_re, random_erase_area, random_erase_aspect,
-                    random_erase_mode,
-                ),
+                _erase,
                 lambda im: im,
                 img,
             )
@@ -144,5 +153,6 @@ class AugmentationPipelineFactory:
             random_erase_mode=str(aug.RANDOM_ERASE.MODE),
             random_erase_area=tuple(aug.RANDOM_ERASE.AREA_RANGE),
             random_erase_aspect=tuple(aug.RANDOM_ERASE.ASPECT_RATIO),
+            random_erase_count=int(aug.RANDOM_ERASE.COUNT or 1),
         )
         return make_batched_augment(single)

@@ -190,6 +190,8 @@ def build_loaders(
         train_sampler,
         num_io_threads=int(prefetch.NUM_IO_THREADS),
         batch_concurrency=int(prefetch.BATCH_CONCURRENCY),
+        num_preprocess_threads=int(prefetch.NUM_PREPROCESS_THREADS),
+        max_processed_batches=int(prefetch.MAX_PROCESSED_BATCHES),
         device_prefetch_depth=int(prefetch.get("DEVICE_PREFETCH_DEPTH", 2)),
         device_put_fn=device_put_fn,
         sleep_time=float(prefetch.SLEEP_TIME),
@@ -214,6 +216,8 @@ def build_loaders(
             val_sampler,
             num_io_threads=int(prefetch.NUM_IO_THREADS),
             batch_concurrency=int(prefetch.BATCH_CONCURRENCY),
+            num_preprocess_threads=int(prefetch.NUM_PREPROCESS_THREADS),
+            max_processed_batches=int(prefetch.MAX_PROCESSED_BATCHES),
             device_prefetch_depth=int(prefetch.get("DEVICE_PREFETCH_DEPTH", 2)),
             device_put_fn=device_put_fn,
             debug=check_debug_flag(config, "DEBUG.DATALOADER"),

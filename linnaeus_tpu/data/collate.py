@@ -32,6 +32,10 @@ class MixConfig(NamedTuple):
 
     mixup_alpha: float = 1.0
     cutmix_alpha: float = 1.0
+    # optional (min, max) bounds on the cutmix area-ratio lam — the beta
+    # sample is affinely rescaled into [min, max] (reference
+    # aug/cpu/selective_cutmix.py:202-204 SCHEDULE.MIX.CUTMIX.MINMAX)
+    cutmix_minmax: tuple[float, float] | None = None
     mixup_enabled: bool = True
     cutmix_enabled: bool = False
     exclude_null: bool = False
@@ -180,6 +184,9 @@ def selective_cutmix(
     perm = ingroup_permutation(r_perm, group_ids)
     mask = _mixable_mask(group_ids, perm, targets, cfg)
     lam = _sample_beta(r_lam, cfg.cutmix_alpha)
+    if cfg.cutmix_minmax is not None:
+        lo, hi = float(cfg.cutmix_minmax[0]), float(cfg.cutmix_minmax[1])
+        lam = lo + (hi - lo) * lam
     y1, y2, x1, x2 = _rand_bbox(r_box, H, W, lam)
 
     rows = jnp.arange(H)[None, :, None, None]

@@ -37,6 +37,8 @@ class H5DataLoader:
         sampler: GroupedBatchSampler,
         num_io_threads: int = 4,
         batch_concurrency: int = 4,
+        num_preprocess_threads: int = 4,
+        max_processed_batches: int = 10,
         device_prefetch_depth: int = 2,
         device_put_fn=None,
         sleep_time: float = 0.0,
@@ -54,6 +56,12 @@ class H5DataLoader:
         self._epoch = 0
         self.num_io_threads = max(int(num_io_threads), 1)
         self.batch_concurrency = max(int(batch_concurrency), 1)
+        # DATA.PREFETCH.NUM_PREPROCESS_THREADS sizes the batch-assembly pool;
+        # MAX_PROCESSED_BATCHES bounds host batches alive at once (in-flight
+        # reads + the ready queue) — the host-memory cap (reference:
+        # h5data/build.py:1244-1246)
+        self.num_preprocess_threads = max(int(num_preprocess_threads), 1)
+        self.max_processed_batches = max(int(max_processed_batches), 2)
         self.device_prefetch_depth = max(int(device_prefetch_depth), 0)
         self.device_put_fn = device_put_fn
         self.sleep_time = sleep_time
@@ -83,7 +91,8 @@ class H5DataLoader:
     def _ensure_pool(self) -> ThreadPoolExecutor:
         if self._pool is None:
             self._pool = ThreadPoolExecutor(
-                max_workers=self.batch_concurrency, thread_name_prefix="h5batch"
+                max_workers=self.num_preprocess_threads,
+                thread_name_prefix="h5batch",
             )
             self._io_pool = ThreadPoolExecutor(
                 max_workers=self.num_io_threads, thread_name_prefix="h5io"
@@ -118,15 +127,22 @@ class H5DataLoader:
                 self.dataset.read_batch, idx_array, pool=self._io_pool
             )
 
+        def can_submit():
+            return (
+                len(futures) < self.batch_concurrency
+                and len(futures) + len(device_queue)
+                < self.max_processed_batches
+            )
+
         bi = 0
         # prime the window
-        while bi < len(batches) and len(futures) < self.batch_concurrency:
+        while bi < len(batches) and can_submit():
             futures.append(submit(batches[bi]))
             bi += 1
 
         while futures or device_queue:
             # keep the read window full
-            while bi < len(batches) and len(futures) < self.batch_concurrency:
+            while bi < len(batches) and can_submit():
                 futures.append(submit(batches[bi]))
                 bi += 1
             # move finished host batches to the device queue

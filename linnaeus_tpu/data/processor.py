@@ -254,11 +254,21 @@ class DatasetProcessor:
         )
         out.meta_validity = validity
 
-        # group ids per rank level = class index at that level (-1 for null)
+        # group ids per rank level = class index at that level (-1 for null).
+        # Groups smaller than SCHEDULE.MIX.MIN_GROUP_SIZE are marked -1 too —
+        # they can never yield an in-group mixing partner (reference:
+        # vectorized_dataset_processor.py:845,1220).
+        min_group = int(self.config.SCHEDULE.MIX.MIN_GROUP_SIZE)
         for task in self.task_keys:
             gids = out.labels[task].astype(np.int32).copy()
             if self.partial_levels:
                 gids[gids == 0] = -1  # nulls don't group together
+            if min_group > 1 and len(gids):
+                counts = np.bincount(gids[gids >= 0], minlength=0)
+                small = np.zeros(len(gids), dtype=bool)
+                pos = gids >= 0
+                small[pos] = counts[gids[pos]] < min_group
+                gids[small] = -1
             out.group_ids[task] = gids
 
         out.valid_mask = valid

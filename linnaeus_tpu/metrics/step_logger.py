@@ -153,6 +153,10 @@ def initialize_wandb(config, resume_run_id: str | None = None):
         logger.warning("EXPERIMENT.WANDB.ENABLED but wandb not installed; skipping")
         return None
     run_id = resume_run_id or (config.EXPERIMENT.WANDB.RUN_ID or None)
+    # EXPERIMENT.WANDB.RESUME: manual resume policy when no auto-detected
+    # run id exists; ALLOW_WANDB_VAL_CHANGE lets a resumed run update config
+    # values (reference: utils/logging/wandb.py:132-137,680)
+    resume = "allow" if run_id else (config.EXPERIMENT.WANDB.RESUME or None)
     run = wandb.init(
         project=config.EXPERIMENT.PROJECT or None,
         group=config.EXPERIMENT.GROUP or None,
@@ -160,7 +164,8 @@ def initialize_wandb(config, resume_run_id: str | None = None):
         tags=list(config.EXPERIMENT.TAGS or []),
         notes=config.EXPERIMENT.NOTES or None,
         id=run_id,
-        resume="allow" if run_id else None,
+        resume=resume,
         config=config.to_dict(),
+        allow_val_change=bool(config.TRAIN.get("ALLOW_WANDB_VAL_CHANGE", False)),
     )
     return run

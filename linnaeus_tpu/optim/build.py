@@ -85,6 +85,7 @@ def _make_single(
             ns_steps=int(m.NS_STEPS),
             weight_decay=wd,
             apply_scaling=bool(m.APPLY_SCALING),
+            strict=bool(m.STRICT),
         )
     if name == "ademamix":
         betas = tuple(opt.BETAS)

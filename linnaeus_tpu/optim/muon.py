@@ -57,10 +57,28 @@ def scale_by_muon(
     nesterov: bool = True,
     ns_steps: int = 5,
     apply_scaling: bool = True,
+    strict: bool = False,
 ) -> optax.GradientTransformation:
-    """Core Muon transform (no lr, no wd). Non-2D leaves pass through raw."""
+    """Core Muon transform (no lr, no wd). Non-2D leaves pass through raw.
+
+    ``strict`` (OPTIMIZER.MUON.STRICT, reference optimizers/muon.py:115-121):
+    raise at init on matrix-like params Muon cannot orthogonalize cleanly —
+    ranks other than 2/4, or a singleton matrix dimension — instead of
+    silently giving them momentum-SGD.
+    """
 
     def init_fn(params):
+        if strict:
+            bad = [
+                tuple(p.shape)
+                for p in jax.tree.leaves(params)
+                if p.ndim >= 2 and (p.ndim not in (2, 4) or min(p.shape) <= 1)
+            ]
+            if bad:
+                raise ValueError(
+                    "Muon strict mode: params must be 2D or 4D with no "
+                    f"singleton matrix dims; offending shapes: {bad[:5]}"
+                )
         return MuonState(momentum=jax.tree.map(jnp.zeros_like, params))
 
     def update_fn(updates, state, params=None):
@@ -99,9 +117,10 @@ def muon(
     ns_steps: int = 5,
     weight_decay: float = 0.0,
     apply_scaling: bool = True,
+    strict: bool = False,
 ) -> optax.GradientTransformation:
     """Full Muon: orthogonalized momentum + decoupled weight decay + lr."""
-    chain = [scale_by_muon(momentum, nesterov, ns_steps, apply_scaling)]
+    chain = [scale_by_muon(momentum, nesterov, ns_steps, apply_scaling, strict)]
     if weight_decay > 0:
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_learning_rate(learning_rate))

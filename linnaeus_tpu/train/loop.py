@@ -316,9 +316,22 @@ class Trainer:
         self.chunk_bounds = tuple(compute_meta_chunk_bounds(config))
         self.bounds_by_name = compute_meta_chunk_bounds_by_name(config)
         mix = config.SCHEDULE.MIX
+        if list(mix.LEVEL_SWITCH_STEPS or []) or list(
+            mix.LEVEL_SWITCH_EPOCHS or []
+        ):
+            # reference parity: scheduled group-level switching is explicitly
+            # unsupported there too (main.py:483-491 raises the same way)
+            raise NotImplementedError(
+                "SCHEDULE.MIX.LEVEL_SWITCH_STEPS/EPOCHS are not supported; "
+                "use a fixed GROUP_LEVELS priority list"
+            )
         mix_cfg = MixConfig(
             mixup_alpha=float(mix.MIXUP.ALPHA),
             cutmix_alpha=float(mix.CUTMIX.ALPHA),
+            cutmix_minmax=(
+                tuple(float(v) for v in mix.CUTMIX.MINMAX)
+                if mix.CUTMIX.MINMAX else None
+            ),
             mixup_enabled=bool(mix.MIXUP.ENABLED),
             cutmix_enabled=bool(mix.CUTMIX.ENABLED),
             exclude_null=bool(mix.EXCLUDE_NULL_SAMPLES),
@@ -416,8 +429,11 @@ class Trainer:
                     deterministic=deterministic, gradnorm_mode=gradnorm_mode,
                 )
 
+            from linnaeus_tpu.utils.param_filters import resolve_gradnorm_exclude
+
+            exclude_cfg = resolve_gradnorm_exclude(gw)
             trunk_filter = lambda params: trunk_mask_from_exclude(  # noqa: E731
-                params, gw.EXCLUDE_CONFIG
+                params, exclude_cfg
             )
             update = make_gradnorm_update_fn(
                 apply_fn,
@@ -707,6 +723,13 @@ class Trainer:
 
             self.wandb_run = initialize_wandb(self.config, resume_run_id=run_id)
             self.step_logger.wandb_run = self.wandb_run
+        # reference parity: resume advertises itself in the config
+        # (checkpoint.py:927,946 — consumers like wandb config logging see
+        # where the run restarted)
+        self.config.defrost()
+        self.config.TRAIN.START_EPOCH = int(self.progress.current_epoch)
+        self.config.LOADING_FROM_CHECKPOINT = True
+        self.config.freeze()
         logger.info(f"Resumed from {latest} at step {self.progress.global_step}")
         # replay validations that were pending when interrupted
         if self.progress.has_pending_validations() and not self.skip_validation:
@@ -966,6 +989,25 @@ class Trainer:
     def _validate(self, stage: TrainingStage, combo: list[str] | None = None) -> None:
         if self.val_loader is None:
             return
+        # EXPERIMENT.LOG_LEVEL_VALIDATION: temporarily switch the main
+        # logger's level for the duration of a validation pass (reference:
+        # main.py:1899-1908)
+        val_level = self.config.EXPERIMENT.get("LOG_LEVEL_VALIDATION")
+        prev_level = None
+        if val_level:
+            import logging as _logging
+
+            prev_level = logger.level
+            logger.setLevel(getattr(_logging, str(val_level).upper(), logger.level))
+        try:
+            self._validate_inner(stage, combo)
+        finally:
+            if prev_level is not None:
+                logger.setLevel(prev_level)
+
+    def _validate_inner(
+        self, stage: TrainingStage, combo: list[str] | None = None
+    ) -> None:
         self.progress.enter_stage(stage)
         if stage == TrainingStage.VALIDATION_NORMAL:
             phase = MetricsTracker.VAL

@@ -85,6 +85,14 @@ def main(argv=None) -> None:
         level_main = level_h5 = "DEBUG"
     create_logger(log_dir, level=level_main, process_index=process_index)
     create_h5data_logger(log_dir, level=level_h5, process_index=process_index)
+    if config.EXPERIMENT.CODE_VERSION:
+        # reference parity: surface the experiment's code version at startup
+        # (main.py:458-459)
+        from linnaeus_tpu.utils.logging import get_main_logger
+
+        get_main_logger().critical(
+            f"CODE VERSION: {config.EXPERIMENT.CODE_VERSION}"
+        )
     if process_index == 0:
         save_config(
             config,

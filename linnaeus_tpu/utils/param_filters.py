@@ -108,6 +108,22 @@ def param_mask(params, pred: Predicate):
     )
 
 
+def resolve_gradnorm_exclude(gw_cfg) -> dict:
+    """GradNorm exclusion filter: the structured EXCLUDE_CONFIG when it has
+    filters, else the legacy EXCLUDE_PATTERNS name list wrapped into the
+    same shape (reference: utils/unified_filtering.py:167-184)."""
+    exclude_cfg = gw_cfg.EXCLUDE_CONFIG
+    if exclude_cfg.get("FILTERS"):
+        return exclude_cfg
+    return {
+        "TYPE": "or",
+        "FILTERS": [{
+            "TYPE": "name",
+            "PATTERNS": list(gw_cfg.get("EXCLUDE_PATTERNS") or []),
+        }],
+    }
+
+
 def trunk_mask_from_exclude(params, exclude_cfg: dict):
     """GradNorm trunk mask: 1 for trunk params, 0 for excluded (heads/meta).
 

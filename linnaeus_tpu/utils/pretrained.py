@@ -671,6 +671,8 @@ def load_pretrained(config, model, params: dict,
         else:
             source = "reference"
     source = str(source).lower()
+    if source.startswith("stitched"):  # e.g. 'stitched_convnext_ropevit'
+        source = "stitched"
 
     moe = _is_moe_params(params)
     target = densify_moe_params(params) if moe else params

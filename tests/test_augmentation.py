@@ -211,3 +211,44 @@ def test_train_step_applies_augmentation():
         lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
     )
     assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_random_erase_count_monotone():
+    """COUNT=3 erases at least the pixels COUNT=1 does (same rng: the first
+    rectangle is shared, extra rectangles only add)."""
+    from linnaeus_tpu.data.augmentation.autoaugment import make_train_augment
+
+    ones = jnp.ones((24, 24, 3), jnp.float32)
+    rng = jax.random.PRNGKey(7)
+    kw = dict(
+        policy_name="", color_jitter=0.0, hflip_prob=0.0,
+        random_erase_prob=1.0, random_erase_mode="const",
+    )
+    out1 = make_train_augment(random_erase_count=1, **kw)(ones, rng)
+    out3 = make_train_augment(random_erase_count=3, **kw)(ones, rng)
+    z1 = int(jnp.sum(out1 == 0.0))
+    z3 = int(jnp.sum(out3 == 0.0))
+    assert z1 > 0 and z3 >= z1
+
+
+def test_cutmix_minmax_bounds_box_area():
+    """CUTMIX.MINMAX rescales lam: with lam in [0.8, 0.9] the cut box covers
+    at most ~20% of the image (reference selective_cutmix.py:202-204)."""
+    from linnaeus_tpu.data.collate import MixConfig, selective_cutmix
+
+    B, H, W = 8, 32, 32
+    images = jnp.zeros((B, H, W, 3))
+    donor = jnp.ones((B, H, W, 3))
+    # interleave so each sample's partner is all-ones
+    imgs = jnp.concatenate([images[:4], donor[:4]], axis=0)
+    targets = {"t": jax.nn.one_hot(jnp.zeros((B,), jnp.int32), 4)}
+    gids = jnp.zeros((B,), jnp.int32)  # one big group
+    cfg = MixConfig(cutmix_enabled=True, mixup_enabled=False,
+                    cutmix_minmax=(0.8, 0.9))
+    for seed in range(5):
+        out, tgt, _, mask = selective_cutmix(
+            imgs, targets, None, gids, jax.random.PRNGKey(seed), cfg
+        )
+        # pasted-box fraction = 1 - lam_adj <= 1 - 0.8 (+ integer slack)
+        frac = float(jnp.mean(out[0] != imgs[0]))
+        assert frac <= 0.25, frac

@@ -579,3 +579,50 @@ def test_hybrid_dir_image_source_end_to_end(labels_h5, tmp_path):
     src2 = bundle2["train_dataset"].source
     with pytest.raises(FileNotFoundError):
         src2.read(i1)
+
+
+def test_min_group_size_marks_small_groups(labels_h5):
+    """Groups smaller than SCHEDULE.MIX.MIN_GROUP_SIZE get group id -1 —
+    they can never produce an in-group partner (reference:
+    vectorized_dataset_processor.py:845,1220)."""
+    cfg = small_config(labels_h5, None)
+    cfg.SCHEDULE.MIX.MIN_GROUP_SIZE = 10_000  # nothing is big enough
+    proc = DatasetProcessor(cfg)
+    data, _, _, _ = proc.process_single_file(labels_h5, 0.75, 42)
+    for task in TASKS:
+        assert (data.group_ids[task] == -1).all()
+
+    cfg2 = small_config(labels_h5, None)
+    cfg2.SCHEDULE.MIX.MIN_GROUP_SIZE = 1
+    proc2 = DatasetProcessor(cfg2)
+    data2, _, _, _ = proc2.process_single_file(labels_h5, 0.75, 42)
+    # with threshold 1 only nulls are ungrouped
+    for task in TASKS:
+        nonnull = data2.labels[task] != 0
+        assert (data2.group_ids[task][nonnull] >= 0).all()
+
+
+def test_loader_max_processed_batches_still_yields_all(labels_h5, tmp_path):
+    """The MAX_PROCESSED_BATCHES host-memory cap must not drop batches."""
+    import h5py
+
+    from linnaeus_tpu.data.build import build_datasets, build_loaders
+
+    cfg = small_config(labels_h5, None)
+    images_path = str(tmp_path / "images.h5")
+    with h5py.File(labels_h5, "r") as lf:
+        n = len(lf["img_identifiers"])
+    rng = np.random.default_rng(0)
+    with h5py.File(images_path, "w") as f:
+        f.create_dataset(
+            "images", data=rng.integers(0, 255, (n, 16, 16, 3), dtype=np.uint8)
+        )
+    cfg.DATA.H5.IMAGES_PATH = images_path
+    cfg.DATA.BATCH_SIZE = 2
+    cfg.DATA.PREFETCH.MAX_PROCESSED_BATCHES = 2
+    cfg.DATA.PREFETCH.BATCH_CONCURRENCY = 4
+    cfg.DATA.PREFETCH.NUM_PREPROCESS_THREADS = 2
+    bundle = build_datasets(cfg)
+    train_loader, _ = build_loaders(cfg, bundle)
+    n_batches = sum(1 for _ in train_loader)
+    assert n_batches == len(train_loader) and n_batches > 0

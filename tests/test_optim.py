@@ -241,3 +241,34 @@ def test_independent_per_group_schedulers():
     )
     expected = 5e-3 / float(scheds["default"](100))
     assert ratio == pytest.approx(expected, rel=0.05)
+
+
+def test_muon_strict_rejects_odd_ranks():
+    """OPTIMIZER.MUON.STRICT raises on params Muon can't orthogonalize
+    (reference optimizers/muon.py:115-121)."""
+    import pytest
+
+    from linnaeus_tpu.optim.muon import muon
+
+    good = {"w": jnp.ones((8, 4)), "b": jnp.ones((4,))}
+    tx = muon(1e-3, strict=True)
+    tx.init(good)  # 2D + 1D: fine
+    bad = {"cls": jnp.ones((1, 1, 8))}
+    with pytest.raises(ValueError, match="strict"):
+        muon(1e-3, strict=True).init(bad)
+    muon(1e-3, strict=False).init(bad)  # non-strict passes through
+
+
+def test_resolve_gradnorm_exclude_fallback():
+    """Legacy EXCLUDE_PATTERNS kicks in when EXCLUDE_CONFIG has no filters
+    (reference utils/unified_filtering.py:167-184)."""
+    from linnaeus_tpu.configuration import get_default_config
+    from linnaeus_tpu.utils.param_filters import resolve_gradnorm_exclude
+
+    gw = get_default_config().LOSS.GRAD_WEIGHTING.TASK
+    # default EXCLUDE_CONFIG has filters -> used as-is
+    assert resolve_gradnorm_exclude(gw)["FILTERS"] == gw.EXCLUDE_CONFIG.FILTERS
+    gw.EXCLUDE_CONFIG.FILTERS = []
+    gw.EXCLUDE_PATTERNS = ["head", "meta_"]
+    resolved = resolve_gradnorm_exclude(gw)
+    assert resolved["FILTERS"][0]["PATTERNS"] == ["head", "meta_"]
