@@ -74,7 +74,7 @@ def _convnext_block_entries(src_prefix: str, dst_prefix: str):
     """(torch key suffix, flax path, converter) triples for one ConvNeXtBlock."""
     return [
         (f"{src_prefix}.dwconv.weight", [dst_prefix, "Conv_0", "kernel"],
-         lambda w: convert_conv_kernel(w, depthwise=True)),
+         convert_conv_kernel),
         (f"{src_prefix}.dwconv.bias", [dst_prefix, "Conv_0", "bias"], None),
         (f"{src_prefix}.norm.weight", [dst_prefix, "LayerNorm_0", "scale"], None),
         (f"{src_prefix}.norm.bias", [dst_prefix, "LayerNorm_0", "bias"], None),
@@ -427,17 +427,21 @@ def load_metaformer_into_mformer_v0(
 
 
 # ------------------------------------------------- reference-native mFormerV1
-def load_reference_mformer_v1(
-    params: dict,
-    state_dict: dict[str, np.ndarray],
+def convert_aggregate_conv1d(w: np.ndarray) -> np.ndarray:
+    """Conv1d(2->1, k=1) weight (1, 2, 1) -> Dense kernel (2, 1)."""
+    return np.transpose(w[:, :, 0], (1, 0))
+
+
+def _reference_v1_entries(
     convnext_depths: tuple[int, ...],
     rope_depths: tuple[int, int],
     meta_names: tuple[str, ...] = (),
     task_keys: tuple[str, ...] = (),
-) -> dict:
-    """Map the reference framework's OWN mFormerV1 state_dict (torch) onto
-    this framework's Flax params — used for logit-parity verification and for
-    migrating checkpoints trained with the reference.
+) -> list:
+    """(torch key, flax path, converter) triples for the reference's OWN
+    mFormerV1 state_dict — shared by the importer
+    (:func:`load_reference_mformer_v1`) and the exporter
+    (:func:`export_reference_mformer_v1`), so the mapping can never drift.
 
     Key layout (reference mFormerV1.py): stem.{0,1}, stages.{0,1}.{j} ConvNeXt
     blocks, downsample_layers.{0,1,2}, stages.{2,3}.{j} RoPE blocks (attn.qkv/
@@ -445,10 +449,6 @@ def load_reference_mformer_v1(
     meta_{name}_head_{s}.{0=Linear,2=LN,3=ResNormLayer}, cl_1_fc.{0=Mlp,1=LN},
     aggregate (Conv1d 2->1), final_norm, head.{task}.fc.
     """
-    import copy
-
-    params = copy.deepcopy(jax_to_py(params))
-    report = {"loaded": [], "missing": [], "shape_mismatch": []}
     entries = [
         ("stem.0.weight", ["stem", "Conv_0", "kernel"], convert_conv_kernel),
         ("stem.0.bias", ["stem", "Conv_0", "bias"], None),
@@ -495,9 +495,8 @@ def load_reference_mformer_v1(
         ("cl_1_fc.0.fc2.bias", ["cl_1_fc", "Dense_1", "bias"], None),
         ("cl_1_fc.1.weight", ["cl_1_norm", "scale"], None),
         ("cl_1_fc.1.bias", ["cl_1_norm", "bias"], None),
-        # Conv1d(2->1, k=1) weight (1, 2, 1) -> Dense kernel (2, 1)
         ("aggregate.weight", ["aggregate", "kernel"],
-         lambda w: np.transpose(w[:, :, 0], (1, 0))),
+         convert_aggregate_conv1d),
         ("aggregate.bias", ["aggregate", "bias"], None),
         ("final_norm.weight", ["final_norm", "scale"], None),
         ("final_norm.bias", ["final_norm", "bias"], None),
@@ -536,9 +535,78 @@ def load_reference_mformer_v1(
             (f"head.{task}.fc.bias",
              ["head", f"head_{task}", "Dense_0", "bias"], None),
         ]
+    return entries
+
+
+def load_reference_mformer_v1(
+    params: dict,
+    state_dict: dict[str, np.ndarray],
+    convnext_depths: tuple[int, ...],
+    rope_depths: tuple[int, int],
+    meta_names: tuple[str, ...] = (),
+    task_keys: tuple[str, ...] = (),
+) -> dict:
+    """Map the reference framework's OWN mFormerV1 state_dict (torch) onto
+    this framework's Flax params — used for logit-parity verification and for
+    migrating checkpoints trained with the reference."""
+    import copy
+
+    params = copy.deepcopy(jax_to_py(params))
+    report = {"loaded": [], "missing": [], "shape_mismatch": []}
+    entries = _reference_v1_entries(
+        convnext_depths, rope_depths, meta_names, task_keys
+    )
     _apply_entries(params, state_dict, entries, report)
     _log_report("reference-mFormerV1", report)
     return params
+
+
+# ------------------------------------------------------------- torch export
+def _invert_conv_kernel(k: np.ndarray) -> np.ndarray:
+    return np.transpose(k, (3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def _invert_linear_kernel(k: np.ndarray) -> np.ndarray:
+    return np.transpose(k, (1, 0))
+
+
+def _invert_aggregate_conv1d(k: np.ndarray) -> np.ndarray:
+    return np.transpose(k, (1, 0))[:, :, None]  # (2,1) -> (1,2,1)
+
+
+_INVERSES = {
+    convert_conv_kernel: _invert_conv_kernel,
+    convert_linear_kernel: _invert_linear_kernel,
+    convert_aggregate_conv1d: _invert_aggregate_conv1d,
+}
+
+
+def export_reference_mformer_v1(
+    params: dict,
+    convnext_depths: tuple[int, ...],
+    rope_depths: tuple[int, int],
+    meta_names: tuple[str, ...] = (),
+    task_keys: tuple[str, ...] = (),
+) -> dict[str, np.ndarray]:
+    """Inverse of :func:`load_reference_mformer_v1`: produce a torch
+    state_dict (numpy values) the REFERENCE's own mFormerV1 can
+    ``load_state_dict`` — the migration path back. Walks the exact same
+    entry list with each layout converter inverted, so importer/exporter
+    cannot drift. Leaves missing from the flax tree are skipped (the
+    reference carries a few torch-only buffers)."""
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(jax_to_py(params), sep="/")
+    out: dict[str, np.ndarray] = {}
+    for torch_key, flax_path, fwd in _reference_v1_entries(
+        convnext_depths, rope_depths, meta_names, task_keys
+    ):
+        v = flat.get("/".join(flax_path))
+        if v is None:
+            continue
+        inv = _INVERSES.get(fwd) if fwd is not None else None
+        out[torch_key] = np.asarray(inv(v) if inv else v)
+    return out
 
 
 # --------------------------------------------------------------------- MoE

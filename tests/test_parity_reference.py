@@ -501,3 +501,75 @@ def test_training_dynamics_parity(reference_pkg):
     # with random labels at this lr the direction is not guaranteed)
     assert abs(theirs[-1] - theirs[0]) > 0.02
     assert float(np.std(theirs)) > 1e-3
+
+
+def test_export_to_reference_round_trip(reference_pkg):
+    """Migration path back: export OUR trained params to a torch state_dict,
+    load it into the REFERENCE's mFormerV1, and require logit parity — the
+    inverse direction of test_mformer_v1_logit_parity."""
+    ref_config, RefMFormerV1 = reference_pkg
+    import jax
+    import jax.numpy as jnp
+
+    from linnaeus_tpu.models import MFormerV1
+    from linnaeus_tpu.utils.pretrained import export_reference_mformer_v1
+
+    torch.manual_seed(0)
+    cfg = _ref_config(ref_config)
+    ref_model = RefMFormerV1(cfg, num_classes=NC, taxonomy_tree=None)
+    ref_model.eval()
+
+    flax_model = MFormerV1(
+        img_size=(64, 64),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=tuple(DIMS),
+        rope_depths=(1, 1),
+        rope_dims=tuple(ROPE_DIMS),
+        rope_num_heads=(2, 2),
+        rope_mlp_ratio=(4.0, 4.0),
+        drop_path_rate=0.0,
+        rope_mixed=True,
+        meta_components=(("TEMPORAL", 2), ("SPATIAL", 3)),
+        task_keys=tuple(TASKS),
+        num_classes=NC,
+        head_configs={t: {"TYPE": "Linear"} for t in TASKS},
+        rope_fidelity="reference_cos",
+        act_exact=True,
+    )
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    meta = rng.normal(size=(2, 5)).astype(np.float32)
+    params = flax_model.init(
+        jax.random.PRNGKey(3), jnp.asarray(images), jnp.asarray(meta)
+    )["params"]
+
+    sd = export_reference_mformer_v1(
+        params,
+        convnext_depths=(1, 1, 1, 1),
+        rope_depths=(1, 1),
+        meta_names=("TEMPORAL", "SPATIAL"),
+        task_keys=tuple(TASKS),
+    )
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    # everything we export must land; the reference may carry extra buffers
+    assert not unexpected, f"exported keys the reference rejects: {unexpected}"
+
+    ours = flax_model.apply(
+        {"params": params}, jnp.asarray(images), jnp.asarray(meta)
+    )
+    with torch.no_grad():
+        theirs = ref_model(
+            torch.from_numpy(images).permute(0, 3, 1, 2).contiguous(),
+            torch.from_numpy(meta),
+        )
+    for t in TASKS:
+        a = np.asarray(ours[t], np.float32)
+        b = theirs[t].numpy()
+        max_diff = np.abs(a - b).max()
+        scale = max(np.abs(b).max(), 1e-6)
+        assert max_diff < 1e-4 or max_diff / scale < 2e-4, (
+            f"{t}: export round-trip diff {max_diff:.3e} (scale {scale:.3e})"
+        )
