@@ -255,9 +255,14 @@ class DatasetProcessor:
         out.meta_validity = validity
 
         # group ids per rank level = class index at that level (-1 for null).
-        # Groups smaller than SCHEDULE.MIX.MIN_GROUP_SIZE are marked -1 too —
-        # they can never yield an in-group mixing partner (reference:
-        # vectorized_dataset_processor.py:845,1220).
+        # Groups smaller than SCHEDULE.MIX.MIN_GROUP_SIZE are marked -1 too,
+        # exactly like the reference (vectorized_dataset_processor.py:845,
+        # 1220). NOTE the downstream consequences are also the reference's:
+        # in 'mixed-pairs' sampler mode ungrouped samples are excluded from
+        # batches entirely (reference grouped_batch_sampler.py:303-305 skips
+        # gid -1), so tail classes below the threshold never train at that
+        # grouping level; 'strict-group' mode still round-robins them in.
+        # Logged below so the drop is visible, not silent.
         min_group = int(self.config.SCHEDULE.MIX.MIN_GROUP_SIZE)
         for task in self.task_keys:
             gids = out.labels[task].astype(np.int32).copy()
@@ -269,6 +274,13 @@ class DatasetProcessor:
                 pos = gids >= 0
                 small[pos] = counts[gids[pos]] < min_group
                 gids[small] = -1
+                n_small = int(small.sum())
+                if n_small:
+                    logger.info(
+                        f"[{split}] {task}: {n_small} samples in groups "
+                        f"smaller than MIN_GROUP_SIZE={min_group} marked "
+                        "ungrouped (excluded from mixed-pairs batches)"
+                    )
             out.group_ids[task] = gids
 
         out.valid_mask = valid

@@ -153,10 +153,11 @@ def initialize_wandb(config, resume_run_id: str | None = None):
         logger.warning("EXPERIMENT.WANDB.ENABLED but wandb not installed; skipping")
         return None
     run_id = resume_run_id or (config.EXPERIMENT.WANDB.RUN_ID or None)
-    # EXPERIMENT.WANDB.RESUME: manual resume policy when no auto-detected
-    # run id exists; ALLOW_WANDB_VAL_CHANGE lets a resumed run update config
-    # values (reference: utils/logging/wandb.py:132-137,680)
-    resume = "allow" if run_id else (config.EXPERIMENT.WANDB.RESUME or None)
+    # EXPERIMENT.WANDB.RESUME: an explicitly-configured policy (e.g. 'must')
+    # always wins; 'allow' is only the fallback when a run id was
+    # auto-detected (reference: utils/logging/wandb.py:132-137,680)
+    explicit = config.EXPERIMENT.WANDB.RESUME or None
+    resume = explicit if explicit else ("allow" if run_id else None)
     run = wandb.init(
         project=config.EXPERIMENT.PROJECT or None,
         group=config.EXPERIMENT.GROUP or None,

@@ -62,9 +62,12 @@ def scale_by_muon(
     """Core Muon transform (no lr, no wd). Non-2D leaves pass through raw.
 
     ``strict`` (OPTIMIZER.MUON.STRICT, reference optimizers/muon.py:115-121):
-    raise at init on matrix-like params Muon cannot orthogonalize cleanly —
-    ranks other than 2/4, or a singleton matrix dimension — instead of
-    silently giving them momentum-SGD.
+    raise at init on matrix-like params outside the reference's supported
+    2D/4D contract — rank-3/5+ tensors (which the update would flatten on an
+    arbitrary axis split) and matrices with a singleton dim (which fall
+    through to momentum-SGD here). The torch reference raises for exactly
+    the non-2D/4D set; non-strict mode handles both cases as documented in
+    ``_is_muon_param``.
     """
 
     def init_fn(params):
@@ -76,8 +79,10 @@ def scale_by_muon(
             ]
             if bad:
                 raise ValueError(
-                    "Muon strict mode: params must be 2D or 4D with no "
-                    f"singleton matrix dims; offending shapes: {bad[:5]}"
+                    "Muon strict mode: matrix-like params must be 2D or 4D "
+                    "with no singleton dims (rank-3/5+ would be flattened "
+                    "on an arbitrary split; singleton-dim matrices fall "
+                    f"through to momentum-SGD); offending shapes: {bad[:5]}"
                 )
         return MuonState(momentum=jax.tree.map(jnp.zeros_like, params))
 

@@ -107,11 +107,17 @@ def pipeline_forward(
             f"pipeline: need microbatches >= stages ({M} < {S}) — smaller M "
             "leaves devices idle every tick"
         )
-    ba = (
-        batch_axis
-        if batch_axis and batch_axis in mesh.shape and batch_axis != axis_name
-        else None
-    )
+    if batch_axis is not None and (
+        batch_axis not in mesh.shape or batch_axis == axis_name
+    ):
+        # a typo'd batch axis would silently replicate the batch on every
+        # data-parallel device; pass batch_axis=None explicitly for a
+        # replicated batch
+        raise ValueError(
+            f"pipeline: batch_axis {batch_axis!r} is not a usable mesh axis "
+            f"(mesh has {tuple(mesh.shape)}, pipe axis is {axis_name!r})"
+        )
+    ba = batch_axis
 
     def _pipelined(params_local, xs):
         # params_local: (L/S, ...) this stage's layers

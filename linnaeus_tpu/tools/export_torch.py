@@ -47,10 +47,13 @@ def export_checkpoint(config, checkpoint_path: str, out_path: str) -> dict:
     params = state["params"] if "params" in state else state
 
     task_keys = tuple(config.DATA.TASK_KEYS_H5)
-    if _has_moe(params):
-        # average each expert bank into the dense layout (exact if experts
-        # are still replicas, e.g. freshly upcycled)
-        params = _average_experts_into_dense(params)
+    from linnaeus_tpu.utils.pretrained import (
+        _is_moe_params,
+        average_experts_into_dense,
+    )
+
+    if _is_moe_params(params):
+        params = average_experts_into_dense(params)
 
     # only the geometry is needed for the mapping — straight from config
     # (no model build: hierarchical heads would demand a taxonomy tree;
@@ -62,49 +65,11 @@ def export_checkpoint(config, checkpoint_path: str, out_path: str) -> dict:
         meta_names=tuple(n for n, _ in get_enabled_meta_components(config)),
         task_keys=task_keys,
     )
-    try:
-        import torch
+    import torch  # the whole point is a torch-loadable artifact
 
-        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
-                    for k, v in sd.items()}, out_path)
-    except ImportError:
-        np.savez(out_path, **sd)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, out_path)
     return sd
-
-
-def _flat_keys(tree, prefix=""):
-    for k, v in tree.items():
-        p = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
-            yield from _flat_keys(v, p)
-        else:
-            yield p
-
-
-def _has_moe(params) -> bool:
-    return any(p.endswith("/wi") and "/mlp/" in p for p in _flat_keys(params))
-
-
-def _average_experts_into_dense(params):
-    """Collapse (E, ...) expert banks to their mean and rebuild the dense
-    Dense_0/Dense_1 layout in place (router dropped)."""
-    from flax.traverse_util import flatten_dict, unflatten_dict
-
-    from linnaeus_tpu.utils.pretrained import _MOE_LEAF_TO_DENSE
-
-    flat = flatten_dict(params, sep="/")
-    out = {}
-    for path, v in flat.items():
-        leaf = path.rsplit("/", 1)[-1]
-        if leaf in _MOE_LEAF_TO_DENSE and "/mlp/" in f"/{path}":
-            base = path.rsplit("/", 1)[0]
-            mod, name = _MOE_LEAF_TO_DENSE[leaf]
-            out[f"{base}/{mod}/{name}"] = np.asarray(v).mean(axis=0)
-        elif leaf == "router" and "/mlp/" in f"/{path}":
-            continue
-        else:
-            out[path] = v
-    return unflatten_dict(out, sep="/")
 
 
 def main(argv=None) -> None:
@@ -114,9 +79,9 @@ def main(argv=None) -> None:
     parser.add_argument("--out", required=True, help="output .pth path")
     args = parser.parse_args(argv)
 
-    from linnaeus_tpu.configuration.utils import load_config
+    from linnaeus_tpu.configuration import build_config
 
-    config = load_config(args.cfg)
+    config = build_config(args.cfg)
     sd = export_checkpoint(config, args.checkpoint, args.out)
     print(f"exported {len(sd)} tensors -> {args.out}")
 

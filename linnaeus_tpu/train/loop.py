@@ -716,6 +716,12 @@ class Trainer:
             self.ops_schedule.load_state_dict(sidecar["ops_schedule"])
         if "early_stop" in sidecar:
             self.early_stop.load_state_dict(sidecar["early_stop"])
+        # reference parity: resume advertises itself in the config BEFORE
+        # any wandb init reads config.to_dict() (checkpoint.py:927,946)
+        self.config.defrost()
+        self.config.TRAIN.START_EPOCH = int(self.progress.current_epoch)
+        self.config.LOADING_FROM_CHECKPOINT = True
+        self.config.freeze()
         # wandb run continuity (reference: checkpoint.py:1051-1054)
         run_id = sidecar.get("wandb_run_id")
         if run_id and self.wandb_run is None and is_main_process():
@@ -723,13 +729,19 @@ class Trainer:
 
             self.wandb_run = initialize_wandb(self.config, resume_run_id=run_id)
             self.step_logger.wandb_run = self.wandb_run
-        # reference parity: resume advertises itself in the config
-        # (checkpoint.py:927,946 — consumers like wandb config logging see
-        # where the run restarted)
-        self.config.defrost()
-        self.config.TRAIN.START_EPOCH = int(self.progress.current_epoch)
-        self.config.LOADING_FROM_CHECKPOINT = True
-        self.config.freeze()
+        elif self.wandb_run is not None:
+            # a run initialized pre-resume snapshotted the config without
+            # the resume stamp — push the update (needs ALLOW_WANDB_VAL_CHANGE)
+            try:
+                self.wandb_run.config.update(
+                    {"LOADING_FROM_CHECKPOINT": True,
+                     "RESUMED_AT_EPOCH": int(self.progress.current_epoch)},
+                    allow_val_change=bool(
+                        self.config.TRAIN.get("ALLOW_WANDB_VAL_CHANGE", False)
+                    ),
+                )
+            except Exception as e:  # wandb policy rejection is non-fatal
+                logger.warning(f"wandb config update on resume failed: {e}")
         logger.info(f"Resumed from {latest} at step {self.progress.global_step}")
         # replay validations that were pending when interrupted
         if self.progress.has_pending_validations() and not self.skip_validation:
@@ -991,10 +1003,11 @@ class Trainer:
             return
         # EXPERIMENT.LOG_LEVEL_VALIDATION: temporarily switch the main
         # logger's level for the duration of a validation pass (reference:
-        # main.py:1899-1908)
+        # main.py:1899-1908). DEBUG.VERBOSE_DEBUG wins — a run that forced
+        # DEBUG everywhere must not be demoted exactly where it is debugging.
         val_level = self.config.EXPERIMENT.get("LOG_LEVEL_VALIDATION")
         prev_level = None
-        if val_level:
+        if val_level and not bool(self.config.DEBUG.get("VERBOSE_DEBUG", False)):
             import logging as _logging
 
             prev_level = logger.level

@@ -618,12 +618,13 @@ _MOE_LEAF_TO_DENSE = {
 }
 
 
-def densify_moe_params(moe_params: dict) -> dict:
-    """Replace every MoE expert-bank mlp subtree (router/wi/bi/wo/bo,
-    models/blocks/moe.py) with a dense-MLP-shaped zero template
-    (Dense_0/Dense_1) so the torch-checkpoint loaders — which map onto the
-    DENSE param layout — can run unchanged. Pair with
-    ``upcycle_dense_to_moe`` to push the loaded weights back into the bank.
+def _moe_to_dense_walk(moe_params: dict, bank_to_dense) -> dict:
+    """Rewrite every MoE expert-bank mlp subtree (router/wi/bi/wo/bo,
+    models/blocks/moe.py) into the dense Dense_0/Dense_1 layout; the
+    ``bank_to_dense(bank_array)`` callback decides the dense leaf value
+    (zero template for loading, expert mean for export). Routers drop.
+    Single walk shared by :func:`densify_moe_params` and
+    :func:`average_experts_into_dense` so the path convention cannot drift.
     """
     from flax.traverse_util import flatten_dict, unflatten_dict
 
@@ -634,12 +635,29 @@ def densify_moe_params(moe_params: dict) -> dict:
         if leaf in _MOE_LEAF_TO_DENSE and "/mlp/" in f"/{path}":
             base = path.rsplit("/", 1)[0]
             mod, name = _MOE_LEAF_TO_DENSE[leaf]
-            out[f"{base}/{mod}/{name}"] = np.zeros(v.shape[1:], v.dtype)
+            out[f"{base}/{mod}/{name}"] = bank_to_dense(np.asarray(v))
         elif leaf == "router" and "/mlp/" in f"/{path}":
             continue
         else:
             out[path] = v
     return unflatten_dict(out, sep="/")
+
+
+def densify_moe_params(moe_params: dict) -> dict:
+    """Dense-MLP-shaped ZERO template for an MoE tree, so the
+    torch-checkpoint loaders — which map onto the DENSE param layout — can
+    run unchanged. Pair with ``upcycle_dense_to_moe`` to push the loaded
+    weights back into the bank."""
+    return _moe_to_dense_walk(
+        moe_params, lambda bank: np.zeros(bank.shape[1:], bank.dtype)
+    )
+
+
+def average_experts_into_dense(moe_params: dict) -> dict:
+    """Collapse each (E, ...) expert bank to its mean in the dense layout —
+    the export path (exact while experts are replicas, e.g. freshly
+    upcycled; a best-effort distillation otherwise)."""
+    return _moe_to_dense_walk(moe_params, lambda bank: bank.mean(axis=0))
 
 
 def upcycle_dense_to_moe(dense_params: dict, moe_params: dict) -> dict:
