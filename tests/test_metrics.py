@@ -90,3 +90,44 @@ def test_step_logger_jsonl_mirror(tmp_path):
     assert any("train/loss" in rec for rec in lines)
     assert any("val/acc1/t1" in rec for rec in lines)
     assert tracker.get("train", "loss") == pytest.approx(1.25)
+
+
+def test_initialize_wandb_resume_policy(monkeypatch):
+    """An explicit EXPERIMENT.WANDB.RESUME policy (e.g. 'must') wins over the
+    'allow' fallback a detected run id would pick (reference
+    utils/logging/wandb.py:132-137); ALLOW_WANDB_VAL_CHANGE passes through."""
+    import sys
+    import types
+
+    from linnaeus_tpu.configuration import get_default_config
+    from linnaeus_tpu.metrics.step_logger import initialize_wandb
+
+    captured = {}
+    fake = types.ModuleType("wandb")
+
+    def fake_init(**kw):
+        captured.update(kw)
+        return object()
+
+    fake.init = fake_init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    cfg = get_default_config()
+    cfg.EXPERIMENT.WANDB.ENABLED = True
+
+    # run id alone -> 'allow' fallback
+    initialize_wandb(cfg, resume_run_id="abc")
+    assert captured["resume"] == "allow" and captured["id"] == "abc"
+    assert captured["allow_val_change"] is True  # default True, like the reference
+
+    # explicit policy wins even with a run id
+    cfg.EXPERIMENT.WANDB.RESUME = "must"
+    cfg.TRAIN.ALLOW_WANDB_VAL_CHANGE = False
+    initialize_wandb(cfg, resume_run_id="abc")
+    assert captured["resume"] == "must"
+    assert captured["allow_val_change"] is False
+
+    # neither -> no resume
+    cfg.EXPERIMENT.WANDB.RESUME = None
+    initialize_wandb(cfg)
+    assert captured["resume"] is None and captured["id"] is None

@@ -127,6 +127,9 @@ def test_trainer_end_to_end(data_dir, tmp_path):
     trainer2 = Trainer(cfg)
     assert trainer2.try_resume()
     assert trainer2.progress.global_step == trainer.progress.global_step
+    # resume advertises itself in the config (reference checkpoint.py:927,946)
+    assert bool(trainer2.config.LOADING_FROM_CHECKPOINT)
+    assert trainer2.config.TRAIN.START_EPOCH == trainer2.progress.current_epoch
     w2 = np.asarray(jax.device_get(trainer2.state.gradnorm.task_weights))
     np.testing.assert_allclose(w2, w, rtol=1e-6)
     trainer.train_loader.close()
