@@ -55,7 +55,7 @@ def _v0_sm_model(img: int, fp32_scores: bool):
 def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
                flash: bool = False, arch: str = "v1",
                rope_deinterleave: bool = True, v0_head_split: bool = False,
-               moe: bool = False):
+               moe: bool = False, size: str = "sm"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -74,6 +74,19 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
             model = model.clone(head_split=True)
     else:
         model = _flagship_model(attn_fp32_softmax=fp32_scores)
+        if size != "sm":
+            # lg/xl geometry from configs/model/archs/mFormerV1_{lg,xl}.yaml
+            geo = {
+                "lg": dict(convnext_depths=(3, 3, 27, 3),
+                           convnext_dims=(192, 384, 768, 1536),
+                           rope_depths=(10, 2), rope_dims=(768, 1536),
+                           rope_num_heads=(12, 24)),
+                "xl": dict(convnext_depths=(3, 3, 27, 3),
+                           convnext_dims=(256, 512, 1024, 2048),
+                           rope_depths=(22, 2), rope_dims=(1024, 2048),
+                           rope_num_heads=(16, 32)),
+            }[size]
+            model = model.clone(**geo)
         if img != 224 or remat or flash or not rope_deinterleave:
             model = model.clone(
                 img_size=(img, img),
@@ -146,13 +159,14 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
             remat: bool = False, flash: bool = False,
             n1: int = 4, n2: int = 12, arch: str = "v1",
             rope_deinterleave: bool = True,
-            v0_head_split: bool = False, moe: bool = False) -> dict:
+            v0_head_split: bool = False, moe: bool = False,
+            size: str = "sm") -> dict:
     from linnaeus_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     run_j, state = build_step(batch, img, fp32_scores, remat, flash, arch,
                               rope_deinterleave=rope_deinterleave,
-                              v0_head_split=v0_head_split, moe=moe)
+                              v0_head_split=v0_head_split, moe=moe, size=size)
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
@@ -167,7 +181,7 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
     t2 = timed(n2)
     ms = 1000.0 * (t2 - t1) / (n2 - n1)
     return {
-        "arch": arch, "batch": batch, "img": img,
+        "arch": arch, "size": size, "batch": batch, "img": img,
         "fp32_scores": fp32_scores, "remat": remat, "flash": flash,
         "moe": moe,
         "train_ms_per_step": round(ms, 2),
@@ -192,6 +206,8 @@ def main(argv=None) -> None:
     p.add_argument("--moe", action="store_true",
                    help="mFormerV1_sm_moe variant: 8-expert top-2 MoE MLP "
                         "on every 2nd RoPE block")
+    p.add_argument("--size", choices=("sm", "lg", "xl"), default="sm",
+                   help="mFormerV1 preset geometry (configs/model/archs)")
     p.add_argument("--sweep", action="store_true",
                    help="batch {128,256,512} x scores {bf16,fp32}")
     args = p.parse_args(argv)
@@ -214,7 +230,7 @@ def main(argv=None) -> None:
         batch=args.batch, img=args.img, fp32_scores=args.fp32_scores,
         remat=args.remat, flash=args.flash, arch=args.arch,
         rope_deinterleave=not args.no_deinterleave,
-        v0_head_split=args.v0_head_split, moe=args.moe,
+        v0_head_split=args.v0_head_split, moe=args.moe, size=args.size,
     )))
 
 
