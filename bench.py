@@ -32,7 +32,6 @@ Methodology notes (hard-won on this platform):
 from __future__ import annotations
 
 import json
-import os
 import time
 
 BUDGET_384 = 330.0   # start 384px probe only if elapsed < this

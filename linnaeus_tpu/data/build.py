@@ -107,6 +107,21 @@ def build_datasets(config) -> dict[str, Any]:
                 f"ImageVerifier: excluded {len(missing_idx)} samples with "
                 "missing image files (within thresholds)"
             )
+        # two-file mode: the val labels file has its own identifiers — a
+        # missing val image would otherwise only surface mid-validation at
+        # read time, the late failure this check exists to prevent
+        if val_labels is not None and val_labels is not train_labels:
+            val_missing, _ = verifier.verify_images(
+                [str(s) for s in val_labels.img_identifiers]
+            )
+            if val_missing and val_idx is not None:
+                vm = np.fromiter(val_missing, dtype=np.int64)
+                val_idx = np.asarray(val_idx)
+                val_idx = val_idx[~np.isin(val_idx, vm)]
+                logger.info(
+                    f"ImageVerifier: excluded {len(val_missing)} val samples "
+                    "with missing image files (within thresholds)"
+                )
 
     mem_cache = int(config.DATA.PREFETCH.MEM_CACHE_SIZE)
     train_dataset = PrefetchingDataset(

@@ -59,6 +59,7 @@ class MoEMlp(nn.Module):
     top_k: int = 2
     capacity_factor: float = 1.25
     noise_std: float = 0.0
+    drop: float = 0.0  # MLP dropout, same placement as Mlp (post-act, post-out)
     act_exact: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -115,8 +116,12 @@ class MoEMlp(nn.Module):
         )  # (E, B, C, D)
         h = jnp.einsum("ebcd,edf->ebcf", xe, wi.astype(self.dtype))
         h = act(h + bi[:, None, None, :].astype(self.dtype))
+        if self.drop > 0:
+            h = nn.Dropout(self.drop)(h, deterministic=deterministic)
         ye = jnp.einsum("ebcf,efd->ebcd", h, wo.astype(self.dtype))
         ye = ye + bo[:, None, None, :].astype(self.dtype)
+        if self.drop > 0:
+            ye = nn.Dropout(self.drop)(ye, deterministic=deterministic)
         y = jnp.einsum("bnec,ebcd->bnd", combine.astype(self.dtype), ye)
 
         # ---- auxiliary losses (fp32, averaged by the train step) -------

@@ -257,6 +257,7 @@ class RoPE2DMHSABlock(nn.Module):
                 top_k=self.moe_top_k,
                 capacity_factor=self.moe_capacity_factor,
                 noise_std=self.moe_noise_std,
+                drop=self.drop,
                 act_exact=self.act_exact,
                 dtype=self.dtype,
                 name="mlp",

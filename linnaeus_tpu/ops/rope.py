@@ -180,18 +180,16 @@ def apply_rotary_emb_deint(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     n_extra: int = 0,
-    layout: str = "bnhd",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rotation on de-interleaved q/k: first D/2 features are the even
     (real) pair members, second D/2 the odd (imaginary) ones.
 
     Equivalent to :func:`apply_rotary_emb_bnhd` composed with the per-head
     permutation from :func:`deinterleave_perm` — both contiguous-half slices
-    map onto full vector lanes instead of a stride-2 walk.
-
-    ``layout``: "bnhd" (token-major) or "bhnd" (head-major, straight out of
-    a weight-level-split qkv einsum). cos/sin stay (N_img, H, half) either
-    way; the head-major broadcast transpose runs on the tiny angle table.
+    map onto full vector lanes instead of a stride-2 walk. Token-major
+    (B, N, H, D) operands only — the head-major variant was measured slower
+    end-to-end and removed (docs/performance.md, head-major emission
+    negative result).
     """
     dtype = query.dtype
     half = cos.shape[-1]
@@ -200,12 +198,8 @@ def apply_rotary_emb_deint(
         pad_s = jnp.zeros((n_extra,) + sin.shape[1:], sin.dtype)
         cos = jnp.concatenate([pad_c, cos], axis=0)
         sin = jnp.concatenate([pad_s, sin], axis=0)
-    if layout == "bhnd":
-        cos_b = jnp.transpose(cos, (1, 0, 2))[None].astype(dtype)
-        sin_b = jnp.transpose(sin, (1, 0, 2))[None].astype(dtype)
-    else:
-        cos_b = cos[None].astype(dtype)  # (1, N, H, half)
-        sin_b = sin[None].astype(dtype)
+    cos_b = cos[None].astype(dtype)  # (1, N, H, half)
+    sin_b = sin[None].astype(dtype)
 
     def rot(x):
         xe = x[..., :half]

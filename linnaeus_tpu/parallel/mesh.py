@@ -111,6 +111,26 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def reshard_train_state(state, mesh: Mesh, tx, param_shardings: Any = None):
+    """Re-place a TrainState onto ``mesh``: params per ``param_shardings``
+    (replicated when None), optimizer state re-initialized on the new
+    placement, and step/rng/gradnorm replicated. The one way every
+    bench/test/dryrun moves a state between placements — keep in sync with
+    TrainState's fields here, not at each call site."""
+    repl = replicated_sharding(mesh)
+    if param_shardings is None:
+        params = jax.tree.map(lambda x: jax.device_put(x, repl), state.params)
+    else:
+        params = jax.tree.map(jax.device_put, state.params, param_shardings)
+    return state.replace(
+        params=params,
+        opt_state=tx.init(params),
+        step=jax.device_put(state.step, repl),
+        rng=jax.device_put(state.rng, repl),
+        gradnorm=jax.tree.map(lambda x: jax.device_put(x, repl), state.gradnorm),
+    )
+
+
 def fsdp_param_sharding(mesh: Mesh, params: Any) -> Any:
     """Shard each param's largest divisible axis along 'data' (FSDP-style,
     PARALLEL.PARAM_SHARDING='fsdp'). Falls back to replication per-leaf."""

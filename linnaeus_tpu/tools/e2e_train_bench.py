@@ -190,10 +190,15 @@ def run_e2e(steps: int = 150, warmup: int = 10, batch: int = 128,
     record["steps"] = steps
 
     done = 0
-    t_timed_start = None
     epoch = 0
-    # warmup == 0: the timing window opens immediately (includes the first
-    # dispatch); warmup > 0 re-opens it after the warmup steps complete
+    if len(loader) == 0:
+        raise ValueError(
+            f"loader yields zero batches (dataset shard < batch size "
+            f"{loader.sampler.batch_size}) — regenerate with a larger --gen "
+            "or lower --batch"
+        )
+    # the timing window opens immediately (includes the first dispatch) and
+    # re-opens after the warmup steps complete (see `done == warmup` below)
     t_timed_start = time.perf_counter()
     while done < needed:
         loader.set_epoch(epoch)

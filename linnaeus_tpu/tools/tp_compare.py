@@ -92,23 +92,9 @@ def main() -> None:
 
     def bench(mesh, param_specs, label, base_state=None):
         st_base = base_state if base_state is not None else state
-        if param_specs is None:
-            placed = jax.tree.map(
-                lambda x: jax.device_put(x, NamedSharding(mesh, P())),
-                st_base.params,
-            )
-        else:
-            placed = jax.tree.map(jax.device_put, st_base.params, param_specs)
-        repl = NamedSharding(mesh, P())
-        st = st_base.replace(
-            params=placed,
-            opt_state=tx.init(placed),
-            step=jax.device_put(st_base.step, repl),
-            rng=jax.device_put(st_base.rng, repl),
-            gradnorm=jax.tree.map(
-                lambda x: jax.device_put(x, repl), st_base.gradnorm
-            ),
-        )
+        from linnaeus_tpu.parallel.mesh import reshard_train_state
+
+        st = reshard_train_state(st_base, mesh, tx, param_specs)
         b = shard_batch(batch, mesh)
         step_j = jax.jit(step)
         st2, metrics = step_j(st, b, scalars)

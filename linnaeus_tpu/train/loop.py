@@ -171,6 +171,22 @@ class Trainer:
 
         # ---------------- model / optimizer / state
         self.model = build_model(config, self.num_classes, self.taxonomy_tree)
+        if (
+            str(config.PARALLEL.get("PARAM_SHARDING", "replicated")) == "tp"
+            and getattr(self.model, "rope_deinterleave", False)
+        ):
+            # the de-interleave applies a static column permutation to the
+            # qkv kernel each forward (blocks/common.py); head blocks (64
+            # cols) straddle the column-parallel shard chunks, so GSPMD
+            # would all-gather every qkv kernel per step to resolve the
+            # gather. The permutation is a single-chip layout optimization
+            # (~1.3 ms/step at B=128/224) — shard locality wins under tp.
+            self.model = self.model.clone(rope_deinterleave=False)
+            logger.info(
+                "PARAM_SHARDING='tp': ROPE_DEINTERLEAVE disabled (the "
+                "per-forward kernel permutation crosses column-shard "
+                "boundaries and would force per-step kernel all-gathers)"
+            )
         if bool(config.PARALLEL.get("SEQUENCE_PARALLEL", False)):
             if int(self.mesh.shape.get("model", 1)) < 2:
                 raise ValueError(

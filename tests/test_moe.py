@@ -252,15 +252,9 @@ def test_ep_param_sharding_specs_and_loss_parity():
     assert flat_specs["stage3_block0/mlp/router"].spec == P()
     assert flat_specs["stem/Conv_0/kernel"].spec == P()
 
-    repl = NamedSharding(ep_mesh, P())
-    ep_params = jax.tree.map(jax.device_put, state.params, specs)
-    ep_state = state.replace(
-        params=ep_params,
-        opt_state=tx.init(ep_params),
-        step=jax.device_put(state.step, repl),
-        rng=jax.device_put(state.rng, repl),
-        gradnorm=jax.tree.map(lambda x: jax.device_put(x, repl), state.gradnorm),
-    )
+    from linnaeus_tpu.parallel.mesh import reshard_train_state
+
+    ep_state = reshard_train_state(state, ep_mesh, tx, specs)
     ep_batch = shard_batch(batch, ep_mesh)
     new_ep, ep_metrics = jax.jit(step)(ep_state, ep_batch, scalars)
     ep_loss = float(ep_metrics["loss"])
@@ -321,3 +315,24 @@ def test_build_model_rejects_moe_on_v0():
     cfg.freeze()
     with pytest.raises(ValueError, match="MOE"):
         build_model(cfg, num_classes={"taxa_L10": 4})
+
+
+def test_moe_mlp_dropout_active_in_training():
+    """MODEL.DROP_RATE must regularize MoE expert MLPs exactly like the
+    dense Mlp path (review finding: MoE blocks silently dropped dropout)."""
+    B, N, D, F, E = 2, 8, 16, 32, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, D))
+    moe = MoEMlp(dim=D, hidden_features=F, num_experts=E, top_k=2,
+                 capacity_factor=4.0, drop=0.5)
+    v = moe.init(jax.random.PRNGKey(1), x)
+    det = moe.apply(v, x, deterministic=True)
+    tr1 = moe.apply(v, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    tr2 = moe.apply(v, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(3)})
+    # dropout fires in training (stochastic, differs from eval) and eval is
+    # deterministic
+    assert not np.allclose(np.asarray(det), np.asarray(tr1))
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+    det2 = moe.apply(v, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
