@@ -15,11 +15,9 @@ CPU devices through the dataset's ``transform`` hook.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from . import ops as A
 from .policies import get_policy

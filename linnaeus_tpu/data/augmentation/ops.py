@@ -16,7 +16,6 @@ Equalize/AutoContrast quantize to 256 bins with vectorized histogram math.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -8,7 +8,7 @@ the taxonomy, it is nulled as well.
 
 from __future__ import annotations
 
-from .artifacts import ClassIndexMapData, TaxonomyData, rank_level_from_task_key
+from .artifacts import ClassIndexMapData, TaxonomyData
 from .schemas import HierarchicalClassificationResult, TaskPrediction
 
 

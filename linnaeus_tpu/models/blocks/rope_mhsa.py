@@ -14,7 +14,6 @@ are baked as compile-time constants; the flash path never materializes the
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

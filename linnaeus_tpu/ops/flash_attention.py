@@ -47,8 +47,7 @@ def _auto_blocks(n: int) -> tuple[int, int]:
     640x640 blocks -> 768 programs -> 3.97 ms). Use the full padded row up
     to MAX_BLOCK, then tile.
     """
-    import math
-
+    
     padded = ((n + 127) // 128) * 128
     block = min(padded, MAX_BLOCK)
     return block, block

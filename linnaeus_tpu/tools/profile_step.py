@@ -17,9 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import csv
 import glob
-import io
 import json
 import os
 

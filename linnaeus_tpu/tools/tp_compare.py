@@ -35,7 +35,7 @@ def main() -> None:
     honor_jax_platforms_env()  # the axon TPU plugin ignores the env var
     import jax.numpy as jnp
     import optax
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
 
     from linnaeus_tpu.data.collate import MixConfig
     from linnaeus_tpu.loss import soft_target_cross_entropy

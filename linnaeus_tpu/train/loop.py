@@ -16,7 +16,6 @@ replicated (PARALLEL.PARAM_SHARDING='replicated').
 from __future__ import annotations
 
 import time
-from typing import Any
 
 import numpy as np
 import jax
@@ -30,7 +29,7 @@ from linnaeus_tpu.loss.gradnorm import make_gradnorm_update_fn
 from linnaeus_tpu.metrics.chain_accuracy import chain_accuracy_counts
 from linnaeus_tpu.metrics.tracker import MetricsTracker
 from linnaeus_tpu.models.build import build_model, resolve_compute_dtype
-from linnaeus_tpu.optim import build_optimizer, build_schedule, lr_dict_for_logging
+from linnaeus_tpu.optim import build_optimizer, lr_dict_for_logging
 from linnaeus_tpu.ops_schedule import EarlyStopState, OpsSchedule, TrainingProgress
 from linnaeus_tpu.ops_schedule.training_progress import TrainingStage
 from linnaeus_tpu.parallel.mesh import (

@@ -15,7 +15,6 @@ model's metadata; anything unmapped keeps its random init.
 
 from __future__ import annotations
 
-from typing import Any
 
 import numpy as np
 
