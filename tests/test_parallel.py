@@ -199,3 +199,48 @@ def test_tp_sharding_exact_coverage(eight_devices):
     mesh1 = Mesh(np.asarray(eight_devices).reshape(8, 1), ("data", "model"))
     with pytest.raises(ValueError, match="MODEL"):
         tp_param_sharding(mesh1, params)
+
+
+def test_checkpoint_restores_across_device_counts(eight_devices, tmp_path):
+    """Production elasticity: a checkpoint written from an fsdp state on a
+    (data=8) mesh restores onto a (data=4) mesh (and vice versa) — Orbax
+    reassembles shards to the TEMPLATE's sharding, so resuming on a
+    different slice size needs no conversion step."""
+    import optax
+
+    from linnaeus_tpu.parallel.mesh import (
+        create_mesh,
+        fsdp_param_sharding,
+        reshard_train_state,
+    )
+    from linnaeus_tpu.train.state import create_train_state
+    from linnaeus_tpu.utils import checkpoint as ckpt
+    from test_train_step import TASKS, make_batch, tiny_model
+
+    model = tiny_model()
+    batch = make_batch(jax.random.PRNGKey(0))
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["aux"]
+    )["params"]
+    tx = optax.adamw(1e-3)
+    state = create_train_state(
+        model, params, tx, num_tasks=len(TASKS), rng=jax.random.PRNGKey(7)
+    )
+
+    mesh8 = create_mesh(devices=eight_devices)          # (data=8)
+    state8 = reshard_train_state(
+        state, mesh8, tx, fsdp_param_sharding(mesh8, state.params)
+    )
+    path = ckpt.save_checkpoint(str(tmp_path), state8)
+
+    mesh4 = create_mesh(devices=eight_devices[:4])      # (data=4)
+    template4 = reshard_train_state(
+        state, mesh4, tx, fsdp_param_sharding(mesh4, state.params)
+    )
+    restored, _ = ckpt.load_checkpoint(path, template4)
+
+    # values identical, placement follows the 4-device template
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    leaf = jax.tree.leaves(restored.params)[0]
+    assert len(leaf.sharding.device_set) <= 4
