@@ -238,3 +238,67 @@ def test_profile_step_gviz_parse(capsys):
     # 12000 us over 8 steps = 1.50 ms/step total; conv fusion is 2/3
     assert "1.50 ms/step" in out
     assert "convolution fusion" in out and "66.7%" in out
+
+
+def test_export_torch_tool_roundtrip(tmp_path):
+    """tools/export_torch drives export_checkpoint from a config + Orbax
+    checkpoint; an MoE checkpoint exports its dense twin (bank averages)."""
+    import optax
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from linnaeus_tpu.configuration import get_default_config
+    from linnaeus_tpu.models import MFormerV1
+    from linnaeus_tpu.tools.export_torch import export_checkpoint
+    from linnaeus_tpu.train.state import create_train_state
+    from linnaeus_tpu.utils import checkpoint as ckpt
+    from linnaeus_tpu.utils.pretrained import convert_linear_kernel
+
+    cfg = get_default_config()
+    cfg.MODEL.TYPE = "mFormerV1"
+    cfg.DATA.TASK_KEYS_H5 = ["t1"]
+    cfg.MODEL.CONVNEXT_STAGES.DEPTHS = [1, 1, 1, 1]
+    cfg.MODEL.ROPE_STAGES.DEPTHS = [1, 1]
+    # disable meta so the export maps no meta heads
+    for comp in cfg.DATA.META.COMPONENTS:
+        cfg.DATA.META.COMPONENTS[comp].ENABLED = False
+
+    model = MFormerV1(
+        img_size=(32, 32),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=(8, 16, 32, 64),
+        rope_depths=(1, 1),
+        rope_dims=(32, 64),
+        rope_num_heads=(2, 2),
+        drop_path_rate=0.0,
+        task_keys=("t1",),
+        num_classes={"t1": 4},
+        head_configs={"t1": {"TYPE": "Linear"}},
+        moe_num_experts=2,
+        moe_every_n=1,
+    )
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x, None)["params"]
+    state = create_train_state(
+        model, params, optax.adamw(1e-3), num_tasks=1,
+        rng=jax.random.PRNGKey(1),
+    )
+    path = ckpt.save_checkpoint(str(tmp_path / "ckpts"), state)
+
+    out = str(tmp_path / "exported.pth")
+    sd = export_checkpoint(cfg, path, out)
+    assert len(sd) > 40
+    loaded = torch.load(out, weights_only=False)
+    assert set(loaded) == set(sd)
+    # MoE averaging: exported fc1 weight == mean over the expert bank,
+    # converted back to torch (out, in) layout
+    import numpy as np
+
+    bank = np.asarray(params["stage3_block0"]["mlp"]["wi"])  # (E, D, F)
+    want = convert_linear_kernel(bank.mean(axis=0))  # (F, D) torch layout
+    np.testing.assert_allclose(
+        loaded["stages.2.0.mlp.fc1.weight"].numpy(), want, rtol=1e-6
+    )
