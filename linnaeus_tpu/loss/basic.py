@@ -44,9 +44,16 @@ def label_smoothing_cross_entropy(
     class_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """NLL with uniform label smoothing. Soft targets are argmax-hardened
-    first (reference parity: basic_loss.py:121-135)."""
+    first (reference parity: basic_loss.py:121-135).
+
+    All-zero target rows (unmapped labels, one-hot of -1 in train/step.py)
+    carry ZERO loss — argmax would otherwise harden them to class 0 and
+    train the model toward null on unlabeled samples.
+    """
     num_classes = logits.shape[-1]
+    mass = None
     if target.ndim == 2:
+        mass = jnp.sum(target, axis=-1)
         target = jnp.argmax(target, axis=-1)
     log_probs = _log_softmax(logits)
     nll = -jnp.take_along_axis(log_probs, target[:, None], axis=-1)[:, 0]
@@ -54,6 +61,8 @@ def label_smoothing_cross_entropy(
     loss = (1.0 - smoothing) * nll + smoothing * smooth
     if class_weights is not None:
         loss = loss * class_weights[target].astype(jnp.float32)
+    if mass is not None:
+        loss = loss * (mass > 0).astype(loss.dtype)
     return loss
 
 

@@ -33,9 +33,17 @@ def apply_null_masking(
     for i, (task, loss_vec) in enumerate(per_task_losses.items()):
         tgt = targets[task]
         is_null = null_sample_mask(tgt)
+        # unmapped samples (label -1: all-zero one-hot row / negative index)
+        # are neither null nor valid — they must not count in valid_count,
+        # or a mostly-unlabeled task's mean loss deflates and the task is
+        # silently deweighted (same exclusion as train/step.py _valid_mask)
+        if tgt.ndim == 2:
+            has_label = jnp.sum(tgt, axis=-1) > 0
+        else:
+            has_label = tgt >= 0
         coin = jax.random.uniform(jax.random.fold_in(rng, i), loss_vec.shape)
         include_null = coin < null_mask_prob
-        keep = jnp.where(is_null, include_null, True)
+        keep = has_label & jnp.where(is_null, include_null, True)
         masked[task] = jnp.where(keep, loss_vec, 0.0)
         stats[task] = {
             "null_total": is_null.sum(),

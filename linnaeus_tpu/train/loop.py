@@ -487,26 +487,13 @@ class Trainer:
                 if train_accum == 1:
                     images, targets, meta, _ = self._preprocess(batch, r_pre)
                 else:
-                    def split(x):
-                        return x.reshape(
-                            (train_accum, x.shape[0] // train_accum)
-                            + x.shape[1:]
-                        )
+                    from linnaeus_tpu.train.step import split_microbatches
 
+                    stacked = split_microbatches(batch, train_accum)
                     imgs_l, tgts_l, meta_l = [], [], []
                     for i in range(train_accum):
-                        mb = {
-                            "images": split(batch["images"])[i],
-                            "targets": {
-                                t: split(v)[i]
-                                for t, v in batch["targets"].items()
-                            },
-                            "_scalars": scalars,
-                        }
-                        if batch.get("aux") is not None:
-                            mb["aux"] = split(batch["aux"])[i]
-                        if batch.get("group_ids") is not None:
-                            mb["group_ids"] = split(batch["group_ids"])[i]
+                        mb = jax.tree.map(lambda x: x[i], stacked)
+                        mb["_scalars"] = scalars
                         im, tg, me, _ = self._preprocess(
                             mb, jax.random.fold_in(r_pre, i)
                         )

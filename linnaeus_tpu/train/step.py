@@ -43,8 +43,6 @@ class ScheduleScalars(NamedTuple):
 
     @classmethod
     def from_ops_schedule(cls, ops_schedule, step: int, meta_dim: int, combo_mask=None):
-        import numpy as np
-
         if combo_mask is None:
             combo_mask = np.zeros((meta_dim,), dtype=np.float32)
         return cls(
@@ -123,11 +121,33 @@ def _collect_moe_stats(intermediates) -> dict[str, jnp.ndarray] | None:
         vals = [
             v[0] if isinstance(v, tuple) else v
             for path, v in flat.items()
-            if path.endswith(sown)
+            if path.rsplit("/", 1)[-1] == sown
         ]
         if vals:
             out[short] = sum(vals) / len(vals)
     return out or None
+
+
+def split_microbatches(batch: dict, accum: int, has_meta: bool = True) -> dict:
+    """Reshape the leading batch dim into (accum, B/accum, ...) microbatch
+    stacks. This is THE definition of the accumulation split protocol: the
+    train step scans over these stacks preprocessing microbatch i with
+    ``fold_in(r_pre, i)``, and the GradNorm re-forward (train/loop.py)
+    replays the exact same split + rng scheme — both consume this helper so
+    the two can never drift."""
+
+    def split(x):
+        return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+    micro = {
+        "images": split(batch["images"]),
+        "targets": {t: split(v) for t, v in batch["targets"].items()},
+    }
+    if batch.get("aux") is not None and has_meta:
+        micro["aux"] = split(batch["aux"])
+    if batch.get("group_ids") is not None:
+        micro["group_ids"] = split(batch["group_ids"])
+    return micro
 
 
 def make_preprocess_fn(
@@ -318,18 +338,8 @@ def make_train_step(
             if nbs is not None:
                 new_batch_stats = nbs
         else:
-            # microbatch scan: split leading dim into accum chunks
-            def split(x):
-                return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
-
-            micro = {
-                "images": split(batch["images"]),
-                "targets": {t: split(v) for t, v in batch["targets"].items()},
-            }
-            if batch.get("aux") is not None and has_meta:
-                micro["aux"] = split(batch["aux"])
-            if batch.get("group_ids") is not None:
-                micro["group_ids"] = split(batch["group_ids"])
+            # microbatch scan over the canonical split protocol
+            micro = split_microbatches(batch, accum, has_meta)
 
             def body(carry, mb):
                 # batch_stats rides the carry so BN running stats update on
@@ -486,6 +496,11 @@ def make_eval_step(
         targets = {}
         for t, v in batch["targets"].items():
             if v.ndim == 1:
+                if num_classes is None:
+                    raise ValueError(
+                        "eval_step: integer targets require num_classes "
+                        "(pass make_eval_step(..., num_classes=...))"
+                    )
                 targets[t] = jax.nn.one_hot(v, num_classes[t], dtype=jnp.float32)
             else:
                 targets[t] = v

@@ -143,3 +143,36 @@ def test_gradnorm_alpha_targets_slower_tasks():
     )
     w = np.asarray(state2.task_weights)
     assert w[1] < w[0]  # equal norms but task1's target larger => w1 shrinks? see below
+
+
+def test_label_smoothing_zero_mass_rows_carry_no_loss():
+    """Unmapped samples (one-hot of -1 -> all-zero rows) must contribute
+    ZERO loss under LabelSmoothingCrossEntropy — argmax-hardening would
+    otherwise train them toward class 0 (the null class)."""
+    from linnaeus_tpu.loss.basic import label_smoothing_cross_entropy
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (4, 5))
+    tgt = jax.nn.one_hot(jnp.asarray([2, -1, 0, -1]), 5)  # rows 1,3 all-zero
+    loss = label_smoothing_cross_entropy(logits, tgt, smoothing=0.1)
+    assert float(loss[1]) == 0.0 and float(loss[3]) == 0.0
+    assert float(loss[0]) > 0.0 and float(loss[2]) > 0.0
+
+
+def test_null_masking_excludes_unmapped_from_valid_count():
+    """valid_count must not count unmapped (all-zero-target) samples — they
+    would deflate the per-task mean loss and silently deweight the task."""
+    from linnaeus_tpu.loss.masking import apply_null_masking
+
+    losses = {"t": jnp.ones((4,))}
+    tgt = jax.nn.one_hot(jnp.asarray([2, -1, 0, 1]), 5)  # 1 unmapped, 1 null
+    masked, stats = apply_null_masking(
+        losses, {"t": tgt}, null_mask_prob=1.0, rng=jax.random.PRNGKey(0)
+    )
+    # nulls kept (prob 1.0), unmapped always dropped
+    assert int(stats["t"]["valid_count"]) == 3
+    assert float(masked["t"][1]) == 0.0
+    # and with nulls excluded the unmapped row still doesn't count
+    masked0, stats0 = apply_null_masking(
+        losses, {"t": tgt}, null_mask_prob=0.0, rng=jax.random.PRNGKey(0)
+    )
+    assert int(stats0["t"]["valid_count"]) == 2
