@@ -40,6 +40,43 @@ def capture(out: str, batch: int, img: int, fp32_scores: bool,
         float(run_j(state, jnp.int32(steps)))  # host read inside the trace
 
 
+def capture_inference(out: str, batch: int, img: int, fp32_scores: bool,
+                      steps: int, flash: bool = False) -> None:
+    """Forward-only trace of the serving program bench.py times (same model
+    construction, bf16 inputs, fori_loop with a carry-coupled input)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_model
+    from linnaeus_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    model = _flagship_model(attn_fp32_softmax=fp32_scores)
+    if img != 224 or flash:
+        model = model.clone(img_size=(img, img), use_flash_attn=flash)
+    images = jax.random.normal(
+        jax.random.PRNGKey(0), (batch, img, img, 3), jnp.bfloat16
+    )
+    aux = jax.random.normal(jax.random.PRNGKey(1), (batch, 5), jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, aux)["params"]
+
+    def run(params, images, aux, n):
+        def body(i, carry):
+            imgs = images + (carry * 1e-12).astype(images.dtype)
+            out = model.apply({"params": params}, imgs, aux,
+                              deterministic=True)
+            return carry + sum(
+                jnp.sum(v.astype(jnp.float32)) for v in out.values()
+            )
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    run_j = jax.jit(run)
+    float(run_j(params, images, aux, jnp.int32(1)))  # compile + warm
+    with jax.profiler.trace(out):
+        float(run_j(params, images, aux, jnp.int32(steps)))
+
+
 def _xplane_paths(out: str) -> list[str]:
     paths = sorted(glob.glob(os.path.join(out, "**", "*.xplane.pb"),
                              recursive=True))
@@ -114,6 +151,11 @@ def main(argv=None) -> None:
     p.add_argument("--v0-head-split", action="store_true",
                    help="v0 A/B: weight-level head split in "
                         "RelativeAttention (default off)")
+    p.add_argument("--inference", action="store_true",
+                   help="trace the forward-only serving program instead of "
+                        "the train step (bench.py's exact construction)")
+    p.add_argument("--flash", action="store_true",
+                   help="with --inference: force Pallas flash routing")
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--parse-only", action="store_true")
@@ -122,9 +164,14 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     if not args.parse_only:
-        capture(args.out, args.batch, args.img, args.fp32_scores, args.steps,
-                arch=args.arch, deinterleave=not args.no_deinterleave,
-                v0_head_split=args.v0_head_split)
+        if args.inference:
+            capture_inference(args.out, args.batch, args.img,
+                              args.fp32_scores, args.steps, flash=args.flash)
+        else:
+            capture(args.out, args.batch, args.img, args.fp32_scores,
+                    args.steps, arch=args.arch,
+                    deinterleave=not args.no_deinterleave,
+                    v0_head_split=args.v0_head_split)
     res = parse(args.out)
     if args.dump_json:
         with open(args.dump_json, "w") as fh:
