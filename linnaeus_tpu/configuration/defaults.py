@@ -276,6 +276,10 @@ def _build_default_config() -> CN:
     # models/blocks/rope_mhsa.py); False keeps the plain nn.Dense qkv
     # layout for A/B measurements.
     _C.MODEL.ROPE_DEINTERLEAVE = True
+    # Pallas fused ConvNeXt MLP (ops/fused_mlp.py): 'auto' routes the
+    # no-grad path by measured geometry (+33% serving at 384px B=64);
+    # 'on'/'off' force. Same parameter tree either way (mFormerV1 only).
+    _C.MODEL.FUSED_CONVNEXT_MLP = "auto"
     # mFormerV0 analog of the same layout rewrite: weight-level head
     # split/merge in RelativeAttention (no RoPE pairs to de-interleave).
     # Default off — measured neutral-to-slightly-slower there (negative

@@ -137,6 +137,9 @@ def build_model(
             rope_mixed=bool(rs.get("ROPE_MIXED", True)),
             rope_fidelity=str(config.MODEL.get("ROPE_FIDELITY", "rotate")),
             rope_deinterleave=bool(config.MODEL.get("ROPE_DEINTERLEAVE", True)),
+            fused_convnext_mlp={"auto": None, "on": True, "off": False}[
+                str(config.MODEL.get("FUSED_CONVNEXT_MLP", "auto")).lower()
+            ],
             aggregation=str(
                 config.MODEL.get("AGGREGATION", {}).get("TYPE", "default")
             ),

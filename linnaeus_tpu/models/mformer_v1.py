@@ -76,6 +76,10 @@ class MFormerV1(nn.Module):
     moe_noise_std: float = 0.0
     # erf GELU for torch parity; tanh-approx is the fast TPU default
     act_exact: bool = False
+    # Pallas fused ConvNeXt MLP (ops/fused_mlp.py): None = auto by measured
+    # geometry (wins at batch<=64 with >=48x48 feature maps, i.e. the 384px
+    # stage-1/2 shapes); True/False force. Same param tree either way.
+    fused_convnext_mlp: bool | None = None
     use_flash_attn: bool = False
     # fp32-stored attention scores (reference parity); False halves the
     # softmax HBM traffic for serving (math stays f32 in-fusion)
@@ -131,6 +135,7 @@ class MFormerV1(nn.Module):
                 drop_path=float(next(dp)),
                 layer_scale_init_value=self.convnext_ls_init,
                 act_exact=self.act_exact,
+                fused_mlp=self.fused_convnext_mlp,
                 dtype=self.dtype,
                 name=f"stage1_block{i}",
             )
@@ -143,6 +148,7 @@ class MFormerV1(nn.Module):
                 drop_path=float(next(dp)),
                 layer_scale_init_value=self.convnext_ls_init,
                 act_exact=self.act_exact,
+                fused_mlp=self.fused_convnext_mlp,
                 dtype=self.dtype,
                 name=f"stage2_block{i}",
             )

@@ -55,7 +55,8 @@ def _v0_sm_model(img: int, fp32_scores: bool):
 def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
                flash: bool = False, arch: str = "v1",
                rope_deinterleave: bool = True, v0_head_split: bool = False,
-               moe: bool = False, size: str = "sm"):
+               moe: bool = False, size: str = "sm",
+               fused_mlp: str = "auto"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -94,6 +95,9 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
                 use_flash_attn=flash,
                 rope_deinterleave=rope_deinterleave,
             )
+        if fused_mlp != "auto":
+            # A/B switch for the Pallas fused ConvNeXt MLP (ops/fused_mlp.py)
+            model = model.clone(fused_convnext_mlp=(fused_mlp == "on"))
         if moe:
             # the mFormerV1_sm_moe preset: 8-expert top-2 MoE MLP on every
             # 2nd RoPE block (configs/model/archs/mFormerV1_sm_moe.yaml)
@@ -160,13 +164,14 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
             n1: int = 4, n2: int = 12, arch: str = "v1",
             rope_deinterleave: bool = True,
             v0_head_split: bool = False, moe: bool = False,
-            size: str = "sm") -> dict:
+            size: str = "sm", fused_mlp: str = "auto") -> dict:
     from linnaeus_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     run_j, state = build_step(batch, img, fp32_scores, remat, flash, arch,
                               rope_deinterleave=rope_deinterleave,
-                              v0_head_split=v0_head_split, moe=moe, size=size)
+                              v0_head_split=v0_head_split, moe=moe, size=size,
+                              fused_mlp=fused_mlp)
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
@@ -183,7 +188,7 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
     return {
         "arch": arch, "size": size, "batch": batch, "img": img,
         "fp32_scores": fp32_scores, "remat": remat, "flash": flash,
-        "moe": moe,
+        "moe": moe, "fused_mlp": fused_mlp,
         "train_ms_per_step": round(ms, 2),
         "train_images_per_sec": round(batch / (ms / 1000.0), 1),
     }
@@ -208,6 +213,10 @@ def main(argv=None) -> None:
                         "on every 2nd RoPE block")
     p.add_argument("--size", choices=("sm", "lg", "xl"), default="sm",
                    help="mFormerV1 preset geometry (configs/model/archs)")
+    p.add_argument("--fused-mlp", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="Pallas fused ConvNeXt MLP A/B (auto = measured "
+                        "geometry rule, ops/fused_mlp.py)")
     p.add_argument("--sweep", action="store_true",
                    help="batch {128,256,512} x scores {bf16,fp32}")
     args = p.parse_args(argv)
@@ -231,6 +240,7 @@ def main(argv=None) -> None:
         remat=args.remat, flash=args.flash, arch=args.arch,
         rope_deinterleave=not args.no_deinterleave,
         v0_head_split=args.v0_head_split, moe=args.moe, size=args.size,
+        fused_mlp=args.fused_mlp,
     )))
 
 
