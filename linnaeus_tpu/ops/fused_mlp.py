@@ -36,9 +36,8 @@ _BLOCK_M_NARROW = 2048  # C <= 128
 _BLOCK_M_WIDE = 512     # C > 128
 
 
-def _kernel(y_ref, x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            g_ref, o_ref, *, eps: float, approximate: bool,
-            add_residual: bool):
+def _body(y_ref, x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+          g_ref, o_ref, eps: float, approximate: bool):
     yf = y_ref[:].astype(jnp.float32)
     mean = jnp.mean(yf, axis=1, keepdims=True)
     var = jnp.mean(jnp.square(yf - mean), axis=1, keepdims=True)
@@ -52,9 +51,21 @@ def _kernel(y_ref, x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     out = (out + b2_ref[:]) * g_ref[:]
-    if add_residual:
+    if x_ref is not None:
         out = x_ref[:].astype(jnp.float32) + out
     o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _kernel(y_ref, x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            g_ref, o_ref, *, eps: float, approximate: bool):
+    _body(y_ref, x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+          g_ref, o_ref, eps, approximate)
+
+
+def _kernel_nores(y_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  g_ref, o_ref, *, eps: float, approximate: bool):
+    _body(y_ref, None, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+          g_ref, o_ref, eps, approximate)
 
 
 def _pallas_fused(y2, x2, ls, lb, w1, b1, w2, b2, g, eps, approximate,
@@ -64,29 +75,33 @@ def _pallas_fused(y2, x2, ls, lb, w1, b1, w2, b2, g, eps, approximate,
     pad = (-M) % block_m
     if pad:
         y2 = jnp.pad(y2, ((0, pad), (0, 0)))
-        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        if add_residual:
+            x2 = jnp.pad(x2, ((0, pad), (0, 0)))
     full = lambda i: (0, 0)  # noqa: E731
     row = lambda i: (i, 0)  # noqa: E731
+    tile = pl.BlockSpec((block_m, C), row)
+    param_specs = [
+        pl.BlockSpec((1, C), full),
+        pl.BlockSpec((1, C), full),
+        pl.BlockSpec((C, H), full),
+        pl.BlockSpec((1, H), full),
+        pl.BlockSpec((H, C), full),
+        pl.BlockSpec((1, C), full),
+        pl.BlockSpec((1, C), full),
+    ]
+    kernel = _kernel if add_residual else _kernel_nores
+    in_specs = [tile] + ([tile] if add_residual else []) + param_specs
+    operands = ((y2, x2) if add_residual else (y2,)) + (
+        ls, lb, w1, b1, w2, b2, g)
     out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps, approximate=approximate,
-                          add_residual=add_residual),
+        functools.partial(kernel, eps=eps, approximate=approximate),
         out_shape=jax.ShapeDtypeStruct((M + pad, C), x2.dtype),
         grid=((M + pad) // block_m,),
-        in_specs=[
-            pl.BlockSpec((block_m, C), row),
-            pl.BlockSpec((block_m, C), row),
-            pl.BlockSpec((1, C), full),
-            pl.BlockSpec((1, C), full),
-            pl.BlockSpec((C, H), full),
-            pl.BlockSpec((1, H), full),
-            pl.BlockSpec((H, C), full),
-            pl.BlockSpec((1, C), full),
-            pl.BlockSpec((1, C), full),
-        ],
-        out_specs=pl.BlockSpec((block_m, C), row),
+        in_specs=in_specs,
+        out_specs=tile,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
-    )(y2, x2, ls, lb, w1, b1, w2, b2, g)
+    )(*operands)
     return out[:M] if pad else out
 
 
@@ -124,15 +139,164 @@ def _fused_fwd(y2, x2, ls, lb, w1, b1, w2, b2, g, eps, approximate,
     return out, (y2, x2, ls, lb, w1, b1, w2, b2, g)
 
 
+def _gelu_grad(a, approximate):
+    """d gelu(a) / d a, elementwise in f32."""
+    if approximate:
+        c = 0.7978845608028654  # sqrt(2/pi)
+        k = 0.044715
+        t = jnp.tanh(c * (a + k * a * a * a))
+        return 0.5 * (1.0 + t) + 0.5 * a * (1.0 - t * t) * c * (
+            1.0 + 3.0 * k * a * a)
+    inv_sqrt2 = 0.7071067811865476
+    phi = jnp.exp(-0.5 * a * a) * 0.3989422804014327  # N(0,1) pdf
+    return 0.5 * (1.0 + jax.lax.erf(a * inv_sqrt2)) + a * phi
+
+
+def _bwd_kernel(y_ref, do_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, g_ref,
+                dy_ref, dls_ref, dlb_ref, dw1_ref, db1_ref, dw2_ref,
+                db2_ref, dg_ref,
+                *, eps: float, approximate: bool):
+    """Recompute-in-VMEM backward: one pass over the row tiles, weight/bias
+    gradients accumulated across the (sequential) grid in f32 outputs."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dls_ref[:] = jnp.zeros_like(dls_ref)
+        dlb_ref[:] = jnp.zeros_like(dlb_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+
+    dt = y_ref.dtype
+    dn_contract = (((1,), (1,)), ((), ()))  # (bm, K) x (N, K) -> (bm, N)
+    dn_weight = (((0,), (0,)), ((), ()))    # (bm, K) x (bm, N) -> (K, N)
+
+    # ---- recompute forward in VMEM
+    yf = y_ref[:].astype(jnp.float32)
+    mean = jnp.mean(yf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mean), axis=1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    n = (yf - mean) * r
+    h0 = n * ls_ref[:] + lb_ref[:]
+    h0b = h0.astype(dt)
+    a1 = jax.lax.dot_general(h0b, w1_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + b1_ref[:]
+    h1b = jax.nn.gelu(a1, approximate=approximate).astype(dt)
+    a2 = jax.lax.dot_general(h1b, w2_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + b2_ref[:]
+
+    # ---- backward
+    do = do_ref[:].astype(jnp.float32)
+    dg_ref[:] += jnp.sum(do * a2, axis=0, keepdims=True)
+    da2 = do * g_ref[:]
+    da2b = da2.astype(dt)
+    db2_ref[:] += jnp.sum(da2, axis=0, keepdims=True)
+    dw2_ref[:] += jax.lax.dot_general(h1b, da2b, dn_weight,
+                                      preferred_element_type=jnp.float32)
+    dh1 = jax.lax.dot_general(da2b, w2_ref[:], dn_contract,
+                              preferred_element_type=jnp.float32)
+    da1 = dh1 * _gelu_grad(a1, approximate)
+    da1b = da1.astype(dt)
+    db1_ref[:] += jnp.sum(da1, axis=0, keepdims=True)
+    dw1_ref[:] += jax.lax.dot_general(h0b, da1b, dn_weight,
+                                      preferred_element_type=jnp.float32)
+    dh0 = jax.lax.dot_general(da1b, w1_ref[:], dn_contract,
+                              preferred_element_type=jnp.float32)
+    dls_ref[:] += jnp.sum(dh0 * n, axis=0, keepdims=True)
+    dlb_ref[:] += jnp.sum(dh0, axis=0, keepdims=True)
+    dn = dh0 * ls_ref[:]
+    dy = r * (dn - jnp.mean(dn, axis=1, keepdims=True)
+              - n * jnp.mean(dn * n, axis=1, keepdims=True))
+    dy_ref[:] = dy.astype(dy_ref.dtype)
+
+
+# bwd row tiles are smaller than fwd (4x the f32 intermediates live at once)
+_BWD_BLOCK_M_NARROW = 1024
+_BWD_BLOCK_M_WIDE = 256
+
+
+def _pallas_bwd(y2, do2, ls, lb, w1, b1, w2, b2, g, eps, approximate):
+    M, C = y2.shape
+    H = w1.shape[1]
+    block_m = _BWD_BLOCK_M_NARROW if C <= 128 else _BWD_BLOCK_M_WIDE
+    pad = (-M) % block_m
+    if pad:
+        y2 = jnp.pad(y2, ((0, pad), (0, 0)))
+        # padded dout rows are zero -> they contribute nothing to any grad
+        do2 = jnp.pad(do2, ((0, pad), (0, 0)))
+    full = lambda i: (0, 0)  # noqa: E731
+    row = lambda i: (i, 0)  # noqa: E731
+    tile = pl.BlockSpec((block_m, C), row)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps, approximate=approximate),
+        out_shape=[
+            jax.ShapeDtypeStruct((M + pad, C), y2.dtype),  # dy
+            jax.ShapeDtypeStruct((1, C), f32),             # dls
+            jax.ShapeDtypeStruct((1, C), f32),             # dlb
+            jax.ShapeDtypeStruct((C, H), f32),             # dw1
+            jax.ShapeDtypeStruct((1, H), f32),             # db1
+            jax.ShapeDtypeStruct((H, C), f32),             # dw2
+            jax.ShapeDtypeStruct((1, C), f32),             # db2
+            jax.ShapeDtypeStruct((1, C), f32),             # dg
+        ],
+        grid=((M + pad) // block_m,),
+        in_specs=[
+            tile,
+            tile,
+            pl.BlockSpec((1, C), full),
+            pl.BlockSpec((1, C), full),
+            pl.BlockSpec((C, H), full),
+            pl.BlockSpec((1, H), full),
+            pl.BlockSpec((H, C), full),
+            pl.BlockSpec((1, C), full),
+            pl.BlockSpec((1, C), full),
+        ],
+        out_specs=[
+            tile,
+            pl.BlockSpec((1, C), full),
+            pl.BlockSpec((1, C), full),
+            pl.BlockSpec((C, H), full),
+            pl.BlockSpec((1, H), full),
+            pl.BlockSpec((H, C), full),
+            pl.BlockSpec((1, C), full),
+            pl.BlockSpec((1, C), full),
+        ],
+        # weight grads accumulate across row tiles -> the grid must run
+        # sequentially with the accumulator blocks resident
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(y2, do2, ls, lb, w1, b1, w2, b2, g)
+    dy = outs[0][:M] if pad else outs[0]
+    return (dy,) + tuple(outs[1:])
+
+
 def _fused_bwd(eps, approximate, add_residual, block_m, saved, dout):
     y2, x2, ls, lb, w1, b1, w2, b2, g = saved
-    # backward = autodiff of the reference chain (recompute) — standard XLA
-    # ops, numerically the gradient of the same math the kernel computes
+    if jax.default_backend() in ("tpu", "axon") or _FORCE_KERNEL_BWD:
+        dy, dls, dlb, dw1, db1, dw2, db2, dg = _pallas_bwd(
+            y2, dout, ls, lb, w1, b1, w2, b2, g, eps, approximate)
+        dx = dout if add_residual else jnp.zeros_like(dout)
+        return (dy, dx, dls.astype(ls.dtype), dlb.astype(lb.dtype),
+                dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                dw2.astype(w2.dtype), db2.astype(b2.dtype),
+                dg.astype(g.dtype))
+    # non-TPU fallback: autodiff of the reference chain (recompute) —
+    # standard XLA ops, the gradient of the same math the kernel computes
     _, vjp = jax.vjp(
         lambda *a: _xla_reference(*a, eps, approximate, add_residual),
         y2, x2, ls, lb, w1, b1, w2, b2, g,
     )
     return vjp(dout)
+
+
+# test hook: route the backward through the Pallas kernel on CPU
+# (interpret mode patches pl.pallas_call)
+_FORCE_KERNEL_BWD = False
 
 
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
