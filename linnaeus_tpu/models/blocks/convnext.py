@@ -75,12 +75,13 @@ class ConvNeXtBlock(nn.Module):
         if use_fused is None:
             from linnaeus_tpu.ops.fused_mlp import fused_mlp_profitable
 
-            # auto routes only the no-grad path: under autodiff the
-            # custom-vjp recompute backward measured slower end-to-end
-            # (157.7 vs 131.4 ms/step at 384px B=64) while inference wins
-            # +33% — deterministic=True is the serving/eval contract
+            # auto routes training too since the hand-written Pallas
+            # backward landed: the same geometry rule that wins at serving
+            # wins under autodiff (train step 117.2 vs 131.6 ms at 384px
+            # B=64, 56.1 vs 62.8 at B=32, 33.8 vs 36.4 at 224px B=64;
+            # B=128 loses both ways and is excluded by the rule)
             B, H, W, _ = x.shape
-            use_fused = deterministic and fused_mlp_profitable(B, H, W)
+            use_fused = fused_mlp_profitable(B, H, W)
         if use_fused:
             return self._fused_tail(x, residual, deterministic)
 

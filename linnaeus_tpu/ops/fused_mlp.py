@@ -319,7 +319,9 @@ def fused_convnext_mlp(
     """LN -> Dense(4C) -> GELU -> Dense(C) -> *gamma [-> +residual] as one
     Pallas kernel over ``y`` of shape (..., C). ``residual=None`` skips the
     in-kernel add (the caller applies DropPath + residual outside).
-    Differentiable via XLA-recompute backward."""
+    Differentiable: hand-written Pallas backward on TPU (recompute in
+    VMEM, grid-accumulated weight grads), XLA-recompute autodiff
+    elsewhere."""
     shape = y.shape
     C = shape[-1]
     y2 = y.reshape(-1, C)
@@ -342,9 +344,12 @@ def fused_mlp_profitable(batch: int, h: int, w: int) -> bool:
     stage-1/2 geometries (+33% at B=64) and 224px stage 1 at mid batches
     (+5-16% at B=32/64). At batch 128 XLA's native fusion wins at every
     geometry measured (the conv layout flips with batch), and at tiny
-    totals (224px B<=16) the call overhead eats the win. Auto mode
-    requires a TPU backend — forcing ``fused_mlp=True`` bypasses this
-    (tests run the kernel in interpret mode on CPU)."""
+    totals (224px B<=16) the call overhead eats the win. The same rule
+    holds under autodiff with the Pallas backward (train step: +12.3%
+    at 384px B=64, +11.9% at B=32, +7.6% at 224px B=64, wash at B=32;
+    224px B=128 loses -12% and is excluded). Auto mode requires a TPU
+    backend — forcing ``fused_mlp=True`` bypasses this (tests run the
+    kernel in interpret mode on CPU)."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     return batch <= 64 and h * w >= 2304 and batch * h * w >= 98304
