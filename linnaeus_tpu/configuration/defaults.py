@@ -276,9 +276,11 @@ def _build_default_config() -> CN:
     # models/blocks/rope_mhsa.py); False keeps the plain nn.Dense qkv
     # layout for A/B measurements.
     _C.MODEL.ROPE_DEINTERLEAVE = True
-    # Pallas fused ConvNeXt MLP (ops/fused_mlp.py): 'auto' routes the
-    # no-grad path by measured geometry (+33% serving at 384px B=64);
-    # 'on'/'off' force. Same parameter tree either way (mFormerV1 only).
+    # Pallas fused ConvNeXt MLP (ops/fused_mlp.py): 'auto' routes by
+    # measured geometry, serving and training alike (+33% serving /
+    # +12% train step at 384px B=64 — training uses the hand-written
+    # Pallas backward); 'on'/'off' force. Same parameter tree either
+    # way (mFormerV1 only).
     _C.MODEL.FUSED_CONVNEXT_MLP = "auto"
     # mFormerV0 analog of the same layout rewrite: weight-level head
     # split/merge in RelativeAttention (no RoPE pairs to de-interleave).
