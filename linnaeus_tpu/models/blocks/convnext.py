@@ -76,12 +76,12 @@ class ConvNeXtBlock(nn.Module):
             from linnaeus_tpu.ops.fused_mlp import fused_mlp_profitable
 
             # auto routes training too since the hand-written Pallas
-            # backward landed: the same geometry rule that wins at serving
-            # wins under autodiff (train step 117.2 vs 131.6 ms at 384px
-            # B=64, 56.1 vs 62.8 at B=32, 33.8 vs 36.4 at 224px B=64;
-            # B=128 loses both ways and is excluded by the rule)
-            B, H, W, _ = x.shape
-            use_fused = fused_mlp_profitable(B, H, W)
+            # backward landed (train step 117.2 vs 131.6 ms at 384px
+            # B=64); the rule is channel-aware — wide-channel presets
+            # (lg/xl) keep XLA where the kernel measured slower
+            B, H, W, C = x.shape
+            use_fused = fused_mlp_profitable(B, H, W, C,
+                                             grad=not deterministic)
         if use_fused:
             return self._fused_tail(x, residual, deterministic)
 

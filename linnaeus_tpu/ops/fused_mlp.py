@@ -337,19 +337,32 @@ def fused_convnext_mlp(
     return out.reshape(shape)
 
 
-def fused_mlp_profitable(batch: int, h: int, w: int) -> bool:
-    """Measured routing rule (v5e, in-model A/B, docs/performance.md
-    round-3 serving decomposition): the kernel wins at batch <= 64 with
-    feature maps of 48x48+ and at least ~100k total rows — the 384px
-    stage-1/2 geometries (+33% at B=64) and 224px stage 1 at mid batches
-    (+5-16% at B=32/64). At batch 128 XLA's native fusion wins at every
-    geometry measured (the conv layout flips with batch), and at tiny
-    totals (224px B<=16) the call overhead eats the win. The same rule
-    holds under autodiff with the Pallas backward (train step: +12.3%
-    at 384px B=64, +11.9% at B=32, +7.6% at 224px B=64, wash at B=32;
-    224px B=128 loses -12% and is excluded). Auto mode requires a TPU
-    backend — forcing ``fused_mlp=True`` bypasses this (tests run the
-    kernel in interpret mode on CPU)."""
+def fused_mlp_profitable(batch: int, h: int, w: int, c: int,
+                         *, grad: bool = False) -> bool:
+    """Measured routing rule (v5e, in-model A/B, docs/performance.md).
+
+    Common geometry gate: batch <= 64, feature maps of 48x48+, at least
+    ~100k total rows. At batch 128 XLA's native fusion wins at every
+    geometry measured (the conv layout flips with batch); at tiny totals
+    (224px B<=16) the call overhead eats the win.
+
+    Channel gate (per-preset A/B, sm/lg/xl):
+    - serving (``grad=False``): wins through C=192 — sm +33% at 384px
+      B=64, +5-16% at 224px B=32/64; lg (C=192 stage 1) +3-10% at
+      224px. Loses at C=256 (xl, -3%) -> C <= 192.
+    - training (``grad=True``, Pallas backward): wins at C=96 (sm
+      stage 1: +12.3% at 384px B=64, +7.6% at 224px B=64) and at
+      C=192 on maps <= 48x48 (sm 384px stage 2: ~+2 ms/step), but
+      loses at C=192 on 56x56 (lg 224px stage 1: -2..-5% even with
+      retuned backward tiles) -> C <= 96, or C <= 192 with
+      h*w <= 2304.
+
+    Auto mode requires a TPU backend — forcing ``fused_mlp=True``
+    bypasses this (tests run the kernel in interpret mode on CPU)."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return batch <= 64 and h * w >= 2304 and batch * h * w >= 98304
+    if not (batch <= 64 and h * w >= 2304 and batch * h * w >= 98304):
+        return False
+    if grad:
+        return c <= 96 or (c <= 192 and h * w <= 2304)
+    return c <= 192

@@ -148,7 +148,25 @@ def test_block_fused_droppath_branch():
 
 def test_auto_routing_is_off_on_cpu():
     # auto mode must never route into Mosaic on a CPU backend
-    assert not fm.fused_mlp_profitable(64, 96, 96)
+    assert not fm.fused_mlp_profitable(64, 96, 96, 96)
+
+
+def test_routing_rule_channel_gates(monkeypatch):
+    # pin the measured channel cutoffs on a (pretend) TPU backend
+    monkeypatch.setattr(fm.jax, "default_backend", lambda: "tpu")
+    # serving: wins through C=192 (sm/lg), loses at C=256 (xl)
+    assert fm.fused_mlp_profitable(64, 56, 56, 96)
+    assert fm.fused_mlp_profitable(64, 56, 56, 192)
+    assert not fm.fused_mlp_profitable(32, 56, 56, 256)
+    # training: C=96 everywhere the geometry admits; C=192 only on
+    # maps <= 48x48 (sm 384px stage 2 wins, lg 224px stage 1 loses)
+    assert fm.fused_mlp_profitable(64, 96, 96, 96, grad=True)
+    assert fm.fused_mlp_profitable(64, 48, 48, 192, grad=True)
+    assert not fm.fused_mlp_profitable(64, 56, 56, 192, grad=True)
+    assert not fm.fused_mlp_profitable(32, 96, 96, 256, grad=True)
+    # geometry gate unchanged: B=128 and small totals stay off
+    assert not fm.fused_mlp_profitable(128, 56, 56, 96)
+    assert not fm.fused_mlp_profitable(16, 56, 56, 96)
 
 
 @pytest.mark.parametrize("approximate", [True, False])
