@@ -4,7 +4,11 @@ The reference deploys its handler behind LitServe
 (docs/inference/litserve.md); this module provides the same request surface
 with only the standard library (ThreadingHTTPServer), so the bundle can be
 served anywhere the framework runs. LitServe remains a drop-in option — the
-handler API is identical.
+handler API is identical. LitServe's cross-request batching role ("by
+default LitServe will batch concurrent requests") is covered by
+``MicroBatcher``: concurrent /predict requests are collated into one padded
+forward, so concurrent load rides the chip's batched throughput instead of
+serialized single-request latency.
 
 Endpoints:
   GET  /info     -> ModelInformation JSON
@@ -24,6 +28,7 @@ import base64
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
@@ -35,12 +40,123 @@ def _decode_image(b64: str):
     return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
 
 
-def make_server(handler, host: str = "0.0.0.0", port: int = 8000):
+class _Pending:
+    __slots__ = ("images", "metas", "options", "done", "results", "error")
+
+    def __init__(self, images, metas, options):
+        self.images = images
+        self.metas = metas
+        self.options = options
+        self.done = threading.Event()
+        self.results = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Cross-request dynamic batching (the role LitServe's request batching
+    plays in the reference deployment). A worker thread drains the pending
+    queue: after the first request arrives it waits up to ``timeout_ms``
+    for more (or until ``max_batch`` images are pending), runs ONE
+    handler.predict over the concatenation, and splits the results back per
+    request. The worker inherently serializes predict(), so padded-batch
+    compilations are never raced. A handler-level failure in a multi-request
+    batch is isolated by retrying each request individually."""
+
+    def __init__(self, handler, max_batch: int = 32, timeout_ms: float = 5.0):
+        self.handler = handler
+        self.max_batch = max(1, int(max_batch))
+        self.timeout = max(0.0, float(timeout_ms)) / 1e3
+        self._queue: list[_Pending] = []
+        self._cv = threading.Condition()
+        self._stopped = False
+        self.batch_sizes: list[int] = []  # observability (tests, /healthz)
+        self._worker = threading.Thread(
+            target=self._loop, name="serve-microbatch", daemon=True
+        )
+        self._worker.start()
+
+    def predict(self, images, metas, options):
+        p = _Pending(images, metas, options)
+        with self._cv:
+            if self._stopped:
+                raise RuntimeError("server is shutting down")
+            self._queue.append(p)
+            self._cv.notify_all()
+        p.done.wait()
+        if p.error is not None:
+            raise p.error
+        return p.results
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stopped = True
+            self._cv.notify_all()
+        self._worker.join(timeout=5.0)
+
+    # -- worker side ------------------------------------------------------
+    def _n_pending_images(self) -> int:
+        return sum(len(p.images) for p in self._queue)
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._stopped:
+                    self._cv.wait()
+                if self._stopped and not self._queue:
+                    return
+                deadline = time.monotonic() + self.timeout
+                while (self._n_pending_images() < self.max_batch
+                       and not self._stopped):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch, self._queue = self._queue, []
+            self._run(batch)
+            for p in batch:
+                p.done.set()
+
+    def _run_one(self, p: _Pending) -> None:
+        try:
+            p.results = self.handler.predict(
+                p.images, p.metas,
+                p.options if any(o is not None for o in p.options) else None,
+            )
+        except Exception as e:
+            p.error = e
+
+    def _run(self, batch: list[_Pending]) -> None:
+        self.batch_sizes.append(sum(len(p.images) for p in batch))
+        if len(batch) == 1:
+            return self._run_one(batch[0])
+        images = [img for p in batch for img in p.images]
+        metas = [m for p in batch for m in p.metas]
+        options = [o for p in batch for o in p.options]
+        try:
+            results = self.handler.predict(
+                images, metas,
+                options if any(o is not None for o in options) else None,
+            )
+        except Exception:
+            # isolate the offending request: re-run each one alone so a bad
+            # instance 400s its own client instead of the whole batch
+            for p in batch:
+                self._run_one(p)
+            return
+        i = 0
+        for p in batch:
+            p.results = results[i : i + len(p.images)]
+            i += len(p.images)
+
+
+def make_server(handler, host: str = "0.0.0.0", port: int = 8000,
+                max_batch: int = 32, batch_timeout_ms: float = 5.0):
     """Build (but don't start) a ThreadingHTTPServer around an inference
-    handler. The jitted forward is thread-safe (pure function of arrays);
-    a lock still serializes predict() so padded-batch compilations are
-    never raced."""
-    lock = threading.Lock()
+    handler. Concurrent /predict requests are dynamically batched through
+    one MicroBatcher worker (which also serializes predict(), so
+    padded-batch compilations are never raced). The batcher is exposed as
+    ``server.batcher``; call ``server.batcher.stop()`` after shutdown."""
+    batcher = MicroBatcher(handler, max_batch, batch_timeout_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload) -> None:
@@ -91,11 +207,7 @@ def make_server(handler, host: str = "0.0.0.0", port: int = 8000):
                         InferenceRequestMetadata(top_k=int(top_k))
                         if top_k else None
                     )
-                with lock:
-                    results = handler.predict(
-                        images, metas,
-                        options if any(o is not None for o in options) else None,
-                    )
+                results = batcher.predict(images, metas, options)
                 # mode="json" keeps typus results serializable (their
                 # model_dump() python mode emits set-valued fields)
                 return self._json(
@@ -105,7 +217,9 @@ def make_server(handler, host: str = "0.0.0.0", port: int = 8000):
             except Exception as e:  # malformed input must not kill the server
                 return self._json(400, {"error": str(e)[:500]})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher
+    return server
 
 
 def main(argv=None) -> None:
@@ -113,16 +227,24 @@ def main(argv=None) -> None:
     parser.add_argument("--config", required=True, help="bundle config.yaml")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max-batch", type=int, default=32,
+                        help="dynamic-batching cap: max images collated "
+                             "into one forward across concurrent requests")
+    parser.add_argument("--batch-timeout-ms", type=float, default=5.0,
+                        help="how long the batcher waits for more "
+                             "concurrent requests before running")
     args = parser.parse_args(argv)
 
     from linnaeus_tpu.inference import LinnaeusInferenceHandler
     from linnaeus_tpu.utils.logging import get_main_logger
 
     handler = LinnaeusInferenceHandler.load_from_artifacts(args.config)
-    server = make_server(handler, args.host, args.port)
+    server = make_server(handler, args.host, args.port,
+                         args.max_batch, args.batch_timeout_ms)
     get_main_logger().info(
         f"Serving {handler.config.model.architecture_name} on "
-        f"{args.host}:{args.port} (/predict /info /healthz)"
+        f"{args.host}:{args.port} (/predict /info /healthz; dynamic "
+        f"batching <= {args.max_batch} imgs, {args.batch_timeout_ms} ms)"
     )
     server.serve_forever()
 

@@ -16,16 +16,22 @@ from tests.bundle_utils import make_test_bundle
 
 
 @pytest.fixture(scope="module")
-def server_port(tmp_path_factory):
+def inference_handler(tmp_path_factory):
     from linnaeus_tpu.inference import LinnaeusInferenceHandler
-    from linnaeus_tpu.tools.serve import make_server
 
     d = make_test_bundle(tmp_path_factory.mktemp("serve_bundle"))
-    handler = LinnaeusInferenceHandler.load_from_artifacts(d / "config.yaml")
-    server = make_server(handler, "127.0.0.1", 0)
+    return LinnaeusInferenceHandler.load_from_artifacts(d / "config.yaml")
+
+
+@pytest.fixture(scope="module")
+def server_port(inference_handler):
+    from linnaeus_tpu.tools.serve import make_server
+
+    server = make_server(inference_handler, "127.0.0.1", 0)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     yield server.server_address[1]
     server.shutdown()
+    server.batcher.stop()
 
 
 def _req(port, path, payload=None):
@@ -75,6 +81,90 @@ def test_predict_roundtrip(server_port):
     for t in tasks:
         for taxon_id, prob in t["predictions"]:
             assert 0.0 <= prob <= 1.0
+
+
+class _CountingHandler:
+    """Proxy that records every predict() call's image count (and can fail
+    on a marker) — the observable for the dynamic-batching tests."""
+
+    def __init__(self, handler, poison_key=None):
+        self._h = handler
+        self._poison = poison_key
+        self.call_sizes = []
+
+    def __getattr__(self, name):
+        return getattr(self._h, name)
+
+    def predict(self, images, metas=None, options=None):
+        self.call_sizes.append(len(images))
+        if self._poison and any(
+            isinstance(m, dict) and self._poison in m for m in (metas or [])
+        ):
+            raise ValueError("poisoned instance")
+        return self._h.predict(images, metas, options)
+
+
+@pytest.fixture()
+def batching_server(inference_handler):
+    from linnaeus_tpu.tools.serve import make_server
+
+    proxy = _CountingHandler(inference_handler, poison_key="poison")
+    # generous timeout so concurrently-fired clients land in one batch
+    # deterministically even on a loaded 1-core box
+    server = make_server(proxy, "127.0.0.1", 0,
+                         max_batch=16, batch_timeout_ms=2000.0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield server.server_address[1], proxy
+    server.shutdown()
+    server.batcher.stop()
+
+
+def _fire_concurrent(port, payloads):
+    out = [None] * len(payloads)
+
+    def worker(i):
+        out[i] = _req(port, "/predict", payloads[i])
+
+    threads = [
+        threading.Thread(target=worker, args=(i,))
+        for i in range(len(payloads))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return out
+
+
+def test_concurrent_requests_are_batched(batching_server):
+    """The LitServe-parity property: N concurrent single-image requests run
+    through fewer than N handler forwards (reference delegates this to
+    LitServe's request batching, docs/inference/litserve.md)."""
+    port, proxy = batching_server
+    b64 = _png_b64()
+    results = _fire_concurrent(
+        port, [{"instances": [{"image": b64}]} for _ in range(6)]
+    )
+    assert all(st == 200 for st, _ in results)
+    assert all(len(out["predictions"]) == 1 for _, out in results)
+    assert len(proxy.call_sizes) < 6, proxy.call_sizes
+    assert max(proxy.call_sizes) >= 2, proxy.call_sizes
+
+
+def test_poisoned_request_is_isolated(batching_server):
+    """A handler-level failure in one request of a batch 400s only that
+    client; batchmates are retried individually and succeed."""
+    port, proxy = batching_server
+    b64 = _png_b64()
+    results = _fire_concurrent(port, [
+        {"instances": [{"image": b64}]},
+        {"instances": [{"image": b64, "metadata": {"poison": 1}}]},
+        {"instances": [{"image": b64}]},
+    ])
+    codes = sorted(st for st, _ in results)
+    assert codes == [200, 200, 400], results
+    bad = next(out for st, out in results if st == 400)
+    assert "poison" in bad["error"]
 
 
 def test_predict_error_paths(server_port):
