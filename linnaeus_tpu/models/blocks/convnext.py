@@ -73,15 +73,21 @@ class ConvNeXtBlock(nn.Module):
 
         use_fused = self.fused_mlp
         if use_fused is None:
-            from linnaeus_tpu.ops.fused_mlp import fused_mlp_profitable
+            from linnaeus_tpu.ops.fused_mlp import (
+                autodiff_active,
+                fused_mlp_profitable,
+            )
 
             # auto routes training too since the hand-written Pallas
             # backward landed (train step 117.2 vs 131.6 ms at 384px
             # B=64); the rule is channel-aware — wide-channel presets
-            # (lg/xl) keep XLA where the kernel measured slower
+            # (lg/xl) keep XLA where the kernel measured slower. The
+            # grad gate fires on the training contract OR a live JVP
+            # trace (deterministic=True under jax.grad must not take
+            # the serving gate).
             B, H, W, C = x.shape
-            use_fused = fused_mlp_profitable(B, H, W, C,
-                                             grad=not deterministic)
+            grad = not deterministic or autodiff_active(x)
+            use_fused = fused_mlp_profitable(B, H, W, C, grad=grad)
         if use_fused:
             return self._fused_tail(x, residual, deterministic)
 

@@ -337,6 +337,27 @@ def fused_convnext_mlp(
     return out.reshape(shape)
 
 
+def autodiff_active(x) -> bool:
+    """True when ``x`` is being traced for gradients (a JVP tracer sits in
+    its tracer stack). Routing consults this so a ``deterministic=True``
+    forward under ``jax.grad`` — fine-tuning with stochastic depth
+    disabled — still takes the training channel gate rather than the
+    serving one. Known blind spot: under ``jax.checkpoint`` the initial
+    abstract trace carries no JVP tracer; there ``deterministic=False``
+    (the normal training contract) is what routes correctly."""
+    t, hops = x, 0
+    while isinstance(t, jax.core.Tracer) and hops < 8:
+        # duck-typed: a JVP tracer carries primal+tangent (the concrete
+        # tracer classes moved under jax._src and are deprecated imports)
+        if hasattr(t, "primal") and hasattr(t, "tangent"):
+            return True
+        nxt = getattr(t, "val", None)  # batching tracers wrap .val
+        if nxt is None:
+            break
+        t, hops = nxt, hops + 1
+    return False
+
+
 def fused_mlp_profitable(batch: int, h: int, w: int, c: int,
                          *, grad: bool = False) -> bool:
     """Measured routing rule (v5e, in-model A/B, docs/performance.md).

@@ -63,13 +63,17 @@ class MicroBatcher:
     batch is isolated by retrying each request individually."""
 
     def __init__(self, handler, max_batch: int = 32, timeout_ms: float = 5.0):
+        import collections
+
         self.handler = handler
         self.max_batch = max(1, int(max_batch))
         self.timeout = max(0.0, float(timeout_ms)) / 1e3
         self._queue: list[_Pending] = []
         self._cv = threading.Condition()
         self._stopped = False
-        self.batch_sizes: list[int] = []  # observability (tests, /healthz)
+        # bounded observability window (tests; a long-lived server must not
+        # accumulate one entry per batch forever)
+        self.batch_sizes = collections.deque(maxlen=1024)
         self._worker = threading.Thread(
             target=self._loop, name="serve-microbatch", daemon=True
         )
@@ -97,6 +101,18 @@ class MicroBatcher:
     def _n_pending_images(self) -> int:
         return sum(len(p.images) for p in self._queue)
 
+    def _take_batch_locked(self) -> list[_Pending]:
+        """Pop requests up to the max_batch image cap (always at least one
+        request); the remainder stays queued for the next round."""
+        batch, total = [], 0
+        while self._queue:
+            nxt = len(self._queue[0].images)
+            if batch and total + nxt > self.max_batch:
+                break
+            batch.append(self._queue.pop(0))
+            total += nxt
+        return batch
+
     def _loop(self) -> None:
         while True:
             with self._cv:
@@ -111,17 +127,32 @@ class MicroBatcher:
                     if remaining <= 0:
                         break
                     self._cv.wait(remaining)
-                batch, self._queue = self._queue, []
-            self._run(batch)
-            for p in batch:
-                p.done.set()
+                batch = self._take_batch_locked()
+            # the worker must survive anything _run throws (a dead worker
+            # would hang every in-flight and future request), and done must
+            # fire no matter what
+            try:
+                self._run(batch)
+            except BaseException as e:  # noqa: BLE001 — worker must live
+                for p in batch:
+                    if p.error is None and p.results is None:
+                        p.error = RuntimeError(
+                            f"batch execution failed: {e!r}")
+            finally:
+                for p in batch:
+                    p.done.set()
 
     def _run_one(self, p: _Pending) -> None:
         try:
-            p.results = self.handler.predict(
+            results = self.handler.predict(
                 p.images, p.metas,
                 p.options if any(o is not None for o in p.options) else None,
             )
+            if len(results) != len(p.images):
+                raise RuntimeError(
+                    f"handler returned {len(results)} results for "
+                    f"{len(p.images)} images")
+            p.results = results
         except Exception as e:
             p.error = e
 
@@ -137,6 +168,8 @@ class MicroBatcher:
                 images, metas,
                 options if any(o is not None for o in options) else None,
             )
+            if len(results) != len(images):
+                raise RuntimeError("handler returned a short result list")
         except Exception:
             # isolate the offending request: re-run each one alone so a bad
             # instance 400s its own client instead of the whole batch
@@ -151,12 +184,14 @@ class MicroBatcher:
 
 def make_server(handler, host: str = "0.0.0.0", port: int = 8000,
                 max_batch: int = 32, batch_timeout_ms: float = 5.0):
-    """Build (but don't start) a ThreadingHTTPServer around an inference
-    handler. Concurrent /predict requests are dynamically batched through
-    one MicroBatcher worker (which also serializes predict(), so
+    """Build (but don't serve_forever) a ThreadingHTTPServer around an
+    inference handler. Concurrent /predict requests are dynamically batched
+    through one MicroBatcher worker (which also serializes predict(), so
     padded-batch compilations are never raced). The batcher is exposed as
-    ``server.batcher``; call ``server.batcher.stop()`` after shutdown."""
-    batcher = MicroBatcher(handler, max_batch, batch_timeout_ms)
+    ``server.batcher``; call ``server.batcher.stop()`` after shutdown.
+    The worker thread starts only after the socket binds, so a bind
+    failure leaks nothing."""
+    batcher = None  # assigned after the socket binds; read at request time
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload) -> None:
@@ -217,7 +252,8 @@ def make_server(handler, host: str = "0.0.0.0", port: int = 8000,
             except Exception as e:  # malformed input must not kill the server
                 return self._json(400, {"error": str(e)[:500]})
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)  # binds here
+    batcher = MicroBatcher(handler, max_batch, batch_timeout_ms)
     server.batcher = batcher
     return server
 

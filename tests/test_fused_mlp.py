@@ -169,6 +169,32 @@ def test_routing_rule_channel_gates(monkeypatch):
     assert not fm.fused_mlp_profitable(16, 56, 56, 96)
 
 
+def test_autodiff_active_detection():
+    """Routing must see through tracers: a deterministic=True forward
+    under jax.grad takes the training gate, a plain jit forward the
+    serving gate."""
+    seen = []
+
+    def f(x):
+        seen.append(fm.autodiff_active(x))
+        return jnp.sum(x * x)
+
+    x = jnp.ones((4,))
+    jax.jit(f)(x)
+    assert seen == [False]
+    seen.clear()
+    jax.grad(f)(x)
+    assert seen == [True]
+    seen.clear()
+    jax.jit(jax.grad(f))(x)
+    assert seen == [True]
+    seen.clear()
+    jax.vmap(jax.grad(f))(jnp.ones((2, 4)))
+    assert seen and all(seen)
+    # concrete values are not "under autodiff"
+    assert not fm.autodiff_active(x)
+
+
 @pytest.mark.parametrize("approximate", [True, False])
 @pytest.mark.parametrize("add_residual", [True, False])
 def test_pallas_backward_matches_autodiff(monkeypatch, approximate,

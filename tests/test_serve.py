@@ -151,6 +151,70 @@ def test_concurrent_requests_are_batched(batching_server):
     assert max(proxy.call_sizes) >= 2, proxy.call_sizes
 
 
+def test_max_batch_caps_collation():
+    """--max-batch bounds how many images reach one forward; the worker
+    must split an over-full queue, not drain it wholesale."""
+    from linnaeus_tpu.tools.serve import MicroBatcher
+
+    class Recorder:
+        def __init__(self):
+            self.sizes = []
+
+        def predict(self, images, metas=None, options=None):
+            self.sizes.append(len(images))
+            return ["r"] * len(images)
+
+    rec = Recorder()
+    b = MicroBatcher(rec, max_batch=4, timeout_ms=200.0)
+    try:
+        results = _fire_concurrent_batcher(
+            b, [([f"i{j}{k}" for k in range(3)]) for j in range(4)]
+        )
+        assert all(r == ["r"] * 3 for r in results)
+        # 12 images at cap 4 with 3-image requests -> one request per
+        # forward (3+3 would exceed 4)
+        assert rec.sizes and max(rec.sizes) <= 4, rec.sizes
+    finally:
+        b.stop()
+
+
+def _fire_concurrent_batcher(batcher, image_lists):
+    out = [None] * len(image_lists)
+
+    def worker(i):
+        imgs = image_lists[i]
+        out[i] = batcher.predict(imgs, [None] * len(imgs),
+                                 [None] * len(imgs))
+
+    threads = [
+        threading.Thread(target=worker, args=(i,))
+        for i in range(len(image_lists))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return out
+
+
+def test_worker_survives_pathological_handler():
+    """A handler returning a short result list must error that request —
+    not kill the worker and hang the queue forever."""
+    from linnaeus_tpu.tools.serve import MicroBatcher
+
+    class Short:
+        def predict(self, images, metas=None, options=None):
+            return []  # wrong length
+
+    b = MicroBatcher(Short(), max_batch=8, timeout_ms=1.0)
+    try:
+        for _ in range(2):  # a second call proves the worker is alive
+            with pytest.raises(RuntimeError, match="returned"):
+                b.predict(["img"], [None], [None])
+    finally:
+        b.stop()
+
+
 def test_poisoned_request_is_isolated(batching_server):
     """A handler-level failure in one request of a batch 400s only that
     client; batchmates are retried individually and succeed."""
