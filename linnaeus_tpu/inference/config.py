@@ -73,6 +73,11 @@ class InferenceOptionsConfig(BaseModel):
     enable_hierarchical_consistency_check: bool = True
     handler_version: str = "0.1.0"
     artifacts_source_uri: str | None = None
+    # Data-parallel serving over a 1-axis device mesh (beyond-reference:
+    # the torch handler is single-device). "auto" uses the largest device
+    # count that divides batch_size (1 on a single chip); an int forces
+    # that many devices (must divide batch_size); 1 disables.
+    data_parallel: int | str = "auto"
 
 
 class InferenceConfig(BaseModel):

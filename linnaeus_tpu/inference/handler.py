@@ -39,6 +39,28 @@ from .schemas import (
 logger = get_main_logger()
 
 
+def _resolve_data_parallel(spec, n_devices: int, batch_size: int) -> int:
+    """'auto' -> the largest device count <= n_devices dividing batch_size;
+    an int -> validated as-is; 1/'off' -> single device."""
+    if spec in (1, "1", "off", False, None):
+        return 1
+    if spec == "auto":
+        d = n_devices
+        while d > 1 and batch_size % d:
+            d -= 1
+        return d
+    d = int(spec)
+    if d < 1 or d > n_devices:
+        raise ValueError(
+            f"data_parallel={spec} but only {n_devices} devices are visible"
+        )
+    if batch_size % d:
+        raise ValueError(
+            f"data_parallel={d} must divide inference batch_size={batch_size}"
+        )
+    return d
+
+
 class LinnaeusInferenceHandler:
     def __init__(
         self,
@@ -65,7 +87,32 @@ class LinnaeusInferenceHandler:
                 for t in self.task_keys
             }
 
-        self._forward = jax.jit(forward)
+        # Data-parallel serving: shard the padded batch over a 1-axis mesh
+        # (weights replicated, rows split — per-sample compute has no
+        # cross-batch reduction, so results are identical to one device).
+        # The padded batch is always exactly ``batch_size`` rows, so the
+        # divisibility check at resolve time guarantees even shards.
+        self._dp = _resolve_data_parallel(
+            config.inference_options.data_parallel,
+            len(jax.devices()),
+            self._max_batch,
+        )
+        if self._dp > 1:
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            mesh = Mesh(np.asarray(jax.devices()[: self._dp]), ("data",))
+            rep = NamedSharding(mesh, P())
+            rows = NamedSharding(mesh, P("data"))
+            self._forward = jax.jit(
+                forward, in_shardings=(rep, rows, rows), out_shardings=rep
+            )
+            logger.info(
+                f"inference: data-parallel over {self._dp} devices "
+                f"(batch {self._max_batch} -> {self._max_batch // self._dp}/device)"
+            )
+        else:
+            self._forward = jax.jit(forward)
 
     # ----------------------------------------------------------- constructors
     @classmethod

@@ -83,6 +83,50 @@ def test_handler_batch_larger_than_max(bundle):
     assert len(results) == 6
 
 
+def test_data_parallel_resolution():
+    from linnaeus_tpu.inference.handler import _resolve_data_parallel as r
+
+    assert r("auto", 8, 8) == 8
+    assert r("auto", 8, 4) == 4
+    assert r("auto", 8, 6) == 6  # largest divisor <= device count
+    assert r("auto", 1, 128) == 1  # single chip -> off
+    assert r(1, 8, 8) == 1
+    assert r("off", 8, 8) == 1
+    assert r(2, 8, 8) == 2
+    with pytest.raises(ValueError):
+        r(16, 8, 8)  # more than visible devices
+    with pytest.raises(ValueError):
+        r(3, 8, 8)  # does not divide the compiled batch
+
+
+def test_data_parallel_serving_matches_single_device(bundle):
+    """Sharding the padded batch over the 8-device CPU mesh must be
+    invisible in the results (per-sample compute, no cross-batch
+    reduction)."""
+    h_dp = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    assert h_dp._dp == 4  # auto: batch 4 over 8 visible devices
+    cfg1 = h_dp.config.model_copy(deep=True)
+    cfg1.inference_options.data_parallel = 1
+    h_1 = LinnaeusInferenceHandler(
+        cfg1, h_dp.model, h_dp.variables, h_dp.taxonomy, h_dp.class_maps
+    )
+    assert h_1._dp == 1
+    rng = np.random.default_rng(7)
+    images = [
+        rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    metas = [{"lat": 40.0, "lon": -105.0}, None, {"lat": -10.0, "lon": 30.0}]
+    r_dp = h_dp.predict(images, metas)
+    r_1 = h_1.predict(images, metas)
+    for a, b in zip(r_dp, r_1):
+        for ta, tb in zip(a.tasks, b.tasks):
+            assert [tid for tid, _ in ta.predictions] == [
+                tid for tid, _ in tb.predictions
+            ]
+            for (_, pa), (_, pb) in zip(ta.predictions, tb.predictions):
+                assert abs(pa - pb) < 1e-6
+
+
 def test_projections():
     v = latlon_to_unit_sphere(0.0, 0.0)
     np.testing.assert_allclose(v, [1, 0, 0], atol=1e-6)
