@@ -401,6 +401,13 @@ def _build_default_config() -> CN:
     _C.TRAIN.GRADIENT_CHECKPOINTING = CN()
     _C.TRAIN.GRADIENT_CHECKPOINTING.ENABLED_NORMAL_STEPS = True
     _C.TRAIN.GRADIENT_CHECKPOINTING.ENABLED_GRADNORM_STEPS = True
+    # remat policy when checkpointing is on: 'dots' (default: save
+    # matmul outputs, recompute only elementwise/LN — measured 10%
+    # faster than 'full' at sm/B=128 and 28x at xl, where 'full' is
+    # pathological: 2566 ms/step), 'full' (save nothing, maximum
+    # memory savings), 'dots_no_batch' (weight-shaped dot outputs
+    # only). Gradients identical under every policy (models/utils.py).
+    _C.TRAIN.GRADIENT_CHECKPOINTING.POLICY = "dots"
     _C.TRAIN.PHASE1_MASK_NULL_LOSS = False
     _C.TRAIN.PRESERVE_CHECKPOINT_SCHEDULE = False
     # Kept for reference parity; maps onto MIXED_PRECISION below

@@ -140,6 +140,9 @@ def build_model(
             fused_convnext_mlp={"auto": None, "on": True, "off": False}[
                 str(config.MODEL.get("FUSED_CONVNEXT_MLP", "auto")).lower()
             ],
+            remat_policy=str(
+                config.TRAIN.GRADIENT_CHECKPOINTING.get("POLICY", "full")
+            ),
             aggregation=str(
                 config.MODEL.get("AGGREGATION", {}).get("TYPE", "default")
             ),

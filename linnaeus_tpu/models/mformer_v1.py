@@ -100,6 +100,14 @@ class MFormerV1(nn.Module):
     head_configs: Mapping[str, Mapping[str, Any]] | None = None
     hierarchy_matrices: Mapping[str, np.ndarray] | None = None
     gradient_checkpointing: bool = False
+    # rematerialization policy when gradient_checkpointing is on
+    # (TRAIN.GRADIENT_CHECKPOINTING.POLICY): 'dots' (default) saves
+    # every matmul output and recomputes only elementwise/LN work —
+    # measured +10% over 'full' at sm/B=128 and 28x at xl, where
+    # 'full' is pathological (2566 ms/step); 'full' saves nothing per
+    # block (max memory savings); 'dots_no_batch' saves only
+    # weight-shaped dot outputs. Math is identical either way.
+    remat_policy: str = "dots"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -121,8 +129,14 @@ class MFormerV1(nn.Module):
         conv_block = ConvNeXtBlock
         rope_block = RoPE2DMHSABlock
         if self.gradient_checkpointing:
-            conv_block = nn.remat(ConvNeXtBlock, static_argnums=(2,))
-            rope_block = nn.remat(RoPE2DMHSABlock, static_argnums=(2,))
+            from linnaeus_tpu.models.utils import resolve_remat_policy
+
+            kw = {}
+            policy = resolve_remat_policy(self.remat_policy)
+            if policy is not None:
+                kw["policy"] = policy
+            conv_block = nn.remat(ConvNeXtBlock, static_argnums=(2,), **kw)
+            rope_block = nn.remat(RoPE2DMHSABlock, static_argnums=(2,), **kw)
 
         total_depth = sum(self.convnext_depths[:2]) + sum(self.rope_depths)
         dpr = list(np.linspace(0.0, self.drop_path_rate, total_depth))

@@ -56,7 +56,7 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
                flash: bool = False, arch: str = "v1",
                rope_deinterleave: bool = True, v0_head_split: bool = False,
                moe: bool = False, size: str = "sm",
-               fused_mlp: str = "auto"):
+               fused_mlp: str = "auto", remat_policy: str = "full"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -92,6 +92,7 @@ def build_step(batch: int, img: int, fp32_scores: bool, remat: bool,
             model = model.clone(
                 img_size=(img, img),
                 gradient_checkpointing=remat,
+                remat_policy=remat_policy,
                 use_flash_attn=flash,
                 rope_deinterleave=rope_deinterleave,
             )
@@ -164,14 +165,15 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
             n1: int = 4, n2: int = 12, arch: str = "v1",
             rope_deinterleave: bool = True,
             v0_head_split: bool = False, moe: bool = False,
-            size: str = "sm", fused_mlp: str = "auto") -> dict:
+            size: str = "sm", fused_mlp: str = "auto",
+            remat_policy: str = "full") -> dict:
     from linnaeus_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     run_j, state = build_step(batch, img, fp32_scores, remat, flash, arch,
                               rope_deinterleave=rope_deinterleave,
                               v0_head_split=v0_head_split, moe=moe, size=size,
-                              fused_mlp=fused_mlp)
+                              fused_mlp=fused_mlp, remat_policy=remat_policy)
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
@@ -188,7 +190,7 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
     return {
         "arch": arch, "size": size, "batch": batch, "img": img,
         "fp32_scores": fp32_scores, "remat": remat, "flash": flash,
-        "moe": moe, "fused_mlp": fused_mlp,
+        "moe": moe, "fused_mlp": fused_mlp, "remat_policy": remat_policy,
         "train_ms_per_step": round(ms, 2),
         "train_images_per_sec": round(batch / (ms / 1000.0), 1),
     }
@@ -200,6 +202,9 @@ def main(argv=None) -> None:
     p.add_argument("--img", type=int, default=224)
     p.add_argument("--fp32-scores", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat-policy", default="full",
+                   choices=("full", "dots", "dots_no_batch"),
+                   help="remat policy under --remat (models/utils.py)")
     p.add_argument("--flash", action="store_true")
     p.add_argument("--no-deinterleave", action="store_true",
                    help="legacy interleaved-RoPE layout (A/B baseline)")
@@ -240,7 +245,7 @@ def main(argv=None) -> None:
         remat=args.remat, flash=args.flash, arch=args.arch,
         rope_deinterleave=not args.no_deinterleave,
         v0_head_split=args.v0_head_split, moe=args.moe, size=args.size,
-        fused_mlp=args.fused_mlp,
+        fused_mlp=args.fused_mlp, remat_policy=args.remat_policy,
     )))
 
 

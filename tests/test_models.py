@@ -184,6 +184,46 @@ def test_gradient_checkpointing_same_output():
     )
 
 
+def test_remat_policies_same_gradients():
+    """TRAIN.GRADIENT_CHECKPOINTING.POLICY changes only the memory/
+    recompute trade — gradients must match the no-remat model."""
+    kwargs = dict(
+        img_size=(32, 32),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=(8, 16, 32, 64),
+        rope_depths=(1, 1),
+        rope_dims=(32, 64),
+        rope_num_heads=(2, 2),
+        task_keys=("t1",),
+        num_classes={"t1": 4},
+        head_configs={"t1": {"TYPE": "Linear"}},
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    base = MFormerV1(gradient_checkpointing=False, **kwargs)
+    p = base.init(jax.random.PRNGKey(0), x, None)
+
+    def grads(model):
+        def loss(params):
+            out = model.apply(params, x, None)
+            return jnp.sum(jnp.square(out["t1"].astype(jnp.float32)))
+
+        return jax.grad(loss)(p)
+
+    g0 = grads(base)
+    for policy in ("full", "dots", "dots_no_batch"):
+        m = MFormerV1(gradient_checkpointing=True, remat_policy=policy,
+                      **kwargs)
+        g = grads(m)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+                err_msg=policy,
+            )
+    with pytest.raises(ValueError, match="remat policy"):
+        MFormerV1(gradient_checkpointing=True, remat_policy="bogus",
+                  **kwargs).init(jax.random.PRNGKey(0), x, None)
+
+
 def test_attn_fp32_softmax_knob():
     """ATTN_FP32_SOFTMAX=False (bf16-stored scores, serving knob) stays close
     to the fp32-score path, and is exactly identical under fp32 compute."""
