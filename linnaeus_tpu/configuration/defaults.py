@@ -191,6 +191,13 @@ def _build_default_config() -> CN:
     _C.DATA.H5.TRAIN_VAL_SPLIT_RATIO = 0.9
     _C.DATA.H5.TRAIN_VAL_SPLIT_SEED = 42
 
+    # C++ batch data-plane for hybrid (images-on-disk) reads: file IO + JPEG
+    # decode (DCT prescale) + area resize in native worker threads, one
+    # Python call per batch (linnaeus_tpu/native/). 'auto' uses it when it
+    # compiles and files are JPEG; 'off' forces the cv2/PIL per-sample path;
+    # 'on' raises if the native library is unavailable.
+    _C.DATA.NATIVE_DATAPLANE = "auto"
+
     _C.DATA.HYBRID = CN()
     _C.DATA.HYBRID.USE_HYBRID = False
     _C.DATA.HYBRID.IMAGES_DIR = ""
@@ -209,6 +216,11 @@ def _build_default_config() -> CN:
     _C.DATA.PREFETCH.BATCH_CONCURRENCY = 4
     _C.DATA.PREFETCH.MAX_PROCESSED_BATCHES = 10
     _C.DATA.PREFETCH.NUM_IO_THREADS = 4
+    # Whole-batch HDF5 gathers (one sorted point-selection per batch instead
+    # of B per-sample reads); falls back to per-sample reads automatically
+    # when a per-sample hook (transform / HPC simulation / verbose reads)
+    # needs them. See docs/performance.md host-pipeline section.
+    _C.DATA.PREFETCH.BULK_H5_READS = True
     _C.DATA.PREFETCH.NUM_PREPROCESS_THREADS = 4
     _C.DATA.PREFETCH.SLEEP_TIME = 0.0
     # TPU-specific: number of batches kept resident in HBM ahead of compute.

@@ -38,6 +38,7 @@ def _image_source(config, labels: ProcessedLabels, images_path: str | None):
             img_size,
             file_extension=str(config.DATA.HYBRID.FILE_EXTENSION),
             allow_missing=bool(config.DATA.HYBRID.ALLOW_MISSING_IMAGES),
+            native=str(config.DATA.get("NATIVE_DATAPLANE", "auto")),
         )
     if images_path:
         return H5ImageSource(images_path, img_size)
@@ -132,6 +133,7 @@ def build_datasets(config) -> dict[str, Any]:
         simulate_hpc=bool(config.DATA.SIMULATE_HPC),
         io_delay=float(config.DATA.IO_DELAY),
         verbose_reads=check_debug_flag(config, "DEBUG.DATASET.READ_ITEM_VERBOSE"),
+        bulk_reads=bool(config.DATA.PREFETCH.get("BULK_H5_READS", True)),
     )
     val_dataset = None
     if val_labels is not None and val_idx is not None and len(val_idx) > 0:
@@ -140,6 +142,7 @@ def build_datasets(config) -> dict[str, Any]:
             _image_source(config, val_labels, val_images),
             processor.task_keys,
             mem_cache_bytes=0,
+            bulk_reads=bool(config.DATA.PREFETCH.get("BULK_H5_READS", True)),
         )
 
     return {

@@ -71,6 +71,20 @@ class H5ImageSource(ImageSource):
         img = self._file()[self.dataset][idx]
         return _resize(np.asarray(img), self.img_size)
 
+    def read_block(self, sorted_idx: np.ndarray) -> np.ndarray:
+        """One HDF5 fancy-index gather for a whole batch.
+
+        ``sorted_idx`` must be strictly increasing (HDF5 point-selection
+        contract). Returns the RAW stored rows (caller resizes if the stored
+        resolution differs from ``img_size``). One libhdf5 call replaces B
+        per-sample ``dset[i]`` calls — every per-sample call serializes on
+        h5py's global lock and carries ~100 us of selection/dispatch
+        overhead, which at 128-sample batches is ~10-25 ms of pure overhead
+        per batch (the measured 1-core pipeline ceiling lived here; see
+        docs/performance.md host-pipeline section).
+        """
+        return np.asarray(self._file()[self.dataset][sorted_idx])
+
     def close(self) -> None:
         f = getattr(self._local, "f", None)
         if f is not None:
@@ -87,12 +101,51 @@ class DirImageSource(ImageSource):
         img_size: int,
         file_extension: str = ".jpg",
         allow_missing: bool = False,
+        native: str = "auto",
     ):
         self.images_dir = images_dir
         self.identifiers = identifiers
         self.img_size = img_size
         self.ext = file_extension
         self.allow_missing = allow_missing
+        # 'auto': use the C++ batch decode when it compiles and the files
+        # are JPEG; 'off': always the per-sample cv2/PIL path; 'on': raise
+        # if the native library is unavailable (DATA.NATIVE_DATAPLANE)
+        self.native_mode = str(native)
+        self._dataplane = False  # not resolved yet
+
+    def _native_plane(self):
+        if self._dataplane is False:
+            if (
+                self.native_mode == "off"
+                or self.ext.lower() not in (".jpg", ".jpeg")
+            ):
+                self._dataplane = None
+            else:
+                from linnaeus_tpu.native import get_dataplane
+
+                self._dataplane = get_dataplane()
+                if self._dataplane is None and self.native_mode == "on":
+                    raise RuntimeError(
+                        "DATA.NATIVE_DATAPLANE='on' but the native library "
+                        "is unavailable (compiler or libjpeg missing)"
+                    )
+        return self._dataplane
+
+    def supports_batch_read(self) -> bool:
+        return self._native_plane() is not None
+
+    def read_batch_rows(self, indices: np.ndarray) -> np.ndarray:
+        """Whole-batch file-read + JPEG decode (DCT prescale) + area resize
+        in C++ worker threads — one Python call per batch. Missing files
+        zero-fill under ALLOW_MISSING (same placeholder semantics as
+        ``read``), raise otherwise."""
+        dp = self._native_plane()
+        paths = [self._path(int(i)) for i in np.asarray(indices)]
+        images, _ = dp.decode_jpeg_batch(
+            paths, self.img_size, allow_missing=self.allow_missing
+        )
+        return images
 
     def _path(self, idx: int) -> str:
         ident = self.identifiers[idx]
@@ -149,6 +202,7 @@ class PrefetchingDataset:
         simulate_hpc: bool = False,
         io_delay: float = 0.0,
         verbose_reads: bool = False,
+        bulk_reads: bool = True,
     ):
         self.verbose_reads = verbose_reads  # DEBUG.DATASET.READ_ITEM_VERBOSE
         self.labels = labels
@@ -156,6 +210,7 @@ class PrefetchingDataset:
         self.task_keys = list(task_keys)
         self.cache = MemoryCache(mem_cache_bytes) if mem_cache_bytes > 0 else None
         self.transform = transform
+        self.bulk_reads = bool(bulk_reads)
         self.group_level = group_level or (
             list(labels.group_ids.keys())[0] if labels.group_ids else None
         )
@@ -204,13 +259,98 @@ class PrefetchingDataset:
             img = self.transform(img)
         return img
 
+    def _can_bulk_read(self) -> bool:
+        """Whole-batch HDF5 gather applies when the source supports it and
+        no per-sample hook (transform, HPC read simulation, verbose read
+        logging) needs the per-sample path."""
+        source_ok = hasattr(self.source, "read_block") or (
+            hasattr(self.source, "supports_batch_read")
+            and self.source.supports_batch_read()
+        )
+        return (
+            self.bulk_reads
+            and source_ok
+            and self.transform is None
+            and not (self.simulate_hpc and self.io_delay > 0)
+            and not self.verbose_reads
+        )
+
+    def _bulk_images(self, indices: np.ndarray, pool=None) -> np.ndarray:
+        """One-gather batch read: cache hits are taken per index, the misses
+        go through a single sorted HDF5 point-selection, and rows land in
+        their requested order. Resize (stored size != target) fans out on
+        the IO pool, which the bulk path otherwise leaves idle."""
+        idx = np.asarray(indices, np.int64)
+        if len(idx) == 0:
+            size = self.source.img_size
+            return np.zeros((0, size, size, 3), np.uint8)
+        hit_rows: dict[int, np.ndarray] = {}
+        if self.cache is not None:
+            for pos, i in enumerate(idx):
+                cached = self.cache.get(int(i))
+                if cached is not None:
+                    hit_rows[pos] = cached
+        miss_pos = [p for p in range(len(idx)) if p not in hit_rows]
+        rows = None  # miss rows, aligned to miss_pos order
+        if miss_pos:
+            miss_idx = idx[miss_pos]
+            for attempt in range(self.READ_RETRIES + 1):
+                try:
+                    rows = self._read_miss_rows(miss_idx, pool)
+                    break
+                except OSError:  # same transient-IO retry as read_sample
+                    if attempt == self.READ_RETRIES:
+                        raise
+                    time.sleep(0.05 * (attempt + 1))
+            if self.cache is not None:
+                for row, i in zip(rows, miss_idx):
+                    # copy: a view would pin the whole block in the cache
+                    self.cache.put(int(i), row.copy(), row.nbytes)
+        proto = rows[0] if rows is not None else next(iter(hit_rows.values()))
+        out = np.empty((len(idx),) + tuple(proto.shape), dtype=proto.dtype)
+        if miss_pos:
+            out[miss_pos] = rows
+        for pos, row in hit_rows.items():
+            out[pos] = row
+        return out
+
+    def _read_miss_rows(self, miss_idx: np.ndarray, pool=None) -> np.ndarray:
+        """Read rows for cache-miss indices, in the given order."""
+        if hasattr(self.source, "read_block"):
+            # HDF5: one sorted point-selection, then unsort. The unsort is a
+            # pure row gather — the native threaded memcpy takes it on
+            # multi-core hosts (bit-identical to numpy fancy indexing).
+            uniq, inv = np.unique(miss_idx, return_inverse=True)
+            block = self.source.read_block(uniq)
+            size = self.source.img_size
+            if block.shape[1] != size or block.shape[2] != size:
+                resized = (
+                    list(pool.map(lambda r: _resize(r, size), block))
+                    if pool is not None
+                    else [_resize(r, size) for r in block]
+                )
+                block = np.stack(resized)
+            if len(uniq) == len(miss_idx) and np.array_equal(
+                inv, np.arange(len(miss_idx))
+            ):
+                return block  # already in order (sorted unique batch)
+            if block.nbytes > (4 << 20):
+                from linnaeus_tpu.native import get_dataplane
+
+                dp = get_dataplane()
+                if dp is not None:
+                    return dp.gather_rows(block, inv)
+            return block[inv]
+        return self.source.read_batch_rows(miss_idx)
+
     def read_batch(self, indices: np.ndarray, pool=None) -> dict:
         indices = np.asarray(indices)
-        if pool is not None:
-            images = list(pool.map(self.read_sample, indices))
+        if self._can_bulk_read():
+            images = self._bulk_images(indices, pool=pool)
+        elif pool is not None:
+            images = np.stack(list(pool.map(self.read_sample, indices)))
         else:
-            images = [self.read_sample(i) for i in indices]
-        images = np.stack(images)
+            images = np.stack([self.read_sample(i) for i in indices])
         # Keep uint8 through the host pipeline: 4x less host work and
         # host->HBM bandwidth; the jitted step converts to the compute dtype
         # and scales by 1/255 on device (fused into the stem conv's input).

@@ -1,0 +1,192 @@
+"""Native host data-plane: build + ctypes bindings for dataplane.cpp.
+
+The shared library is compiled on first use (g++, ~2 s) and cached next to
+the source; everything degrades gracefully to the pure-Python pipeline when
+a compiler or libjpeg is unavailable (``get_dataplane()`` returns None and
+the callers keep their numpy/cv2 paths). No pybind11: the ABI is plain C
+consumed via ctypes, so there is no build-time Python dependency at all.
+
+Measured role (docs/performance.md, host-pipeline section): the hybrid
+dir-image read path — file IO + JPEG decode + resize per sample — runs
+entirely in C++ worker threads with DCT-domain prescaling, one Python call
+per batch.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from linnaeus_tpu.utils.logging import get_main_logger
+
+logger = get_main_logger()
+
+_SRC = os.path.join(os.path.dirname(__file__), "dataplane.cpp")
+_LOCK = threading.Lock()
+_CACHED: "DataPlane | None | bool" = False  # False = not attempted yet
+
+
+def _lib_path() -> str:
+    # next to the source when writable (repo checkout), else the user cache
+    d = os.path.dirname(_SRC)
+    if os.access(d, os.W_OK):
+        return os.path.join(d, "_dataplane.so")
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "linnaeus_tpu"
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "_dataplane.so")
+
+
+def build_library(force: bool = False) -> str | None:
+    """Compile dataplane.cpp if needed; returns the .so path or None."""
+    so = _lib_path()
+    if (
+        not force
+        and os.path.exists(so)
+        and os.path.getmtime(so) >= os.path.getmtime(_SRC)
+    ):
+        return so
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-pthread",
+        _SRC, "-ljpeg", "-o", so,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120
+        )
+    except (OSError, subprocess.TimeoutExpired) as e:
+        logger.info(f"native dataplane unavailable (compiler): {e}")
+        return None
+    if proc.returncode != 0:
+        logger.info(
+            "native dataplane build failed (falling back to Python "
+            f"pipeline): {proc.stderr[-500:]}"
+        )
+        return None
+    return so
+
+
+class DataPlane:
+    """ctypes facade over the compiled library."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.ln_version.restype = ctypes.c_int32
+        lib.ln_decode_jpeg_batch.restype = ctypes.c_int32
+        lib.ln_decode_jpeg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ln_gather_rows.restype = None
+        lib.ln_gather_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+        ]
+        lib.ln_resize_batch.restype = None
+        lib.ln_resize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        self.version = int(lib.ln_version())
+        self.default_threads = max(os.cpu_count() or 1, 1)
+
+    # ------------------------------------------------------------- decode
+    def decode_jpeg_batch(
+        self,
+        paths: list[str],
+        target: int,
+        allow_missing: bool = False,
+        threads: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Decode+resize a batch of JPEG files -> (images [n,t,t,3] u8,
+        status [n] i32 with 0 ok / 1 missing / 2 decode error). Raises on
+        hard failures (missing when not allowed, or undecodable files)."""
+        n = len(paths)
+        out = np.empty((n, target, target, 3), np.uint8)
+        status = np.empty(n, np.int32)
+        arr = (ctypes.c_char_p * n)(
+            *[os.fsencode(p) for p in paths]
+        )
+        failures = self._lib.ln_decode_jpeg_batch(
+            arr, n, int(target),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(threads or self.default_threads),
+            1 if allow_missing else 0,
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if failures:
+            missing = [paths[i] for i in np.nonzero(status == 1)[0][:3]]
+            bad = [paths[i] for i in np.nonzero(status == 2)[0][:3]]
+            if missing and not allow_missing:
+                raise FileNotFoundError(
+                    f"{len(missing)}+ missing image files, e.g. {missing}"
+                )
+            raise ValueError(
+                f"{int(failures)} undecodable JPEG files, e.g. {bad}"
+            )
+        return out, status
+
+    # ------------------------------------------------------------- gather
+    def gather_rows(
+        self, src: np.ndarray, idx: np.ndarray, threads: int | None = None
+    ) -> np.ndarray:
+        """dst[i] = src[idx[i]] with C++ worker threads (multi-core hosts;
+        equivalent to src[idx] in numpy)."""
+        src = np.ascontiguousarray(src)
+        idx = np.ascontiguousarray(idx, np.int64)
+        row_bytes = int(src.nbytes // max(src.shape[0], 1))
+        dst = np.empty((len(idx),) + src.shape[1:], src.dtype)
+        self._lib.ln_gather_rows(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx), row_bytes,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(threads or self.default_threads),
+        )
+        return dst
+
+    # ------------------------------------------------------------- resize
+    def resize_batch(
+        self, src: np.ndarray, target: int, threads: int | None = None
+    ) -> np.ndarray:
+        """Area-resize a uint8 [n,h,w,c] batch to [n,target,target,c]."""
+        src = np.ascontiguousarray(src, np.uint8)
+        n, sh, sw, ch = src.shape
+        dst = np.empty((n, target, target, ch), np.uint8)
+        self._lib.ln_resize_batch(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, sh, sw, ch,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(target), int(threads or self.default_threads),
+        )
+        return dst
+
+
+def get_dataplane() -> DataPlane | None:
+    """Singleton accessor; compiles on first call, None when unavailable
+    or disabled via LINNAEUS_TPU_NATIVE=0."""
+    global _CACHED
+    with _LOCK:
+        if _CACHED is not False:
+            return _CACHED  # type: ignore[return-value]
+        if os.environ.get("LINNAEUS_TPU_NATIVE", "1") == "0":
+            _CACHED = None
+            return None
+        so = build_library()
+        if so is None:
+            _CACHED = None
+            return None
+        try:
+            _CACHED = DataPlane(ctypes.CDLL(so))
+        except OSError as e:  # missing libjpeg at load time
+            logger.info(f"native dataplane load failed: {e}")
+            _CACHED = None
+        return _CACHED

@@ -1,0 +1,259 @@
+// Native host data-plane for the input pipeline.
+//
+// The hybrid (images-on-disk) read path spends its host time in per-sample
+// Python orchestration around JPEG decode + resize. This translation unit
+// packages that per-batch work — file read, libjpeg(-turbo) decode with
+// DCT-domain prescaling, area resize, batch-buffer assembly — behind a C ABI
+// consumed via ctypes (linnaeus_tpu/native/__init__.py), with an internal
+// pthread pool so a whole batch is one Python call and the workers never
+// touch the GIL. Reference behavior being accelerated:
+// prefetching_hybrid_dataset.py:16-598 (per-sample cv2.imread + resize) —
+// re-designed batch-at-a-time rather than translated.
+//
+// Also exports a threaded row-gather used to unsort bulk HDF5 reads on
+// multi-core hosts (neutral on one core; numpy fancy-indexing is the
+// fallback).
+//
+// Build: g++ -O3 -shared -fPIC -pthread dataplane.cpp -ljpeg
+// (libjpeg62-turbo provides the classic API with SIMD decode; DCT scaling
+// via scale_num/scale_denom gives near-free 1/2, 1/4, 1/8 decodes when the
+// stored resolution exceeds the training size — the same trick NVIDIA DALI
+// and tf.image's fast paths use.)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <csetjmp>
+#include <cmath>
+#include <functional>
+#include <thread>
+#include <vector>
+#include <atomic>
+#include <algorithm>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct ErrMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void error_exit_longjmp(j_common_ptr cinfo) {
+  ErrMgr* err = reinterpret_cast<ErrMgr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+void output_message_quiet(j_common_ptr) {
+  // corrupt files surface as LN_DECODE_ERR statuses; keep stderr clean
+}
+
+// Area (box-integration) resize, fractional edge weights — matches
+// cv2.INTER_AREA's downscale semantics. Falls back to bilinear when
+// upscaling (src < dst), which only happens for stored images smaller than
+// the training resolution.
+void resize_area_u8(const uint8_t* src, int sh, int sw, uint8_t* dst, int th,
+                    int tw, int channels) {
+  if (sh == th && sw == tw) {
+    std::memcpy(dst, src, (size_t)sh * sw * channels);
+    return;
+  }
+  const double sy = (double)sh / th;
+  const double sx = (double)sw / tw;
+  if (sh >= th && sw >= tw) {
+    std::vector<float> row_acc((size_t)tw * channels);
+    for (int oy = 0; oy < th; ++oy) {
+      const double y0 = oy * sy, y1 = (oy + 1) * sy;
+      const int iy0 = (int)y0, iy1 = std::min((int)std::ceil(y1), sh);
+      std::fill(row_acc.begin(), row_acc.end(), 0.f);
+      double wsum_y = 0.0;
+      for (int iy = iy0; iy < iy1; ++iy) {
+        const double wy = std::min<double>(y1, iy + 1) - std::max<double>(y0, iy);
+        wsum_y += wy;
+        const uint8_t* srow = src + (size_t)iy * sw * channels;
+        for (int ox = 0; ox < tw; ++ox) {
+          const double x0 = ox * sx, x1 = (ox + 1) * sx;
+          const int ix0 = (int)x0, ix1 = std::min((int)std::ceil(x1), sw);
+          for (int c = 0; c < channels; ++c) {
+            double acc = 0.0, wsum_x = 0.0;
+            for (int ix = ix0; ix < ix1; ++ix) {
+              const double wx =
+                  std::min<double>(x1, ix + 1) - std::max<double>(x0, ix);
+              acc += wx * srow[(size_t)ix * channels + c];
+              wsum_x += wx;
+            }
+            row_acc[(size_t)ox * channels + c] +=
+                (float)(wy * acc / std::max(wsum_x, 1e-9));
+          }
+        }
+      }
+      uint8_t* drow = dst + (size_t)oy * tw * channels;
+      const float inv = (float)(1.0 / std::max(wsum_y, 1e-9));
+      for (int i = 0; i < tw * channels; ++i) {
+        const float v = row_acc[i] * inv;
+        drow[i] = (uint8_t)std::min(255.f, std::max(0.f, v + 0.5f));
+      }
+    }
+    return;
+  }
+  // bilinear upscale (align cv2.INTER_LINEAR's half-pixel convention)
+  for (int oy = 0; oy < th; ++oy) {
+    const double fy = std::max(0.0, (oy + 0.5) * sy - 0.5);
+    const int y0 = std::min((int)fy, sh - 1), y1 = std::min(y0 + 1, sh - 1);
+    const double wy = fy - y0;
+    for (int ox = 0; ox < tw; ++ox) {
+      const double fx = std::max(0.0, (ox + 0.5) * sx - 0.5);
+      const int x0 = std::min((int)fx, sw - 1), x1 = std::min(x0 + 1, sw - 1);
+      const double wx = fx - x0;
+      for (int c = 0; c < channels; ++c) {
+        const double v00 = src[((size_t)y0 * sw + x0) * channels + c];
+        const double v01 = src[((size_t)y0 * sw + x1) * channels + c];
+        const double v10 = src[((size_t)y1 * sw + x0) * channels + c];
+        const double v11 = src[((size_t)y1 * sw + x1) * channels + c];
+        const double v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+                         v10 * wy * (1 - wx) + v11 * wy * wx;
+        dst[((size_t)oy * tw + ox) * channels + c] =
+            (uint8_t)std::min(255.0, std::max(0.0, v + 0.5));
+      }
+    }
+  }
+}
+
+// status codes per sample
+enum : int32_t { LN_OK = 0, LN_MISSING = 1, LN_DECODE_ERR = 2 };
+
+// Decode one JPEG file to RGB uint8 at target x target, writing into out.
+// Picks the largest DCT scale denominator in {8,4,2,1} whose output still
+// covers the target, so an e.g. 1024px photo decodes 1/4-size for a 224px
+// training resolution (~6x less IDCT + colorspace work).
+int32_t decode_one(const char* path, int target, uint8_t* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return LN_MISSING;
+  std::fseek(f, 0, SEEK_END);
+  const long len = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (len <= 0) {
+    std::fclose(f);
+    return LN_DECODE_ERR;
+  }
+  std::vector<uint8_t> buf((size_t)len);
+  const size_t got = std::fread(buf.data(), 1, (size_t)len, f);
+  std::fclose(f);
+  if (got != (size_t)len) return LN_DECODE_ERR;
+
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_longjmp;
+  jerr.pub.output_message = output_message_quiet;
+  std::vector<uint8_t> decoded;  // declared before setjmp target use
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return LN_DECODE_ERR;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf.data(), (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = 1;
+  for (int d : {8, 4, 2}) {
+    if ((int)cinfo.image_width / d >= target &&
+        (int)cinfo.image_height / d >= target) {
+      cinfo.scale_denom = d;
+      break;
+    }
+  }
+  jpeg_start_decompress(&cinfo);
+  const int sw = (int)cinfo.output_width;
+  const int sh = (int)cinfo.output_height;
+  const int ch = (int)cinfo.output_components;  // 3 after JCS_RGB
+  decoded.resize((size_t)sh * sw * ch);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = decoded.data() + (size_t)cinfo.output_scanline * sw * ch;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  if (ch != 3) {
+    // grayscale JPEG: replicate to 3 channels before resize
+    std::vector<uint8_t> rgb((size_t)sh * sw * 3);
+    for (size_t i = 0; i < (size_t)sh * sw; ++i)
+      rgb[i * 3] = rgb[i * 3 + 1] = rgb[i * 3 + 2] = decoded[i * ch];
+    resize_area_u8(rgb.data(), sh, sw, out, target, target, 3);
+  } else {
+    resize_area_u8(decoded.data(), sh, sw, out, target, target, 3);
+  }
+  return LN_OK;
+}
+
+void run_parallel(int n, int n_threads, const std::function<void(int)>& fn) {
+  n_threads = std::max(1, std::min(n_threads, n));
+  if (n_threads == 1) {
+    for (int i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<int> next{0};
+  std::vector<std::thread> workers;
+  workers.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) {
+    workers.emplace_back([&] {
+      for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) fn(i);
+    });
+  }
+  for (auto& w : workers) w.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t ln_version() { return 1; }
+
+// Decode+resize a batch of JPEG files into a contiguous uint8
+// [n, target, target, 3] buffer. status_out[i] in {0 ok, 1 missing,
+// 2 decode error}; missing files are zero-filled when allow_missing.
+// Returns the number of hard failures (missing when !allow_missing, or
+// decode errors).
+int32_t ln_decode_jpeg_batch(const char* const* paths, int32_t n,
+                             int32_t target, uint8_t* out, int32_t n_threads,
+                             int32_t allow_missing, int32_t* status_out) {
+  const size_t row = (size_t)target * target * 3;
+  std::atomic<int32_t> failures{0};
+  run_parallel((int)n, (int)n_threads, [&](int i) {
+    const int32_t st = decode_one(paths[i], (int)target, out + (size_t)i * row);
+    status_out[i] = st;
+    if (st == LN_MISSING) {
+      std::memset(out + (size_t)i * row, 0, row);
+      if (!allow_missing) failures.fetch_add(1);
+    } else if (st == LN_DECODE_ERR) {
+      failures.fetch_add(1);
+    }
+  });
+  return failures.load();
+}
+
+// Threaded row gather: dst[i] = src[idx[i]] for row_bytes-sized rows.
+void ln_gather_rows(const uint8_t* src, const int64_t* idx, int32_t n,
+                    int64_t row_bytes, uint8_t* dst, int32_t n_threads) {
+  run_parallel((int)n, (int)n_threads, [&](int i) {
+    std::memcpy(dst + (size_t)i * row_bytes,
+                src + (size_t)idx[i] * row_bytes, (size_t)row_bytes);
+  });
+}
+
+// Batched standalone resize (uint8 HWC -> target x target), threaded.
+void ln_resize_batch(const uint8_t* src, int32_t n, int32_t sh, int32_t sw,
+                     int32_t channels, uint8_t* dst, int32_t target,
+                     int32_t n_threads) {
+  const size_t srow = (size_t)sh * sw * channels;
+  const size_t drow = (size_t)target * target * channels;
+  run_parallel((int)n, (int)n_threads, [&](int i) {
+    resize_area_u8(src + (size_t)i * srow, sh, sw, dst + (size_t)i * drow,
+                   target, target, (int)channels);
+  });
+}
+
+}  // extern "C"

@@ -64,6 +64,40 @@ def generate_real_dataset(path_prefix: str, n: int, img_size: int) -> tuple[str,
     return labels_path, images_path
 
 
+def generate_jpeg_dataset(
+    dir_prefix: str, n: int, stored_size: int
+) -> tuple[str, str]:
+    """Write a REAL on-disk JPEG directory + labels HDF5 (hybrid mode): the
+    production layout the reference's PrefetchingHybridDataset reads."""
+    import h5py
+    from PIL import Image
+
+    import os
+
+    images_dir = f"{dir_prefix}_jpegs"
+    labels_path = f"{dir_prefix}_labels.h5"
+    os.makedirs(images_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    idents = [f"img_{i:06d}" for i in range(n)]
+    x = np.linspace(0, 255, stored_size, dtype=np.float32)
+    base = np.add.outer(x, x)[:, :, None] / 2
+    for i, ident in enumerate(idents):
+        p = os.path.join(images_dir, ident + ".jpg")
+        if os.path.exists(p):
+            continue
+        img = (base + rng.normal(0, 12, (stored_size, stored_size, 1))).clip(
+            0, 255
+        ).astype(np.uint8)
+        Image.fromarray(np.repeat(img, 3, axis=2)).save(p, quality=88)
+    with h5py.File(labels_path, "w") as f:
+        f.create_dataset("img_identifiers", data=np.array(idents, "S16"))
+        f.create_dataset("taxa_L10", data=rng.integers(1, 500, n))
+        f.create_dataset("taxa_L20", data=rng.integers(501, 600, n))
+        f.create_dataset("temporal", data=rng.normal(size=(n, 2)).astype("f4"))
+        f.create_dataset("spatial", data=rng.normal(size=(n, 3)).astype("f4"))
+    return labels_path, images_dir
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser("pipeline_benchmark")
     parser.add_argument("--labels", default=None)
@@ -88,6 +122,23 @@ def main(argv=None) -> None:
         "--grouped", action="store_true",
         help="use the mixed-pairs grouped sampler (production train path)",
     )
+    parser.add_argument(
+        "--gen-jpeg", type=int, default=0, metavar="N",
+        help="generate an on-disk JPEG dataset of N files (hybrid mode)",
+    )
+    parser.add_argument(
+        "--stored-size", type=int, default=0,
+        help="stored JPEG resolution (default 2x --img-size: exercises the "
+        "native DCT-prescaled decode)",
+    )
+    parser.add_argument(
+        "--native", default="auto", choices=["auto", "off", "on"],
+        help="DATA.NATIVE_DATAPLANE for the hybrid read path",
+    )
+    parser.add_argument(
+        "--bulk", type=int, default=1, choices=[0, 1],
+        help="DATA.PREFETCH.BULK_H5_READS (whole-batch HDF5 gathers)",
+    )
     args = parser.parse_args(argv)
 
     from linnaeus_tpu.configuration import get_default_config
@@ -106,10 +157,24 @@ def main(argv=None) -> None:
     else:
         cfg.DATA.SAMPLER.TYPE = "standard"
 
+    cfg.DATA.NATIVE_DATAPLANE = args.native
+    cfg.DATA.PREFETCH.BULK_H5_READS = bool(args.bulk)
+
     if args.gen_real:
         args.labels, args.images = generate_real_dataset(
             args.gen_prefix, args.gen_real, args.img_size
         )
+        cfg.DATA.TASK_KEYS_H5 = ["taxa_L10", "taxa_L20"]
+        cfg.DATA.PARTIAL.LEVELS = True
+
+    if args.gen_jpeg:
+        stored = args.stored_size or 2 * args.img_size
+        labels_path, images_dir = generate_jpeg_dataset(
+            args.gen_prefix, args.gen_jpeg, stored
+        )
+        args.labels, args.images = labels_path, None
+        cfg.DATA.HYBRID.USE_HYBRID = True
+        cfg.DATA.HYBRID.IMAGES_DIR = images_dir
         cfg.DATA.TASK_KEYS_H5 = ["taxa_L10", "taxa_L20"]
         cfg.DATA.PARTIAL.LEVELS = True
 
@@ -154,6 +219,9 @@ def main(argv=None) -> None:
             "io_threads": n_threads,
             "batch_concurrency": int(cfg.DATA.PREFETCH.BATCH_CONCURRENCY),
             "grouped": bool(args.grouped),
+            "native": args.native,
+            "bulk_h5_reads": bool(args.bulk),
+            "hybrid": bool(args.gen_jpeg),
             **{k: v for k, v in result.items() if not isinstance(v, dict)},
         }
         print(json.dumps(out))

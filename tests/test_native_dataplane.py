@@ -1,0 +1,160 @@
+"""Native C++ data-plane: build, decode, gather, resize, and the hybrid
+batch read path through PrefetchingDataset.
+
+The library compiles on first use (g++ + libjpeg, both in the image); every
+test skips cleanly where that toolchain is absent, because every production
+caller falls back to the Python pipeline in exactly that case.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from linnaeus_tpu.native import get_dataplane
+
+dp = get_dataplane()
+pytestmark = pytest.mark.skipif(
+    dp is None, reason="native dataplane unavailable (no g++/libjpeg)"
+)
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    """JPEG files at several stored resolutions (224 exact, 448/896 trigger
+    DCT-domain prescaled decode, 100 triggers upscale)."""
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.default_rng(0)
+    sizes = [224, 448, 896, 100, 224, 640]
+    paths = []
+    for i, size in enumerate(sizes):
+        x = np.linspace(0, 255, size, dtype=np.float32)
+        img = (
+            np.add.outer(x, x)[:, :, None] / 2
+            + rng.normal(0, 5, (size, size, 1))
+        ).clip(0, 255).astype(np.uint8)
+        img = np.repeat(img, 3, axis=2)
+        p = str(d / f"img_{i:04d}.jpg")
+        Image.fromarray(img).save(p, quality=92)
+        paths.append(p)
+    return d, paths, sizes
+
+
+def test_decode_batch_parity_vs_pil(jpeg_dir):
+    """Native decode (with DCT prescale) matches PIL decode+resize within
+    JPEG-decoder tolerance at every stored resolution."""
+    from PIL import Image
+
+    _, paths, _ = jpeg_dir
+    imgs, status = dp.decode_jpeg_batch(paths, 224)
+    assert imgs.shape == (len(paths), 224, 224, 3)
+    assert imgs.dtype == np.uint8
+    assert (status == 0).all()
+    for i, p in enumerate(paths):
+        ref = np.asarray(
+            Image.open(p).convert("RGB").resize((224, 224), Image.BILINEAR)
+        ).astype(np.float32)
+        diff = np.abs(imgs[i].astype(np.float32) - ref).mean()
+        assert diff < 3.0, f"sample {i}: mean abs diff {diff}"
+
+
+def test_decode_missing_and_corrupt(jpeg_dir, tmp_path):
+    d, paths, _ = jpeg_dir
+    missing = str(d / "not_there.jpg")
+    imgs, status = dp.decode_jpeg_batch(
+        [paths[0], missing], 64, allow_missing=True
+    )
+    assert status.tolist() == [0, 1]
+    assert imgs[1].max() == 0  # zero placeholder
+    with pytest.raises(FileNotFoundError):
+        dp.decode_jpeg_batch([missing], 64, allow_missing=False)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"\xff\xd8this is not a jpeg")
+    with pytest.raises(ValueError):
+        dp.decode_jpeg_batch([str(bad)], 64)
+
+
+def test_gather_rows_matches_numpy():
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 256, (40, 17, 5), dtype=np.uint8)
+    idx = rng.integers(0, 40, 25).astype(np.int64)
+    np.testing.assert_array_equal(dp.gather_rows(src, idx), src[idx])
+    # non-uint8 dtype rides through as raw bytes
+    srcf = rng.normal(size=(10, 8)).astype(np.float32)
+    np.testing.assert_array_equal(
+        dp.gather_rows(srcf, np.array([3, 3, 0])), srcf[[3, 3, 0]]
+    )
+
+
+def test_resize_batch_matches_cv2_area():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(2)
+    batch = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    out = dp.resize_batch(batch, 16)
+    for i in range(4):
+        ref = cv2.resize(batch[i], (16, 16), interpolation=cv2.INTER_AREA)
+        diff = np.abs(
+            out[i].astype(np.float32) - ref.astype(np.float32)
+        ).mean()
+        assert diff < 1.5, f"sample {i}: mean abs diff {diff}"
+
+
+def test_dir_source_batch_path_through_dataset(jpeg_dir):
+    """PrefetchingDataset routes hybrid reads through the native batch
+    decode, and the result matches the per-sample Python path within
+    decoder tolerance (cv2/PIL and libjpeg differ in IDCT rounding)."""
+    from linnaeus_tpu.data.datasets import DirImageSource, PrefetchingDataset
+    from linnaeus_tpu.data.processor import ProcessedLabels
+
+    d, paths, _ = jpeg_dir
+    idents = [os.path.basename(p)[:-4] for p in paths]
+    labels = ProcessedLabels()
+    labels.img_identifiers = idents
+    labels.labels = {"taxa_L10": np.arange(len(idents), dtype=np.int32)}
+    labels.aux = np.zeros((len(idents), 2), np.float32)
+    labels.group_ids = {}
+
+    native_ds = PrefetchingDataset(
+        labels,
+        DirImageSource(str(d), idents, 112, native="on"),
+        ["taxa_L10"],
+    )
+    python_ds = PrefetchingDataset(
+        labels,
+        DirImageSource(str(d), idents, 112, native="off"),
+        ["taxa_L10"],
+    )
+    assert native_ds._can_bulk_read()
+    assert not python_ds._can_bulk_read()
+    idx = np.array([2, 0, 5, 1])
+    a = native_ds.read_batch(idx)["images"].astype(np.float32)
+    b = python_ds.read_batch(idx)["images"].astype(np.float32)
+    assert a.shape == b.shape == (4, 112, 112, 3)
+    assert np.abs(a - b).mean() < 3.0
+    np.testing.assert_array_equal(
+        native_ds.read_batch(idx)["targets"]["taxa_L10"], idx.astype(np.int32)
+    )
+
+
+def test_dir_source_native_missing_placeholder(jpeg_dir):
+    """ALLOW_MISSING zero-placeholder semantics carry through the native
+    batch path; strict mode raises like the per-sample path."""
+    from linnaeus_tpu.data.datasets import DirImageSource
+
+    d, paths, _ = jpeg_dir
+    idents = [os.path.basename(p)[:-4] for p in paths] + ["missing_one"]
+    src = DirImageSource(str(d), idents, 64, allow_missing=True, native="on")
+    rows = src.read_batch_rows(np.array([0, len(idents) - 1]))
+    assert rows[1].max() == 0
+    strict = DirImageSource(str(d), idents, 64, native="on")
+    with pytest.raises(FileNotFoundError):
+        strict.read_batch_rows(np.array([len(idents) - 1]))
+
+
+def test_non_jpeg_extension_falls_back():
+    from linnaeus_tpu.data.datasets import DirImageSource
+
+    src = DirImageSource("/tmp", ["a"], 64, file_extension=".png")
+    assert not src.supports_batch_read()
