@@ -83,6 +83,12 @@ class DataPlane:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.ln_decode_jpeg_mem_batch.restype = ctypes.c_int32
+        lib.ln_decode_jpeg_mem_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.ln_gather_rows.restype = None
         lib.ln_gather_rows.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
@@ -132,6 +138,35 @@ class DataPlane:
             raise ValueError(
                 f"{int(failures)} undecodable JPEG files, e.g. {bad}"
             )
+        return out, status
+
+    def decode_jpeg_mem_batch(
+        self,
+        buffers: list[bytes],
+        target: int,
+        threads: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Decode+resize in-memory JPEG buffers (serving request bytes) ->
+        (images [n,t,t,3] u8, status [n] i32, 0 ok / 2 decode error with a
+        zero-filled row). Never raises on bad buffers — the caller decides
+        per-sample (a shared serving batch must not fail wholesale)."""
+        n = len(buffers)
+        out = np.empty((n, target, target, 3), np.uint8)
+        status = np.empty(n, np.int32)
+        ptrs = (ctypes.c_void_p * n)(
+            *[
+                ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p)
+                for b in buffers
+            ]
+        )
+        lens = np.array([len(b) for b in buffers], np.int64)
+        self._lib.ln_decode_jpeg_mem_batch(
+            ptrs, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, int(target),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(threads or self.default_threads),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
         return out, status
 
     # ------------------------------------------------------------- gather

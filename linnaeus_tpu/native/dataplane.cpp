@@ -124,25 +124,11 @@ void resize_area_u8(const uint8_t* src, int sh, int sw, uint8_t* dst, int th,
 // status codes per sample
 enum : int32_t { LN_OK = 0, LN_MISSING = 1, LN_DECODE_ERR = 2 };
 
-// Decode one JPEG file to RGB uint8 at target x target, writing into out.
-// Picks the largest DCT scale denominator in {8,4,2,1} whose output still
-// covers the target, so an e.g. 1024px photo decodes 1/4-size for a 224px
-// training resolution (~6x less IDCT + colorspace work).
-int32_t decode_one(const char* path, int target, uint8_t* out) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return LN_MISSING;
-  std::fseek(f, 0, SEEK_END);
-  const long len = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  if (len <= 0) {
-    std::fclose(f);
-    return LN_DECODE_ERR;
-  }
-  std::vector<uint8_t> buf((size_t)len);
-  const size_t got = std::fread(buf.data(), 1, (size_t)len, f);
-  std::fclose(f);
-  if (got != (size_t)len) return LN_DECODE_ERR;
-
+// Decode one in-memory JPEG to RGB uint8 at target x target. Picks the
+// largest DCT scale denominator in {8,4,2,1} whose output still covers the
+// target, so an e.g. 1024px photo decodes 1/4-size for a 224px training
+// resolution (~6x less IDCT + colorspace work).
+int32_t decode_mem(const uint8_t* data, size_t len, int target, uint8_t* out) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -154,7 +140,7 @@ int32_t decode_one(const char* path, int target, uint8_t* out) {
     return LN_DECODE_ERR;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_mem_src(&cinfo, buf.data(), (unsigned long)len);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), (unsigned long)len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   cinfo.scale_num = 1;
@@ -187,6 +173,24 @@ int32_t decode_one(const char* path, int target, uint8_t* out) {
     resize_area_u8(decoded.data(), sh, sw, out, target, target, 3);
   }
   return LN_OK;
+}
+
+// File wrapper: read bytes, then decode_mem.
+int32_t decode_one(const char* path, int target, uint8_t* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return LN_MISSING;
+  std::fseek(f, 0, SEEK_END);
+  const long len = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (len <= 0) {
+    std::fclose(f);
+    return LN_DECODE_ERR;
+  }
+  std::vector<uint8_t> buf((size_t)len);
+  const size_t got = std::fread(buf.data(), 1, (size_t)len, f);
+  std::fclose(f);
+  if (got != (size_t)len) return LN_DECODE_ERR;
+  return decode_mem(buf.data(), (size_t)len, target, out);
 }
 
 void run_parallel(int n, int n_threads, const std::function<void(int)>& fn) {
@@ -229,6 +233,27 @@ int32_t ln_decode_jpeg_batch(const char* const* paths, int32_t n,
       std::memset(out + (size_t)i * row, 0, row);
       if (!allow_missing) failures.fetch_add(1);
     } else if (st == LN_DECODE_ERR) {
+      failures.fetch_add(1);
+    }
+  });
+  return failures.load();
+}
+
+// Decode+resize a batch of in-memory JPEG buffers (serving path: request
+// bytes) into a contiguous uint8 [n, target, target, 3] buffer. Returns the
+// number of undecodable buffers (status 2 entries are zero-filled).
+int32_t ln_decode_jpeg_mem_batch(const uint8_t* const* bufs,
+                                 const int64_t* lens, int32_t n,
+                                 int32_t target, uint8_t* out,
+                                 int32_t n_threads, int32_t* status_out) {
+  const size_t row = (size_t)target * target * 3;
+  std::atomic<int32_t> failures{0};
+  run_parallel((int)n, (int)n_threads, [&](int i) {
+    const int32_t st =
+        decode_mem(bufs[i], (size_t)lens[i], (int)target, out + (size_t)i * row);
+    status_out[i] = st;
+    if (st != LN_OK) {
+      std::memset(out + (size_t)i * row, 0, row);
       failures.fetch_add(1);
     }
   });

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import argparse
 import base64
-import io
 import json
 import threading
 import time
@@ -33,11 +32,13 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 def _decode_image(b64: str):
-    import numpy as np
-    from PIL import Image
-
-    raw = base64.b64decode(b64)
-    return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+    """Base64 -> raw image bytes, passed through to the handler undecoded:
+    preprocess_image_batch decodes whole batches in the native C++
+    data-plane when the bytes are JPEG (PIL per-image otherwise), so the
+    server must not eagerly decode here. Undecodable bytes fail inside the
+    shared batch and the MicroBatcher's individual-retry isolation 400s
+    only the offending request."""
+    return base64.b64decode(b64)
 
 
 class _Pending:

@@ -158,3 +158,64 @@ def test_non_jpeg_extension_falls_back():
 
     src = DirImageSource("/tmp", ["a"], 64, file_extension=".png")
     assert not src.supports_batch_read()
+
+
+def test_serving_batch_preprocess_native_parity():
+    """preprocess_image_batch routes JPEG request bytes through the native
+    decoder and matches the PIL path within decoder tolerance; corrupt
+    bytes raise exactly like the PIL path (per-sample fallback)."""
+    import io
+
+    from PIL import Image
+
+    from linnaeus_tpu.inference.config import InferenceConfig
+    from linnaeus_tpu.inference.preprocessing import preprocess_image_batch
+
+    cfg = InferenceConfig(
+        model={
+            "architecture_name": "tiny_v1",
+            "weights_path": "w.msgpack",
+            "model_task_keys_ordered": ["taxa_L10"],
+            "num_classes_per_task": [5],
+            "null_class_indices": {"taxa_L10": 0},
+            "expected_aux_vector_length": 11,
+        },
+        input_preprocessing={"image_size": [3, 224, 224]},
+        metadata_preprocessing={},
+        taxonomy_data={
+            "source_name": "t",
+            "taxonomy_tree_path": "t.json",
+            "class_index_map_path": "c.json",
+        },
+        inference_options={},
+    )
+    rng = np.random.default_rng(4)
+    bufs = []
+    for size in (224, 448):
+        x = np.linspace(0, 255, size, dtype=np.float32)
+        img = np.repeat(
+            (np.add.outer(x, x)[:, :, None] / 2
+             + rng.normal(0, 4, (size, size, 1))).clip(0, 255).astype(
+                np.uint8
+            ),
+            3, 2,
+        )
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, "JPEG", quality=92)
+        bufs.append(b.getvalue())
+
+    native = preprocess_image_batch(bufs, cfg)
+    # force the PIL path by mixing in a non-bytes input type
+    pil = np.stack(
+        [
+            preprocess_image_batch([np.asarray(Image.open(io.BytesIO(b)))],
+                                   cfg)[0]
+            for b in bufs
+        ]
+    )
+    assert native.shape == (2, 224, 224, 3)
+    # normalized space: JPEG decoder tolerance of ~1-2 u8 -> ~0.02 here
+    assert np.abs(native - pil).mean() < 0.05
+
+    with pytest.raises(Exception):
+        preprocess_image_batch([bufs[0], b"\xff\xd8corrupt"], cfg)
