@@ -592,6 +592,11 @@ def _build_default_config() -> CN:
     _C.SCHEDULE.CHECKPOINT.INTERVAL_FRACTION = None
     _C.SCHEDULE.CHECKPOINT.KEEP_TOP_N = 0
     _C.SCHEDULE.CHECKPOINT.KEEP_LAST_N = 0
+    # Async array flush: Orbax writes checkpoints on a background thread so
+    # the hot loop resumes immediately after the host snapshot; waited at
+    # resume/preemption/exit and before bucket syncs (utils/checkpoint.py::
+    # CheckpointWriter). The reference blocks its loop on torch.save.
+    _C.SCHEDULE.CHECKPOINT.ASYNC = True
 
     # ------------------------------------------------------------------ PARALLEL (TPU-native)
     _C.PARALLEL = CN()

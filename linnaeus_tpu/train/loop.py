@@ -73,6 +73,12 @@ class Trainer:
         initialize_multi_host(config)
         setup_output_dirs(config)
         self.ckpt_dir = config.ENV.OUTPUT.DIRS.CHECKPOINTS
+        # async flush: the hot loop resumes while arrays write in the
+        # background (SCHEDULE.CHECKPOINT.ASYNC); waited at resume/exit/
+        # preemption and before bucket syncs
+        self.ckpt_writer = ckpt.CheckpointWriter(
+            async_save=bool(config.SCHEDULE.CHECKPOINT.get("ASYNC", True))
+        )
 
         from linnaeus_tpu.utils.hpc import get_shutdown_registry
 
@@ -704,6 +710,7 @@ class Trainer:
     def try_resume(self) -> bool:
         if not self.config.TRAIN.AUTO_RESUME:
             return False
+        self.ckpt_writer.wait()  # a same-process save must finalize first
         latest = ckpt.auto_resume_helper(self.ckpt_dir)
         if latest is None:
             return False
@@ -766,6 +773,7 @@ class Trainer:
         mark_wandb_preempting(self.wandb_run)
         try:
             self._save_checkpoint()
+            self.ckpt_writer.wait()  # durable before the process dies
             logger.warning("Preemption checkpoint saved")
         except Exception as e:
             logger.error(f"Preemption checkpoint failed: {e}")
@@ -795,6 +803,7 @@ class Trainer:
                 break
             self.progress.end_epoch()
         self._save_checkpoint()
+        self.ckpt_writer.wait()
         self._sync_outputs()
         logger.info("Training complete")
 
@@ -1167,7 +1176,7 @@ class Trainer:
             )
         metric = self.metrics.get(MetricsTracker.VAL, "loss")
         wandb_run_id = getattr(self.wandb_run, "id", None) if self.wandb_run else None
-        path = ckpt.save_checkpoint(
+        path = self.ckpt_writer.save(
             self.ckpt_dir,
             state_to_save,
             training_progress=self.progress,
@@ -1181,6 +1190,7 @@ class Trainer:
         if not is_main_process():
             return path
         if self.config.ENV.OUTPUT.BUCKET.get("SYNC_ON_CHECKPOINT", False):
+            self.ckpt_writer.wait()  # upload only finalized files
             self._sync_outputs()
         sc = self.config.SCHEDULE.CHECKPOINT
         ckpt.manage_checkpoints(
@@ -1188,5 +1198,8 @@ class Trainer:
             keep_top_n=int(sc.KEEP_TOP_N),
             keep_last_n=int(sc.KEEP_LAST_N),
             higher_is_better=False,
+            # the just-saved checkpoint may still be flushing async; it
+            # faces retention on the next save
+            protect=[path],
         )
         return path

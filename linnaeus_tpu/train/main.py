@@ -108,7 +108,11 @@ def main(argv=None) -> None:
     from linnaeus_tpu.train.loop import Trainer
 
     trainer = Trainer(config, skip_validation=args.skip_validation)
-    trainer.train()
+    try:
+        trainer.train()
+    finally:
+        # any in-flight async checkpoint flush must finalize before exit
+        trainer.ckpt_writer.close()
 
 
 if __name__ == "__main__":

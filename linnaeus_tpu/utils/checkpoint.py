@@ -32,6 +32,94 @@ def _ckpt_name(step: int) -> str:
     return f"checkpoint_step_{step:010d}"
 
 
+class CheckpointWriter:
+    """Checkpoint writer with optional async array flush.
+
+    With ``async_save`` the Orbax save returns as soon as device arrays are
+    snapshotted to host memory and the (de)serialization + disk write runs
+    on a background thread — the train loop resumes immediately instead of
+    stalling for the full write (the reference blocks its hot loop on
+    ``torch.save``, utils/checkpoint.py:513+). One save may be outstanding
+    at a time; ``wait()`` must be called before reading a just-written
+    checkpoint, before process exit, and before uploading the directory.
+    Orbax finalizes atomically (tmp-dir rename), so a crash mid-flush
+    leaves no ``state`` dir and ``auto_resume_helper`` skips the partial
+    checkpoint.
+    """
+
+    def __init__(self, async_save: bool = False):
+        self.async_save = bool(async_save)
+        if self.async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
+
+    def save(
+        self,
+        checkpoint_dir: str,
+        state,
+        training_progress=None,
+        metrics_state: dict | None = None,
+        ops_schedule_state: dict | None = None,
+        early_stop_state: dict | None = None,
+        config_dump: str | None = None,
+        wandb_run_id: str | None = None,
+        metric_value: float | None = None,
+    ) -> str:
+        """Save one checkpoint; returns its path."""
+        self.wait()  # one outstanding async save at a time
+        step = int(jax.device_get(state.step))
+        path = os.path.abspath(os.path.join(checkpoint_dir, _ckpt_name(step)))
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+        self._ckptr.save(
+            os.path.join(path, STATE_DIR), _as_pytree(state), force=True
+        )
+
+        if jax.process_index() != 0:
+            # multi-host (e.g. FSDP-sharded) saves: every process
+            # participates in the Orbax array write above; sidecar JSON is
+            # written once
+            return path
+
+        sidecar: dict[str, Any] = {
+            "step": step,
+            "metric_value": metric_value,
+            "wandb_run_id": wandb_run_id,
+        }
+        if training_progress is not None:
+            sidecar["training_progress"] = training_progress.state_dict()
+        if metrics_state is not None:
+            sidecar["metrics"] = metrics_state
+        if ops_schedule_state is not None:
+            sidecar["ops_schedule"] = ops_schedule_state
+        if early_stop_state is not None:
+            # patience/best must survive resume or a run that should have
+            # stopped keeps training (reference: early_stop_state serialized
+            # with the checkpoint, utils/checkpoint.py)
+            sidecar["early_stop"] = early_stop_state
+        with open(os.path.join(path, SIDECAR_NAME), "w") as f:
+            json.dump(sidecar, f, indent=2, default=_json_default)
+        if config_dump is not None:
+            with open(os.path.join(path, "config.yaml"), "w") as f:
+                f.write(config_dump)
+        logger.info(
+            f"Saved checkpoint at step {step} -> {path}"
+            + (" (flushing async)" if self.async_save else "")
+        )
+        return path
+
+    def wait(self) -> None:
+        """Block until any outstanding async write has finalized."""
+        wait = getattr(self._ckptr, "wait_until_finished", None)
+        if wait is not None:
+            wait()
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+
 def save_checkpoint(
     checkpoint_dir: str,
     state,
@@ -43,42 +131,23 @@ def save_checkpoint(
     wandb_run_id: str | None = None,
     metric_value: float | None = None,
 ) -> str:
-    """Save one checkpoint; returns its path."""
-    step = int(jax.device_get(state.step))
-    path = os.path.abspath(os.path.join(checkpoint_dir, _ckpt_name(step)))
-    os.makedirs(checkpoint_dir, exist_ok=True)
-
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, STATE_DIR), _as_pytree(state), force=True)
-
-    if jax.process_index() != 0:
-        # multi-host (e.g. FSDP-sharded) saves: every process participates in
-        # the Orbax array write above; sidecar JSON is written once
-        return path
-
-    sidecar: dict[str, Any] = {
-        "step": step,
-        "metric_value": metric_value,
-        "wandb_run_id": wandb_run_id,
-    }
-    if training_progress is not None:
-        sidecar["training_progress"] = training_progress.state_dict()
-    if metrics_state is not None:
-        sidecar["metrics"] = metrics_state
-    if ops_schedule_state is not None:
-        sidecar["ops_schedule"] = ops_schedule_state
-    if early_stop_state is not None:
-        # patience/best must survive resume or a run that should have
-        # stopped keeps training (reference: early_stop_state serialized
-        # with the checkpoint, utils/checkpoint.py)
-        sidecar["early_stop"] = early_stop_state
-    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
-        json.dump(sidecar, f, indent=2, default=_json_default)
-    if config_dump is not None:
-        with open(os.path.join(path, "config.yaml"), "w") as f:
-            f.write(config_dump)
-    logger.info(f"Saved checkpoint at step {step} -> {path}")
-    return path
+    """One-shot synchronous save (tools/tests; the Trainer holds a
+    CheckpointWriter so epoch saves can flush asynchronously)."""
+    writer = CheckpointWriter(async_save=False)
+    try:
+        return writer.save(
+            checkpoint_dir,
+            state,
+            training_progress=training_progress,
+            metrics_state=metrics_state,
+            ops_schedule_state=ops_schedule_state,
+            early_stop_state=early_stop_state,
+            config_dump=config_dump,
+            wandb_run_id=wandb_run_id,
+            metric_value=metric_value,
+        )
+    finally:
+        writer.close()
 
 
 def _json_default(o):
@@ -157,9 +226,17 @@ def list_checkpoints(checkpoint_dir: str) -> list[str]:
 
 
 def auto_resume_helper(checkpoint_dir: str) -> str | None:
-    """Latest checkpoint path in dir, or None (checkpoint.py:1308)."""
-    ckpts = list_checkpoints(checkpoint_dir)
-    return ckpts[-1] if ckpts else None
+    """Latest FINALIZED checkpoint path in dir, or None (checkpoint.py:1308).
+
+    A directory whose ``state`` subdir is absent is a save that was cut off
+    mid-flight (async flush interrupted by a crash/preemption before Orbax's
+    atomic finalize rename) — resume from the previous complete one.
+    """
+    for c in reversed(list_checkpoints(checkpoint_dir)):
+        if os.path.isdir(os.path.join(c, STATE_DIR)):
+            return c
+        logger.warning(f"Skipping incomplete checkpoint (no state dir): {c}")
+    return None
 
 
 def manage_checkpoints(
@@ -167,16 +244,19 @@ def manage_checkpoints(
     keep_top_n: int = 0,
     keep_last_n: int = 0,
     higher_is_better: bool = True,
+    protect: list[str] | None = None,
 ) -> list[str]:
     """Apply retention policy; returns deleted paths (checkpoint.py:1202).
 
     Keeps the union of the N best (by sidecar metric_value) and the N most
-    recent; with both 0, keeps everything.
+    recent; with both 0, keeps everything. ``protect`` paths are never
+    deleted — the Trainer passes the checkpoint whose async flush may still
+    be in flight (it faces retention on the next save instead).
     """
     if keep_top_n <= 0 and keep_last_n <= 0:
         return []
     ckpts = list_checkpoints(checkpoint_dir)
-    keep: set[str] = set()
+    keep: set[str] = {os.path.abspath(p) for p in (protect or [])}
     if keep_last_n > 0:
         keep.update(ckpts[-keep_last_n:])
     if keep_top_n > 0:
@@ -191,9 +271,10 @@ def manage_checkpoints(
                 scored.append((mv, c))
         scored.sort(key=lambda x: x[0], reverse=higher_is_better)
         keep.update(c for _, c in scored[:keep_top_n])
+    keep = {os.path.abspath(p) for p in keep}
     deleted = []
     for c in ckpts:
-        if c not in keep:
+        if os.path.abspath(c) not in keep:
             shutil.rmtree(c, ignore_errors=True)
             deleted.append(c)
             logger.info(f"Retention: deleted {c}")
