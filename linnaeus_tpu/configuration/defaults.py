@@ -216,11 +216,6 @@ def _build_default_config() -> CN:
     _C.DATA.PREFETCH.BATCH_CONCURRENCY = 4
     _C.DATA.PREFETCH.MAX_PROCESSED_BATCHES = 10
     _C.DATA.PREFETCH.NUM_IO_THREADS = 4
-    # Whole-batch HDF5 gathers (one sorted point-selection per batch instead
-    # of B per-sample reads); falls back to per-sample reads automatically
-    # when a per-sample hook (transform / HPC simulation / verbose reads)
-    # needs them. See docs/performance.md host-pipeline section.
-    _C.DATA.PREFETCH.BULK_H5_READS = True
     _C.DATA.PREFETCH.NUM_PREPROCESS_THREADS = 4
     _C.DATA.PREFETCH.SLEEP_TIME = 0.0
     # TPU-specific: number of batches kept resident in HBM ahead of compute.

@@ -133,7 +133,6 @@ def build_datasets(config) -> dict[str, Any]:
         simulate_hpc=bool(config.DATA.SIMULATE_HPC),
         io_delay=float(config.DATA.IO_DELAY),
         verbose_reads=check_debug_flag(config, "DEBUG.DATASET.READ_ITEM_VERBOSE"),
-        bulk_reads=bool(config.DATA.PREFETCH.get("BULK_H5_READS", True)),
     )
     val_dataset = None
     if val_labels is not None and val_idx is not None and len(val_idx) > 0:
@@ -142,7 +141,6 @@ def build_datasets(config) -> dict[str, Any]:
             _image_source(config, val_labels, val_images),
             processor.task_keys,
             mem_cache_bytes=0,
-            bulk_reads=bool(config.DATA.PREFETCH.get("BULK_H5_READS", True)),
         )
 
     return {

@@ -71,19 +71,18 @@ class H5ImageSource(ImageSource):
         img = self._file()[self.dataset][idx]
         return _resize(np.asarray(img), self.img_size)
 
-    def read_block(self, sorted_idx: np.ndarray) -> np.ndarray:
-        """One HDF5 fancy-index gather for a whole batch.
-
-        ``sorted_idx`` must be strictly increasing (HDF5 point-selection
-        contract). Returns the RAW stored rows (caller resizes if the stored
-        resolution differs from ``img_size``). One libhdf5 call replaces B
-        per-sample ``dset[i]`` calls — every per-sample call serializes on
-        h5py's global lock and carries ~100 us of selection/dispatch
-        overhead, which at 128-sample batches is ~10-25 ms of pure overhead
-        per batch (the measured 1-core pipeline ceiling lived here; see
-        docs/performance.md host-pipeline section).
-        """
-        return np.asarray(self._file()[self.dataset][sorted_idx])
+    # NOTE — whole-batch HDF5 reads were tried and retired with two measured
+    # negative results (docs/performance.md, host-pipeline section):
+    # (a) h5py fancy indexing (``dset[sorted_idx]``) builds an HDF5 POINT
+    #     selection whose per-point hyperslab union is pathological: 67
+    #     img/s vs 22,000 img/s for the same rows read per-chunk (warm);
+    # (b) a sequential per-row read loop inside one batch-pool worker hits a
+    #     GIL convoy against the loader's other threads — each of the B row
+    #     reads re-acquires the GIL, and the production loader measured it
+    #     2-4x slower than per-sample pool.map reads in 7/7 interleaved
+    #     A/B runs. Per-sample reads fanned over the IO pool remain the
+    #     HDF5 fast path; batch-at-a-time reads only pay off when the whole
+    #     batch is one GIL-free native call (DirImageSource below).
 
     def close(self) -> None:
         f = getattr(self._local, "f", None)
@@ -202,7 +201,6 @@ class PrefetchingDataset:
         simulate_hpc: bool = False,
         io_delay: float = 0.0,
         verbose_reads: bool = False,
-        bulk_reads: bool = True,
     ):
         self.verbose_reads = verbose_reads  # DEBUG.DATASET.READ_ITEM_VERBOSE
         self.labels = labels
@@ -210,7 +208,6 @@ class PrefetchingDataset:
         self.task_keys = list(task_keys)
         self.cache = MemoryCache(mem_cache_bytes) if mem_cache_bytes > 0 else None
         self.transform = transform
-        self.bulk_reads = bool(bulk_reads)
         self.group_level = group_level or (
             list(labels.group_ids.keys())[0] if labels.group_ids else None
         )
@@ -260,16 +257,13 @@ class PrefetchingDataset:
         return img
 
     def _can_bulk_read(self) -> bool:
-        """Whole-batch HDF5 gather applies when the source supports it and
-        no per-sample hook (transform, HPC read simulation, verbose read
+        """Batch-at-a-time reads apply when the source does the whole batch
+        in one GIL-free native call (DirImageSource's C++ decode) and no
+        per-sample hook (transform, HPC read simulation, verbose read
         logging) needs the per-sample path."""
-        source_ok = hasattr(self.source, "read_block") or (
+        return (
             hasattr(self.source, "supports_batch_read")
             and self.source.supports_batch_read()
-        )
-        return (
-            self.bulk_reads
-            and source_ok
             and self.transform is None
             and not (self.simulate_hpc and self.io_delay > 0)
             and not self.verbose_reads
@@ -316,31 +310,7 @@ class PrefetchingDataset:
 
     def _read_miss_rows(self, miss_idx: np.ndarray, pool=None) -> np.ndarray:
         """Read rows for cache-miss indices, in the given order."""
-        if hasattr(self.source, "read_block"):
-            # HDF5: one sorted point-selection, then unsort. The unsort is a
-            # pure row gather — the native threaded memcpy takes it on
-            # multi-core hosts (bit-identical to numpy fancy indexing).
-            uniq, inv = np.unique(miss_idx, return_inverse=True)
-            block = self.source.read_block(uniq)
-            size = self.source.img_size
-            if block.shape[1] != size or block.shape[2] != size:
-                resized = (
-                    list(pool.map(lambda r: _resize(r, size), block))
-                    if pool is not None
-                    else [_resize(r, size) for r in block]
-                )
-                block = np.stack(resized)
-            if len(uniq) == len(miss_idx) and np.array_equal(
-                inv, np.arange(len(miss_idx))
-            ):
-                return block  # already in order (sorted unique batch)
-            if block.nbytes > (4 << 20):
-                from linnaeus_tpu.native import get_dataplane
-
-                dp = get_dataplane()
-                if dp is not None:
-                    return dp.gather_rows(block, inv)
-            return block[inv]
+        del pool  # the native batch call threads internally
         return self.source.read_batch_rows(miss_idx)
 
     def read_batch(self, indices: np.ndarray, pool=None) -> dict:

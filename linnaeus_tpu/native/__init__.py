@@ -89,18 +89,6 @@ class DataPlane:
             ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ]
-        lib.ln_gather_rows.restype = None
-        lib.ln_gather_rows.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int32, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int32,
-        ]
-        lib.ln_resize_batch.restype = None
-        lib.ln_resize_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int32, ctypes.c_int32,
-        ]
         self.version = int(lib.ln_version())
         self.default_threads = max(os.cpu_count() or 1, 1)
 
@@ -168,42 +156,6 @@ class DataPlane:
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         return out, status
-
-    # ------------------------------------------------------------- gather
-    def gather_rows(
-        self, src: np.ndarray, idx: np.ndarray, threads: int | None = None
-    ) -> np.ndarray:
-        """dst[i] = src[idx[i]] with C++ worker threads (multi-core hosts;
-        equivalent to src[idx] in numpy)."""
-        src = np.ascontiguousarray(src)
-        idx = np.ascontiguousarray(idx, np.int64)
-        row_bytes = int(src.nbytes // max(src.shape[0], 1))
-        dst = np.empty((len(idx),) + src.shape[1:], src.dtype)
-        self._lib.ln_gather_rows(
-            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(idx), row_bytes,
-            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            int(threads or self.default_threads),
-        )
-        return dst
-
-    # ------------------------------------------------------------- resize
-    def resize_batch(
-        self, src: np.ndarray, target: int, threads: int | None = None
-    ) -> np.ndarray:
-        """Area-resize a uint8 [n,h,w,c] batch to [n,target,target,c]."""
-        src = np.ascontiguousarray(src, np.uint8)
-        n, sh, sw, ch = src.shape
-        dst = np.empty((n, target, target, ch), np.uint8)
-        self._lib.ln_resize_batch(
-            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            n, sh, sw, ch,
-            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            int(target), int(threads or self.default_threads),
-        )
-        return dst
-
 
 def get_dataplane() -> DataPlane | None:
     """Singleton accessor; compiles on first call, None when unavailable

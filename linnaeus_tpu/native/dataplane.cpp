@@ -260,25 +260,4 @@ int32_t ln_decode_jpeg_mem_batch(const uint8_t* const* bufs,
   return failures.load();
 }
 
-// Threaded row gather: dst[i] = src[idx[i]] for row_bytes-sized rows.
-void ln_gather_rows(const uint8_t* src, const int64_t* idx, int32_t n,
-                    int64_t row_bytes, uint8_t* dst, int32_t n_threads) {
-  run_parallel((int)n, (int)n_threads, [&](int i) {
-    std::memcpy(dst + (size_t)i * row_bytes,
-                src + (size_t)idx[i] * row_bytes, (size_t)row_bytes);
-  });
-}
-
-// Batched standalone resize (uint8 HWC -> target x target), threaded.
-void ln_resize_batch(const uint8_t* src, int32_t n, int32_t sh, int32_t sw,
-                     int32_t channels, uint8_t* dst, int32_t target,
-                     int32_t n_threads) {
-  const size_t srow = (size_t)sh * sw * channels;
-  const size_t drow = (size_t)target * target * channels;
-  run_parallel((int)n, (int)n_threads, [&](int i) {
-    resize_area_u8(src + (size_t)i * srow, sh, sw, dst + (size_t)i * drow,
-                   target, target, (int)channels);
-  });
-}
-
 }  // extern "C"

@@ -135,10 +135,6 @@ def main(argv=None) -> None:
         "--native", default="auto", choices=["auto", "off", "on"],
         help="DATA.NATIVE_DATAPLANE for the hybrid read path",
     )
-    parser.add_argument(
-        "--bulk", type=int, default=1, choices=[0, 1],
-        help="DATA.PREFETCH.BULK_H5_READS (whole-batch HDF5 gathers)",
-    )
     args = parser.parse_args(argv)
 
     from linnaeus_tpu.configuration import get_default_config
@@ -158,7 +154,6 @@ def main(argv=None) -> None:
         cfg.DATA.SAMPLER.TYPE = "standard"
 
     cfg.DATA.NATIVE_DATAPLANE = args.native
-    cfg.DATA.PREFETCH.BULK_H5_READS = bool(args.bulk)
 
     if args.gen_real:
         args.labels, args.images = generate_real_dataset(
@@ -181,6 +176,14 @@ def main(argv=None) -> None:
     if args.labels:
         cfg.DATA.H5.LABELS_PATH = args.labels
         cfg.DATA.H5.IMAGES_PATH = args.images
+        # restrict tasks to what the labels file actually carries
+        import h5py
+
+        with h5py.File(args.labels, "r") as f:
+            cfg.DATA.TASK_KEYS_H5 = [
+                t for t in cfg.DATA.TASK_KEYS_H5 if t in f
+            ] or ["taxa_L10"]
+        cfg.DATA.PARTIAL.LEVELS = True
     else:
         # synthetic labels file in tmp
         import tempfile
@@ -220,7 +223,6 @@ def main(argv=None) -> None:
             "batch_concurrency": int(cfg.DATA.PREFETCH.BATCH_CONCURRENCY),
             "grouped": bool(args.grouped),
             "native": args.native,
-            "bulk_h5_reads": bool(args.bulk),
             "hybrid": bool(args.gen_jpeg),
             **{k: v for k, v in result.items() if not isinstance(v, dict)},
         }

@@ -626,99 +626,3 @@ def test_loader_max_processed_batches_still_yields_all(labels_h5, tmp_path):
     train_loader, _ = build_loaders(cfg, bundle)
     n_batches = sum(1 for _ in train_loader)
     assert n_batches == len(train_loader) and n_batches > 0
-
-
-# ---------------------------------------------------------------- bulk reads
-def _bulk_labels(n):
-    from linnaeus_tpu.data.processor import ProcessedLabels
-
-    labels = ProcessedLabels()
-    labels.img_identifiers = [f"i{i}" for i in range(n)]
-    labels.labels = {"taxa_L10": np.arange(n, dtype=np.int32)}
-    labels.aux = np.arange(n * 2, dtype=np.float32).reshape(n, 2)
-    labels.group_ids = {"taxa_L20": (np.arange(n) // 4).astype(np.int32)}
-    return labels
-
-
-def test_bulk_h5_batch_matches_per_sample(images_h5):
-    """The one-gather bulk path returns byte-identical batches to the
-    per-sample read path, for shuffled/unsorted index orders."""
-    from linnaeus_tpu.data.datasets import H5ImageSource, PrefetchingDataset
-
-    labels = _bulk_labels(N)
-    src = H5ImageSource(images_h5, img_size=16)
-    ds_bulk = PrefetchingDataset(labels, src, ["taxa_L10"], bulk_reads=True)
-    ds_per = PrefetchingDataset(
-        labels, H5ImageSource(images_h5, 16), ["taxa_L10"], bulk_reads=False
-    )
-    assert ds_bulk._can_bulk_read()
-    assert not ds_per._can_bulk_read()
-    rng = np.random.default_rng(3)
-    for _ in range(3):
-        idx = rng.permutation(N)[:10]
-        b1 = ds_bulk.read_batch(idx)
-        b2 = ds_per.read_batch(idx)
-        np.testing.assert_array_equal(b1["images"], b2["images"])
-        np.testing.assert_array_equal(
-            b1["targets"]["taxa_L10"], b2["targets"]["taxa_L10"]
-        )
-        np.testing.assert_array_equal(b1["aux"], b2["aux"])
-    ds_bulk.close()
-    ds_per.close()
-
-
-def test_bulk_h5_with_cache_and_resize(images_h5):
-    """Cache hits interleave with bulk misses correctly, and a stored-size
-    != target-size source resizes identically on both paths."""
-    from linnaeus_tpu.data.datasets import H5ImageSource, PrefetchingDataset
-
-    labels = _bulk_labels(N)
-    ds = PrefetchingDataset(
-        labels,
-        H5ImageSource(images_h5, img_size=8),  # stored 16 -> resize to 8
-        ["taxa_L10"],
-        mem_cache_bytes=1 << 20,
-        bulk_reads=True,
-    )
-    ref = PrefetchingDataset(
-        labels, H5ImageSource(images_h5, 8), ["taxa_L10"], bulk_reads=False
-    )
-    idx1 = np.array([5, 1, 9, 3])
-    idx2 = np.array([9, 2, 5, 7])  # overlaps idx1 -> cache hits mixed in
-    np.testing.assert_array_equal(
-        ds.read_batch(idx1)["images"], ref.read_batch(idx1)["images"]
-    )
-    out2 = ds.read_batch(idx2)["images"]
-    np.testing.assert_array_equal(out2, ref.read_batch(idx2)["images"])
-    assert ds.cache.hits >= 2
-    assert out2.shape == (4, 8, 8, 3)
-    ds.close()
-    ref.close()
-
-
-def test_bulk_h5_fallback_conditions(images_h5):
-    """Per-sample hooks (transform, HPC simulation, verbose reads) disable
-    the bulk path; duplicate indices still round-trip through it."""
-    from linnaeus_tpu.data.datasets import H5ImageSource, PrefetchingDataset
-
-    labels = _bulk_labels(N)
-    ds_t = PrefetchingDataset(
-        labels, H5ImageSource(images_h5, 16), ["taxa_L10"],
-        transform=lambda x: x, bulk_reads=True,
-    )
-    assert not ds_t._can_bulk_read()
-    ds_s = PrefetchingDataset(
-        labels, H5ImageSource(images_h5, 16), ["taxa_L10"],
-        simulate_hpc=True, io_delay=0.01, bulk_reads=True,
-    )
-    assert not ds_s._can_bulk_read()
-    ds = PrefetchingDataset(
-        labels, H5ImageSource(images_h5, 16), ["taxa_L10"], bulk_reads=True
-    )
-    dup = np.array([4, 4, 7, 4])
-    out = ds.read_batch(dup)["images"]
-    np.testing.assert_array_equal(out[0], out[1])
-    np.testing.assert_array_equal(out[0], out[3])
-    ds_t.close()
-    ds_s.close()
-    ds.close()

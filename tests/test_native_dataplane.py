@@ -1,5 +1,5 @@
-"""Native C++ data-plane: build, decode, gather, resize, and the hybrid
-batch read path through PrefetchingDataset.
+"""Native C++ data-plane: build, batched JPEG decode (files + memory), and
+the hybrid batch read path through PrefetchingDataset.
 
 The library compiles on first use (g++ + libjpeg, both in the image); every
 test skips cleanly where that toolchain is absent, because every production
@@ -74,31 +74,6 @@ def test_decode_missing_and_corrupt(jpeg_dir, tmp_path):
     bad.write_bytes(b"\xff\xd8this is not a jpeg")
     with pytest.raises(ValueError):
         dp.decode_jpeg_batch([str(bad)], 64)
-
-
-def test_gather_rows_matches_numpy():
-    rng = np.random.default_rng(1)
-    src = rng.integers(0, 256, (40, 17, 5), dtype=np.uint8)
-    idx = rng.integers(0, 40, 25).astype(np.int64)
-    np.testing.assert_array_equal(dp.gather_rows(src, idx), src[idx])
-    # non-uint8 dtype rides through as raw bytes
-    srcf = rng.normal(size=(10, 8)).astype(np.float32)
-    np.testing.assert_array_equal(
-        dp.gather_rows(srcf, np.array([3, 3, 0])), srcf[[3, 3, 0]]
-    )
-
-
-def test_resize_batch_matches_cv2_area():
-    cv2 = pytest.importorskip("cv2")
-    rng = np.random.default_rng(2)
-    batch = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
-    out = dp.resize_batch(batch, 16)
-    for i in range(4):
-        ref = cv2.resize(batch[i], (16, 16), interpolation=cv2.INTER_AREA)
-        diff = np.abs(
-            out[i].astype(np.float32) - ref.astype(np.float32)
-        ).mean()
-        assert diff < 1.5, f"sample {i}: mean abs diff {diff}"
 
 
 def test_dir_source_batch_path_through_dataset(jpeg_dir):
