@@ -167,6 +167,9 @@ def main() -> None:
             record["e2e_train_images_per_sec"] = e2e["e2e_images_per_sec"]
             record["e2e_train_ms_per_step"] = e2e["e2e_ms_per_step"]
             record["e2e_feed_wait_ms_per_batch"] = e2e["loader"]["avg_wait_ms"]
+            record["host_feed_images_per_sec"] = e2e.get(
+                "host_feed_images_per_sec"
+            )
             if "train_ms_per_step_b128_224px" in record:
                 record["e2e_feed_overlap"] = round(
                     record["train_ms_per_step_b128_224px"]

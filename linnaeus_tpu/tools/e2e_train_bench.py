@@ -183,6 +183,25 @@ def run_e2e(steps: int = 150, warmup: int = 10, batch: int = 128,
             1000 * (time.perf_counter() - t0), 1
         )
         mark(f"device_put probe done: {record['device_put_ms']} ms")
+    # pure host-feed probe: the same production loader with NO device
+    # transfer, so the record separates host-pipeline health from the
+    # host->device path (through the tunneled chip the latter dominates
+    # e2e; on a real TPU host it rides PCIe/DMA and disappears)
+    host_loader = build_loader(labels, images, batch, io_threads,
+                               window, depth, None)
+    host_loader.set_epoch(0)
+    h_n = 0
+    t0 = time.perf_counter()
+    for _ in host_loader:
+        h_n += 1
+        if h_n >= 12:
+            break
+    record["host_feed_images_per_sec"] = round(
+        h_n * batch / max(time.perf_counter() - t0, 1e-9), 1
+    )
+    host_loader.close()
+    mark(f"host-feed probe: {record['host_feed_images_per_sec']} img/s")
+
     loader = build_loader(labels, images, batch, io_threads,
                           window, depth, jax.device_put)
     total_batches = len(loader)
