@@ -404,6 +404,14 @@ def _build_default_config() -> CN:
     _C.TRAIN.CLIP_GRAD = 5.0
     _C.TRAIN.ACCUMULATION_STEPS = 0
     _C.TRAIN.AUTO_RESUME = True
+    # Parameter EMA (beyond-reference): a moving average of params updated
+    # inside the jitted step; validation (and exported bundles) can read it
+    # in place of the raw params. timm-style fixed decay, no debiasing.
+    _C.TRAIN.EMA = CN()
+    _C.TRAIN.EMA.ENABLED = False
+    _C.TRAIN.EMA.DECAY = 0.9998
+    # validate (and pick checkpoints) on the EMA weights
+    _C.TRAIN.EMA.EVAL = True
     _C.TRAIN.ALLOW_WANDB_VAL_CHANGE = True
     _C.TRAIN.GRADIENT_CHECKPOINTING = CN()
     _C.TRAIN.GRADIENT_CHECKPOINTING.ENABLED_NORMAL_STEPS = True

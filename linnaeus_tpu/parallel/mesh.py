@@ -122,12 +122,25 @@ def reshard_train_state(state, mesh: Mesh, tx, param_shardings: Any = None):
         params = jax.tree.map(lambda x: jax.device_put(x, repl), state.params)
     else:
         params = jax.tree.map(jax.device_put, state.params, param_shardings)
+    if state.ema_params is not None:
+        # EMA mirrors the params tree exactly, so it takes the same shardings
+        if param_shardings is None:
+            ema = jax.tree.map(
+                lambda x: jax.device_put(x, repl), state.ema_params
+            )
+        else:
+            ema = jax.tree.map(
+                jax.device_put, state.ema_params, param_shardings
+            )
+    else:
+        ema = None
     return state.replace(
         params=params,
         opt_state=tx.init(params),
         step=jax.device_put(state.step, repl),
         rng=jax.device_put(state.rng, repl),
         gradnorm=jax.tree.map(lambda x: jax.device_put(x, repl), state.gradnorm),
+        ema_params=ema,
     )
 
 

@@ -22,6 +22,7 @@ def prepare_bundle(
     num_classes: list[int],
     image_size: int = 224,
     description: str | None = None,
+    use_ema: bool = False,
 ) -> str:
     """Build the bundle; returns the output directory."""
     import shutil
@@ -56,7 +57,16 @@ def prepare_bundle(
     state_dir = os.path.join(checkpoint_path, ckpt.STATE_DIR)
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.abspath(state_dir))
-    variables = {"params": restored["params"]}
+    if use_ema:
+        if "ema_params" not in restored:
+            raise ValueError(
+                "--ema requested but the checkpoint carries no ema_params "
+                "(train with TRAIN.EMA.ENABLED)"
+            )
+        params = restored["ema_params"]
+    else:
+        params = restored["params"]
+    variables = {"params": params}
     if "batch_stats" in restored:
         variables["batch_stats"] = restored["batch_stats"]
     with open(os.path.join(output_dir, "weights.msgpack"), "wb") as f:
@@ -95,10 +105,15 @@ def main(argv=None) -> None:
     parser.add_argument("--task-keys", nargs="+", required=True)
     parser.add_argument("--num-classes", nargs="+", type=int, required=True)
     parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument(
+        "--ema", action="store_true",
+        help="bundle the EMA weights instead of the raw params",
+    )
     args = parser.parse_args(argv)
     out = prepare_bundle(
         args.checkpoint, args.assets, args.output, args.arch,
         args.task_keys, args.num_classes, args.image_size,
+        use_ema=args.ema,
     )
     print(f"bundle written to {out}")
 

@@ -274,12 +274,17 @@ class Trainer:
                 for t in self.task_keys
             ]
             init_weights = vals
+        self.ema_enabled = bool(config.TRAIN.get("EMA", {}).get("ENABLED", False))
+        self.ema_eval = self.ema_enabled and bool(
+            config.TRAIN.EMA.get("EVAL", True)
+        )
         self.state = create_train_state(
             self.model, params, self.tx,
             num_tasks=len(self.task_keys),
             rng=jax.random.fold_in(rng, 1),
             init_task_weights=init_weights if init_weights else None,
             batch_stats=batch_stats,
+            ema=self.ema_enabled,
         )
         sharding_mode = str(config.PARALLEL.get("PARAM_SHARDING", "replicated"))
         if sharding_mode in ("fsdp", "tp", "ep"):
@@ -323,6 +328,15 @@ class Trainer:
                         self.state.batch_stats,
                     )
                     if self.state.batch_stats is not None
+                    else None
+                ),
+                # EMA mirrors the params tree -> identical shardings
+                ema_params=(
+                    jax.tree.map(
+                        lambda p, s: jax.device_put(p, s),
+                        self.state.ema_params, param_shardings,
+                    )
+                    if self.state.ema_params is not None
                     else None
                 ),
             )
@@ -561,6 +575,9 @@ class Trainer:
                     float(cfg.MODEL.MOE.get("ROUTER_Z_LOSS_WEIGHT", 0.001))
                     if bool(cfg.MODEL.get("MOE", {}).get("ENABLED", False))
                     else 0.0
+                ),
+                ema_decay=(
+                    float(cfg.TRAIN.EMA.DECAY) if self.ema_enabled else 0.0
                 ),
             ),
             donate_argnums=(0,),
@@ -1064,6 +1081,11 @@ class Trainer:
             count = 0.0
             chain_correct = 0.0
             chain_total = 0.0
+        # TRAIN.EMA.EVAL: validate on the EMA weights (same pytree structure
+        # as the raw state, so the jitted eval step does not recompile)
+        eval_state = self.state
+        if self.ema_eval and self.state.ema_params is not None:
+            eval_state = self.state.replace(params=self.state.ema_params)
         for i, batch in enumerate(self.val_loader):
             if i < start_index:
                 continue
@@ -1071,7 +1093,7 @@ class Trainer:
                 # partial accumulators stay in TrainingProgress for resume
                 return
             metrics, outputs = self._eval_step(
-                self.state, batch, jnp.asarray(mask_meta), jnp.asarray(combo_mask)
+                eval_state, batch, jnp.asarray(mask_meta), jnp.asarray(combo_mask)
             )
             host = jax.device_get(metrics)
             if check_debug_flag(self.config, "DEBUG.VALIDATION_METRICS"):

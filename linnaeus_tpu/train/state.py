@@ -28,6 +28,10 @@ class TrainState(struct.PyTreeNode):
     # non-trainable collections (e.g. BatchNorm running stats for mFormerV0);
     # None for purely-LayerNorm models like mFormerV1
     batch_stats: Any = None
+    # exponential moving average of params (TRAIN.EMA; None when disabled).
+    # Updated inside the jitted step; validation/serving can read it in
+    # place of params. No reference analog (beyond-reference, SURVEY §8).
+    ema_params: Any = None
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -45,6 +49,7 @@ def create_train_state(
     rng: jax.Array,
     init_task_weights=None,
     batch_stats=None,
+    ema: bool = False,
 ) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -55,4 +60,11 @@ def create_train_state(
         apply_fn=model.apply,
         tx=tx,
         batch_stats=batch_stats,
+        # EMA starts at a COPY of the initial params (timm convention).
+        # Distinct buffers are required: the jitted step donates the whole
+        # state, and XLA rejects the same buffer appearing twice in a
+        # donated argument.
+        ema_params=(
+            jax.tree.map(lambda p: jnp.array(p), params) if ema else None
+        ),
     )

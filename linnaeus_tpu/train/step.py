@@ -238,6 +238,7 @@ def make_train_step(
     augment_fn: Callable | None = None,
     moe_aux_weight: float = 0.0,
     moe_z_weight: float = 0.0,
+    ema_decay: float = 0.0,
 ):
     """Build the jittable train step.
 
@@ -432,6 +433,17 @@ def make_train_step(
         new_state = state.apply_gradients(grads)
         if new_batch_stats is not None:
             new_state = new_state.replace(batch_stats=new_batch_stats)
+        if ema_decay and ema_decay > 0:
+            # in-jit EMA: one fused multiply-add per param, riding the
+            # optimizer update's HBM pass (TRAIN.EMA.DECAY)
+            d = jnp.float32(ema_decay)
+            new_state = new_state.replace(
+                ema_params=jax.tree.map(
+                    lambda e, p: e * d + (1.0 - d) * p.astype(e.dtype),
+                    state.ema_params,
+                    new_state.params,
+                )
+            )
 
         metrics = {
             "loss": components["total"],

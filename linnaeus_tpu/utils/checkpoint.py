@@ -175,6 +175,8 @@ def _as_pytree(state):
     }
     if state.batch_stats is not None:
         tree["batch_stats"] = state.batch_stats
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
     return tree
 
 
@@ -203,6 +205,7 @@ def load_checkpoint(path: str, state_template):
         ),
         rng=restored["rng"],
         batch_stats=restored.get("batch_stats", state_template.batch_stats),
+        ema_params=restored.get("ema_params", state_template.ema_params),
     )
     sidecar_path = os.path.join(path, SIDECAR_NAME)
     sidecar = {}
