@@ -138,12 +138,18 @@ class DirImageSource(ImageSource):
         """Whole-batch file-read + JPEG decode (DCT prescale) + area resize
         in C++ worker threads — one Python call per batch. Missing files
         zero-fill under ALLOW_MISSING (same placeholder semantics as
-        ``read``), raise otherwise."""
+        ``read``), raise otherwise. Rows libjpeg can't parse (PNG/WebP
+        content behind a .jpg extension, CMYK JPEGs) fall back to the
+        content-sniffing per-sample decoder instead of failing the batch —
+        the same files the cv2 path always handled."""
         dp = self._native_plane()
-        paths = [self._path(int(i)) for i in np.asarray(indices)]
-        images, _ = dp.decode_jpeg_batch(
+        idx = np.asarray(indices)
+        paths = [self._path(int(i)) for i in idx]
+        images, status = dp.decode_jpeg_batch(
             paths, self.img_size, allow_missing=self.allow_missing
         )
+        for pos in np.nonzero(status == 2)[0]:
+            images[pos] = self.read(int(idx[pos]))
         return images
 
     def _path(self, idx: int) -> str:
@@ -160,6 +166,8 @@ class DirImageSource(ImageSource):
             raise FileNotFoundError(path)
         if _HAS_CV2:
             img = cv2.imread(path, cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError(f"undecodable image file: {path}")
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         else:
             from PIL import Image
@@ -270,10 +278,11 @@ class PrefetchingDataset:
         )
 
     def _bulk_images(self, indices: np.ndarray, pool=None) -> np.ndarray:
-        """One-gather batch read: cache hits are taken per index, the misses
-        go through a single sorted HDF5 point-selection, and rows land in
-        their requested order. Resize (stored size != target) fans out on
-        the IO pool, which the bulk path otherwise leaves idle."""
+        """One-gather batch read: cache hits are taken per index, the
+        misses go through the source's single native batch call
+        (DirImageSource.read_batch_rows — C++ file read + JPEG decode +
+        resize, no per-sample Python), and rows land in their requested
+        order."""
         idx = np.asarray(indices, np.int64)
         if len(idx) == 0:
             size = self.source.img_size

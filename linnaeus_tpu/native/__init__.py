@@ -51,9 +51,14 @@ def build_library(force: bool = False) -> str | None:
         and os.path.getmtime(so) >= os.path.getmtime(_SRC)
     ):
         return so
+    # compile to a private temp file, then atomically rename into place:
+    # concurrent builders (multi-process training on one host, parallel
+    # test runs) otherwise race g++ on the same output path and one can
+    # dlopen a partially written file
+    tmp = f"{so}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-pthread",
-        _SRC, "-ljpeg", "-o", so,
+        _SRC, "-ljpeg", "-o", tmp,
     ]
     try:
         proc = subprocess.run(
@@ -68,6 +73,7 @@ def build_library(force: bool = False) -> str | None:
             f"pipeline): {proc.stderr[-500:]}"
         )
         return None
+    os.replace(tmp, so)
     return so
 
 
@@ -101,30 +107,38 @@ class DataPlane:
         threads: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Decode+resize a batch of JPEG files -> (images [n,t,t,3] u8,
-        status [n] i32 with 0 ok / 1 missing / 2 decode error). Raises on
-        hard failures (missing when not allowed, or undecodable files)."""
+        status [n] i32 with 0 ok / 1 missing / 2 decode error / 3 open
+        error). Raises FileNotFoundError on missing-when-not-allowed and
+        OSError on open failures that are NOT missing files (EACCES/EMFILE/
+        EIO — retryable, never zero-filled). Rows with status 2 (content
+        libjpeg can't parse: PNG bytes behind a .jpg name, CMYK JPEG,
+        truncation) do NOT raise — the caller retries them with the
+        content-sniffing per-sample decoder (DirImageSource.read)."""
         n = len(paths)
         out = np.empty((n, target, target, 3), np.uint8)
         status = np.empty(n, np.int32)
         arr = (ctypes.c_char_p * n)(
             *[os.fsencode(p) for p in paths]
         )
-        failures = self._lib.ln_decode_jpeg_batch(
+        self._lib.ln_decode_jpeg_batch(
             arr, n, int(target),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             int(threads or self.default_threads),
             1 if allow_missing else 0,
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
-        if failures:
+        unreadable = [paths[i] for i in np.nonzero(status == 3)[0][:3]]
+        if unreadable:
+            raise OSError(
+                f"{int((status == 3).sum())} image files exist but could "
+                f"not be opened (fd exhaustion / permissions / IO?), "
+                f"e.g. {unreadable}"
+            )
+        if not allow_missing and (status == 1).any():
             missing = [paths[i] for i in np.nonzero(status == 1)[0][:3]]
-            bad = [paths[i] for i in np.nonzero(status == 2)[0][:3]]
-            if missing and not allow_missing:
-                raise FileNotFoundError(
-                    f"{len(missing)}+ missing image files, e.g. {missing}"
-                )
-            raise ValueError(
-                f"{int(failures)} undecodable JPEG files, e.g. {bad}"
+            raise FileNotFoundError(
+                f"{int((status == 1).sum())} missing image files, "
+                f"e.g. {missing}"
             )
         return out, status
 
@@ -173,7 +187,17 @@ def get_dataplane() -> DataPlane | None:
             return None
         try:
             _CACHED = DataPlane(ctypes.CDLL(so))
-        except OSError as e:  # missing libjpeg at load time
-            logger.info(f"native dataplane load failed: {e}")
-            _CACHED = None
+        except (OSError, AttributeError) as e:
+            # a stale/foreign binary (built on another arch/libc, or an
+            # older ABI without today's symbols) — rebuild from source
+            # once before giving up
+            logger.info(
+                f"native dataplane load failed ({e}); rebuilding from source"
+            )
+            so = build_library(force=True)
+            try:
+                _CACHED = DataPlane(ctypes.CDLL(so)) if so else None
+            except (OSError, AttributeError) as e2:  # libjpeg missing etc.
+                logger.info(f"native dataplane rebuild also failed: {e2}")
+                _CACHED = None
         return _CACHED

@@ -26,7 +26,12 @@
 #include <cstring>
 #include <csetjmp>
 #include <cmath>
+#include <cerrno>
+#include <condition_variable>
+#include <deque>
 #include <functional>
+#include <memory>
+#include <mutex>
 #include <thread>
 #include <vector>
 #include <atomic>
@@ -121,8 +126,12 @@ void resize_area_u8(const uint8_t* src, int sh, int sw, uint8_t* dst, int th,
   }
 }
 
-// status codes per sample
-enum : int32_t { LN_OK = 0, LN_MISSING = 1, LN_DECODE_ERR = 2 };
+// status codes per sample. LN_MISSING is strictly file-does-not-exist
+// (ENOENT/ENOTDIR); any other open failure (EACCES, EMFILE, EIO, ...) is
+// LN_OPEN_ERR so ALLOW_MISSING_IMAGES never zero-fills over a transient
+// fd-exhaustion or permission problem — those must surface loudly (and are
+// retryable OSErrors on the Python side).
+enum : int32_t { LN_OK = 0, LN_MISSING = 1, LN_DECODE_ERR = 2, LN_OPEN_ERR = 3 };
 
 // Decode one in-memory JPEG to RGB uint8 at target x target. Picks the
 // largest DCT scale denominator in {8,4,2,1} whose output still covers the
@@ -178,7 +187,9 @@ int32_t decode_mem(const uint8_t* data, size_t len, int target, uint8_t* out) {
 // File wrapper: read bytes, then decode_mem.
 int32_t decode_one(const char* path, int target, uint8_t* out) {
   FILE* f = std::fopen(path, "rb");
-  if (!f) return LN_MISSING;
+  if (!f) {
+    return (errno == ENOENT || errno == ENOTDIR) ? LN_MISSING : LN_OPEN_ERR;
+  }
   std::fseek(f, 0, SEEK_END);
   const long len = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
@@ -193,34 +204,121 @@ int32_t decode_one(const char* path, int target, uint8_t* out) {
   return decode_mem(buf.data(), (size_t)len, target, out);
 }
 
+// Persistent shared worker pool. One fixed set of hardware_concurrency
+// threads serves ALL parallel_for calls process-wide: repeated batch calls
+// stop paying thread create/join, and concurrent callers (e.g. several
+// loader batch workers with DATA.PREFETCH.BATCH_CONCURRENCY > 1) interleave
+// their work items on the same fixed set of threads instead of
+// oversubscribing the host with callers x cpu_count spawned threads.
+struct Job {
+  std::atomic<int> next{0};
+  std::atomic<int> done{0};
+  int n = 0;
+  const std::function<void(int)>* fn = nullptr;
+};
+
+class Pool {
+ public:
+  static Pool& instance() {
+    // never destroyed: workers park on the cv at process exit
+    static Pool* p = new Pool();
+    return *p;
+  }
+
+  void parallel_for(int n, const std::function<void(int)>& fn) {
+    if (n <= 0) return;
+    if (n == 1 || workers_.empty()) {
+      for (int i = 0; i < n; ++i) fn(i);
+      return;
+    }
+    auto job = std::make_shared<Job>();
+    job->n = n;
+    job->fn = &fn;
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      jobs_.push_back(job);
+    }
+    cv_.notify_all();
+    drain(*job);  // the caller works too
+    // stragglers: each claimed index is in flight on some worker; items are
+    // milliseconds (a JPEG decode), so a yield-spin stays short
+    while (job->done.load(std::memory_order_acquire) < n)
+      std::this_thread::yield();
+    std::lock_guard<std::mutex> lk(mu_);
+    for (auto it = jobs_.begin(); it != jobs_.end(); ++it) {
+      if (it->get() == job.get()) {
+        jobs_.erase(it);
+        break;
+      }
+    }
+  }
+
+ private:
+  Pool() {
+    const unsigned hw = std::thread::hardware_concurrency();
+    const int nt = std::max(1, (int)(hw ? hw : 1) - 1);  // caller participates
+    workers_.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+      workers_.emplace_back([this] { worker_loop(); });
+    }
+    for (auto& w : workers_) w.detach();
+  }
+
+  static void drain(Job& j) {
+    for (int i = j.next.fetch_add(1); i < j.n; i = j.next.fetch_add(1)) {
+      (*j.fn)(i);
+      j.done.fetch_add(1, std::memory_order_release);
+    }
+  }
+
+  void worker_loop() {
+    std::unique_lock<std::mutex> lk(mu_);
+    for (;;) {
+      // job with unclaimed work closest to the front, if any
+      std::shared_ptr<Job> job;
+      for (auto& j : jobs_) {
+        if (j->next.load(std::memory_order_relaxed) < j->n) {
+          job = j;  // shared_ptr copy keeps it alive past caller removal
+          break;
+        }
+      }
+      if (!job) {
+        cv_.wait(lk);  // woken by the next parallel_for push
+        continue;
+      }
+      lk.unlock();
+      drain(*job);
+      job.reset();
+      lk.lock();
+    }
+  }
+
+  std::vector<std::thread> workers_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::deque<std::shared_ptr<Job>> jobs_;
+};
+
 void run_parallel(int n, int n_threads, const std::function<void(int)>& fn) {
-  n_threads = std::max(1, std::min(n_threads, n));
-  if (n_threads == 1) {
+  if (std::max(1, std::min(n_threads, n)) == 1) {
     for (int i = 0; i < n; ++i) fn(i);
     return;
   }
-  std::atomic<int> next{0};
-  std::vector<std::thread> workers;
-  workers.reserve(n_threads);
-  for (int t = 0; t < n_threads; ++t) {
-    workers.emplace_back([&] {
-      for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) fn(i);
-    });
-  }
-  for (auto& w : workers) w.join();
+  Pool::instance().parallel_for(n, fn);
 }
 
 }  // namespace
 
 extern "C" {
 
-int32_t ln_version() { return 1; }
+int32_t ln_version() { return 2; }
 
 // Decode+resize a batch of JPEG files into a contiguous uint8
 // [n, target, target, 3] buffer. status_out[i] in {0 ok, 1 missing,
-// 2 decode error}; missing files are zero-filled when allow_missing.
-// Returns the number of hard failures (missing when !allow_missing, or
-// decode errors).
+// 2 decode error, 3 open error (exists but unreadable: EACCES/EMFILE/...)};
+// missing files are zero-filled when allow_missing. Returns the number of
+// hard failures (missing when !allow_missing, decode errors, and open
+// errors — the latter ALWAYS count, allow_missing or not).
 int32_t ln_decode_jpeg_batch(const char* const* paths, int32_t n,
                              int32_t target, uint8_t* out, int32_t n_threads,
                              int32_t allow_missing, int32_t* status_out) {
@@ -232,7 +330,7 @@ int32_t ln_decode_jpeg_batch(const char* const* paths, int32_t n,
     if (st == LN_MISSING) {
       std::memset(out + (size_t)i * row, 0, row);
       if (!allow_missing) failures.fetch_add(1);
-    } else if (st == LN_DECODE_ERR) {
+    } else if (st != LN_OK) {
       failures.fetch_add(1);
     }
   });

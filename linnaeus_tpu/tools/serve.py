@@ -36,8 +36,8 @@ def _decode_image(b64: str):
     preprocess_image_batch decodes whole batches in the native C++
     data-plane when the bytes are JPEG (PIL per-image otherwise), so the
     server must not eagerly decode here. Undecodable bytes fail inside the
-    shared batch and the MicroBatcher's individual-retry isolation 400s
-    only the offending request."""
+    shared batch and the MicroBatcher's host-side preprocess triage 400s
+    only the offending request (no per-request device forwards)."""
     return base64.b64decode(b64)
 
 
@@ -172,10 +172,36 @@ class MicroBatcher:
             if len(results) != len(images):
                 raise RuntimeError("handler returned a short result list")
         except Exception:
-            # isolate the offending request: re-run each one alone so a bad
-            # instance 400s its own client instead of the whole batch
+            # Triage HOST-SIDE first: run preprocess alone (no device
+            # forward) per request to find the offenders — a client
+            # streaming corrupt bytes must not cost the innocent requests
+            # one full padded forward each. Offenders get their own error;
+            # survivors re-run as ONE shared batch.
+            from linnaeus_tpu.inference.preprocessing import (
+                preprocess_image_batch,
+                preprocess_metadata_batch,
+            )
+
+            survivors = []
             for p in batch:
-                self._run_one(p)
+                try:
+                    preprocess_image_batch(p.images, self.handler.config)
+                    preprocess_metadata_batch(
+                        p.metas, len(p.images), self.handler.config
+                    )
+                    survivors.append(p)
+                except AttributeError:
+                    # handler without a real InferenceConfig (test doubles):
+                    # triage can't run — treat every request as a survivor
+                    survivors.append(p)
+                except Exception as e:
+                    p.error = e
+            if len(survivors) == len(batch):
+                # not a preprocess failure — isolate by individual runs
+                for p in batch:
+                    self._run_one(p)
+            elif survivors:
+                self._run(survivors)
             return
         i = 0
         for p in batch:

@@ -180,20 +180,70 @@ def _as_pytree(state):
     return tree
 
 
+def _on_disk_keys(state_path: str) -> set[str] | None:
+    """Top-level pytree keys actually stored in a checkpoint, or None if
+    Orbax metadata is unavailable (old/foreign checkpoint — fall back to
+    the strict template restore). Parses the checkpoint's ``_METADATA``
+    tree_metadata, whose entries are per-leaf key chains."""
+    try:
+        with open(os.path.join(state_path, "_METADATA")) as f:
+            md = json.load(f)
+        keys: set[str] = set()
+        for leaf in md["tree_metadata"].values():
+            keys.add(leaf["key_metadata"][0]["key"])
+        return keys or None
+    except Exception:
+        return None
+
+
+def jnp_copy(x):
+    import jax.numpy as jnp
+
+    return jnp.array(x)
+
+
 def load_checkpoint(path: str, state_template):
     """Restore (state, sidecar) from a checkpoint directory.
 
     ``state_template`` is a TrainState with the right structure (e.g. freshly
     initialized) used as the abstract target.
+
+    ``ema_params`` may be toggled across a resume: Orbax's restore raises on
+    ANY template/on-disk tree-structure mismatch, so the template is adapted
+    to the checkpoint's actual top-level keys — resuming with EMA newly
+    enabled seeds the EMA from the restored params; resuming with EMA
+    disabled drops the stored EMA buffers.
     """
     from linnaeus_tpu.loss.gradnorm import GradNormState
 
     template = _as_pytree(state_template)
+    state_path = os.path.join(os.path.abspath(path), STATE_DIR)
     with ocp.StandardCheckpointer() as ckptr:
+        disk_keys = _on_disk_keys(state_path)
+        if disk_keys is not None:
+            if "ema_params" in template and "ema_params" not in disk_keys:
+                logger.warning(
+                    "Checkpoint has no ema_params (EMA was enabled after it "
+                    "was written); seeding EMA from the restored params"
+                )
+                del template["ema_params"]
+            elif "ema_params" in disk_keys and "ema_params" not in template:
+                logger.warning(
+                    "Checkpoint carries ema_params but EMA is disabled; "
+                    "the stored EMA buffers are dropped"
+                )
+                # same tree/shape/dtype as params by construction
+                # (train/state.py: ema_params starts as a copy of params)
+                template["ema_params"] = jax.tree.map(lambda x: x,
+                                                      template["params"])
         restored = ckptr.restore(
-            os.path.join(os.path.abspath(path), STATE_DIR),
+            state_path,
             jax.tree.map(ocp.utils.to_shape_dtype_struct, template),
         )
+    if state_template.ema_params is not None and "ema_params" not in restored:
+        restored["ema_params"] = jax.tree.map(jnp_copy, restored["params"])
+    if state_template.ema_params is None:
+        restored.pop("ema_params", None)
     state = state_template.replace(
         step=restored["step"],
         params=restored["params"],

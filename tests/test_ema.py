@@ -102,6 +102,53 @@ def test_ema_checkpoint_round_trip(ema_setup, tmp_path):
     )
 
 
+def test_ema_toggle_across_resume(ema_setup, tmp_path):
+    """Flipping TRAIN.EMA.ENABLED between save and resume must not crash
+    the restore (Orbax raises on template/on-disk tree mismatch): enabling
+    seeds the EMA from the restored params; disabling drops the buffers."""
+    import linnaeus_tpu.utils.checkpoint as ckpt
+
+    model, state, batch, criteria = ema_setup
+    tx = optax.adamw(1e-3)
+
+    # saved WITHOUT ema -> resumed WITH ema: seeded from restored params
+    no_ema = create_train_state(
+        model, state.params, tx, num_tasks=len(TASKS),
+        rng=jax.random.PRNGKey(3), ema=False,
+    )
+    p1 = ckpt.save_checkpoint(str(tmp_path / "a"), jax.device_get(no_ema))
+    with_ema_tmpl = create_train_state(
+        model, state.params, tx, num_tasks=len(TASKS),
+        rng=jax.random.PRNGKey(0), ema=True,
+    )
+    restored, _ = ckpt.load_checkpoint(p1, with_ema_tmpl)
+    assert restored.ema_params is not None
+    np.testing.assert_array_equal(
+        jax.tree.leaves(jax.device_get(restored.ema_params))[0],
+        jax.tree.leaves(jax.device_get(restored.params))[0],
+    )
+
+    # saved WITH ema -> resumed WITHOUT ema: buffers dropped, restore ok
+    step = jax.jit(
+        make_train_step(
+            criteria, TASKS, MixConfig(chunk_bounds=((0, 2), (2, 5))),
+            ema_decay=0.5,
+        )
+    )
+    stepped, _ = step(state, batch, ScheduleScalars.zeros(META_DIM))
+    p2 = ckpt.save_checkpoint(str(tmp_path / "b"), jax.device_get(stepped))
+    no_ema_tmpl = create_train_state(
+        model, state.params, tx, num_tasks=len(TASKS),
+        rng=jax.random.PRNGKey(0), ema=False,
+    )
+    restored2, _ = ckpt.load_checkpoint(p2, no_ema_tmpl)
+    assert restored2.ema_params is None
+    np.testing.assert_array_equal(
+        jax.tree.leaves(jax.device_get(restored2.params))[0],
+        jax.tree.leaves(jax.device_get(stepped.params))[0],
+    )
+
+
 def test_reshard_carries_ema(ema_setup):
     from linnaeus_tpu.parallel.mesh import create_mesh, reshard_train_state
 

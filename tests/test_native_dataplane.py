@@ -70,10 +70,37 @@ def test_decode_missing_and_corrupt(jpeg_dir, tmp_path):
     assert imgs[1].max() == 0  # zero placeholder
     with pytest.raises(FileNotFoundError):
         dp.decode_jpeg_batch([missing], 64, allow_missing=False)
+    # undecodable content does NOT raise wholesale: status 2 marks the row
+    # and the caller retries it with the content-sniffing per-sample decoder
     bad = tmp_path / "bad.jpg"
     bad.write_bytes(b"\xff\xd8this is not a jpeg")
-    with pytest.raises(ValueError):
-        dp.decode_jpeg_batch([str(bad)], 64)
+    imgs, status = dp.decode_jpeg_batch([str(paths[0]), str(bad)], 64)
+    assert status.tolist() == [0, 2]
+
+
+def test_png_content_behind_jpg_name_falls_back(jpeg_dir):
+    """A PNG saved with a .jpg extension (common in scraped datasets) must
+    decode through the per-sample content-sniffing fallback instead of
+    killing the batch — the cv2/PIL path always handled these."""
+    from PIL import Image
+    from linnaeus_tpu.data.datasets import DirImageSource
+
+    d, paths, _ = jpeg_dir
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(str(d / "sneaky_png.jpg"), "PNG")
+    idents = [os.path.basename(p)[:-4] for p in paths] + ["sneaky_png"]
+    src = DirImageSource(str(d), idents, 64, native="on")
+    rows = src.read_batch_rows(np.array([0, len(idents) - 1]))
+    assert rows.shape == (2, 64, 64, 3)
+    # the fallback IS the per-sample content-sniffing path: exact match
+    np.testing.assert_array_equal(rows[1], src.read(len(idents) - 1))
+    assert rows[1].max() > 0  # decoded content, not a zero placeholder
+    # genuinely corrupt content still raises (from the fallback decoder)
+    (d / "truly_bad.jpg").write_bytes(b"\xff\xd8garbage")
+    src2 = DirImageSource(str(d), idents + ["truly_bad"], 64, native="on")
+    with pytest.raises(Exception):
+        src2.read_batch_rows(np.array([len(idents)]))
 
 
 def test_dir_source_batch_path_through_dataset(jpeg_dir):
@@ -126,6 +153,37 @@ def test_dir_source_native_missing_placeholder(jpeg_dir):
     strict = DirImageSource(str(d), idents, 64, native="on")
     with pytest.raises(FileNotFoundError):
         strict.read_batch_rows(np.array([len(idents) - 1]))
+
+
+def test_concurrent_batch_calls_share_the_pool(jpeg_dir):
+    """Several threads decoding batches at once (the loader's
+    BATCH_CONCURRENCY shape) all complete correctly through the shared
+    persistent worker pool — no per-call thread spawning, no deadlock."""
+    import threading
+
+    _, paths, _ = jpeg_dir
+    want, _ = dp.decode_jpeg_batch(paths, 96)
+    results = [None] * 4
+    errs = []
+
+    def worker(slot):
+        try:
+            for _ in range(3):
+                imgs, status = dp.decode_jpeg_batch(paths, 96)
+                assert (status == 0).all()
+            results[slot] = imgs
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs, errs
+    for r in results:
+        assert r is not None, "worker did not finish (pool deadlock?)"
+        np.testing.assert_array_equal(r, want)
 
 
 def test_non_jpeg_extension_falls_back():

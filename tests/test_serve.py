@@ -231,6 +231,28 @@ def test_poisoned_request_is_isolated(batching_server):
     assert "poison" in bad["error"]
 
 
+def test_corrupt_image_in_shared_batch_is_triaged_host_side(batching_server):
+    """Corrupt image bytes inside a shared batch must 400 only their own
+    client, found by HOST-SIDE preprocess triage — the innocent batchmates
+    re-run as ONE shared forward, not one padded forward each."""
+    import base64
+
+    port, proxy = batching_server
+    b64 = _png_b64()
+    corrupt = base64.b64encode(b"\x89PNGnot really an image").decode()
+    before = len(proxy.call_sizes)
+    results = _fire_concurrent(port, [
+        {"instances": [{"image": b64}]},
+        {"instances": [{"image": corrupt}]},
+        {"instances": [{"image": b64}]},
+    ])
+    codes = sorted(st for st, _ in results)
+    assert codes == [200, 200, 400], results
+    # device forwards: the initial shared batch + ONE survivor re-run —
+    # never a per-request padded forward per innocent client
+    assert len(proxy.call_sizes) - before <= 2, proxy.call_sizes
+
+
 def test_predict_error_paths(server_port):
     st, out = _req(server_port, "/predict", {"instances": []})
     assert st == 400 and "instances" in out["error"]
