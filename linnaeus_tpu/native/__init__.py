@@ -96,6 +96,15 @@ class DataPlane:
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ]
         self.version = int(lib.ln_version())
+        if self.version < 3:
+            # A stale compiled _dataplane.so that passed the mtime check but
+            # predates the current contract (v2: EACCES/EMFILE raise instead
+            # of zero-filling; v3: n_threads actually bounds pool concurrency
+            # and all non-OK rows are zero-filled). AttributeError routes
+            # get_dataplane() into its rebuild-from-source path.
+            raise AttributeError(
+                f"stale native dataplane ABI v{self.version} (< 3)"
+            )
         self.default_threads = max(os.cpu_count() or 1, 1)
 
     # ------------------------------------------------------------- decode

@@ -213,7 +213,9 @@ int32_t decode_one(const char* path, int target, uint8_t* out) {
 struct Job {
   std::atomic<int> next{0};
   std::atomic<int> done{0};
+  std::atomic<int> claimants{0};  // workers (incl. the caller) draining this job
   int n = 0;
+  int cap = 1;  // max concurrent claimants — honors the caller's n_threads
   const std::function<void(int)>* fn = nullptr;
 };
 
@@ -225,14 +227,16 @@ class Pool {
     return *p;
   }
 
-  void parallel_for(int n, const std::function<void(int)>& fn) {
+  void parallel_for(int n, int cap, const std::function<void(int)>& fn) {
     if (n <= 0) return;
-    if (n == 1 || workers_.empty()) {
+    if (n == 1 || cap <= 1 || workers_.empty()) {
       for (int i = 0; i < n; ++i) fn(i);
       return;
     }
     auto job = std::make_shared<Job>();
     job->n = n;
+    job->cap = cap;
+    job->claimants.store(1);  // the caller takes one slot
     job->fn = &fn;
     {
       std::lock_guard<std::mutex> lk(mu_);
@@ -277,7 +281,13 @@ class Pool {
       // job with unclaimed work closest to the front, if any
       std::shared_ptr<Job> job;
       for (auto& j : jobs_) {
-        if (j->next.load(std::memory_order_relaxed) < j->n) {
+        if (j->next.load(std::memory_order_relaxed) < j->n &&
+            j->claimants.load(std::memory_order_relaxed) < j->cap) {
+          // claim a concurrency slot; back off if we raced past the cap
+          if (j->claimants.fetch_add(1) >= j->cap) {
+            j->claimants.fetch_sub(1);
+            continue;
+          }
           job = j;  // shared_ptr copy keeps it alive past caller removal
           break;
         }
@@ -288,6 +298,7 @@ class Pool {
       }
       lk.unlock();
       drain(*job);
+      job->claimants.fetch_sub(1);
       job.reset();
       lk.lock();
     }
@@ -300,18 +311,19 @@ class Pool {
 };
 
 void run_parallel(int n, int n_threads, const std::function<void(int)>& fn) {
-  if (std::max(1, std::min(n_threads, n)) == 1) {
+  const int cap = std::max(1, std::min(n_threads, n));
+  if (cap == 1) {
     for (int i = 0; i < n; ++i) fn(i);
     return;
   }
-  Pool::instance().parallel_for(n, fn);
+  Pool::instance().parallel_for(n, cap, fn);
 }
 
 }  // namespace
 
 extern "C" {
 
-int32_t ln_version() { return 2; }
+int32_t ln_version() { return 3; }
 
 // Decode+resize a batch of JPEG files into a contiguous uint8
 // [n, target, target, 3] buffer. status_out[i] in {0 ok, 1 missing,
@@ -327,11 +339,12 @@ int32_t ln_decode_jpeg_batch(const char* const* paths, int32_t n,
   run_parallel((int)n, (int)n_threads, [&](int i) {
     const int32_t st = decode_one(paths[i], (int)target, out + (size_t)i * row);
     status_out[i] = st;
-    if (st == LN_MISSING) {
+    if (st != LN_OK) {
+      // zero-fill EVERY failed row (not just missing): a caller that
+      // ignores a non-OK status must read an obvious placeholder, never
+      // uninitialized heap memory (ln_decode_jpeg_mem_batch already does)
       std::memset(out + (size_t)i * row, 0, row);
-      if (!allow_missing) failures.fetch_add(1);
-    } else if (st != LN_OK) {
-      failures.fetch_add(1);
+      if (st != LN_MISSING || !allow_missing) failures.fetch_add(1);
     }
   });
   return failures.load();

@@ -182,20 +182,25 @@ class MicroBatcher:
                 preprocess_metadata_batch,
             )
 
-            survivors = []
-            for p in batch:
-                try:
-                    preprocess_image_batch(p.images, self.handler.config)
-                    preprocess_metadata_batch(
-                        p.metas, len(p.images), self.handler.config
-                    )
-                    survivors.append(p)
-                except AttributeError:
-                    # handler without a real InferenceConfig (test doubles):
-                    # triage can't run — treat every request as a survivor
-                    survivors.append(p)
-                except Exception as e:
-                    p.error = e
+            # A handler without a real InferenceConfig (test doubles) can't
+            # be triaged — detect that ONCE up front so a genuine
+            # AttributeError raised inside preprocess marks the request as
+            # an offender like any other exception instead of silently
+            # downgrading triage to per-request padded forwards.
+            config = getattr(self.handler, "config", None)
+            if config is None or not hasattr(config, "input_preprocessing"):
+                survivors = list(batch)
+            else:
+                survivors = []
+                for p in batch:
+                    try:
+                        preprocess_image_batch(p.images, config)
+                        preprocess_metadata_batch(
+                            p.metas, len(p.images), config
+                        )
+                        survivors.append(p)
+                    except Exception as e:
+                        p.error = e
             if len(survivors) == len(batch):
                 # not a preprocess failure — isolate by individual runs
                 for p in batch:

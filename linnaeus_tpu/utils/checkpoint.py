@@ -197,6 +197,19 @@ def _on_disk_keys(state_path: str) -> set[str] | None:
 
 
 def jnp_copy(x):
+    """Sharding-preserving on-device copy.
+
+    Used to seed EMA from restored params when EMA was enabled after the
+    checkpoint was written. ``jnp.array`` would fetch to host — raising on
+    multi-host restores (non-addressable global arrays) and losing the
+    restore sharding on single-host meshes. ``device_put`` with the source's
+    own sharding keeps the copy on-device and correctly laid out.
+    """
+    import jax
+
+    sharding = getattr(x, "sharding", None)
+    if sharding is not None:
+        return jax.device_put(x, sharding)
     import jax.numpy as jnp
 
     return jnp.array(x)
