@@ -1,22 +1,35 @@
 """Benchmark harness: the four headline numbers on the available chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line at the end:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Probes, in priority order (each budget-guarded so the headline line always
-prints even when remote compiles eat the clock):
+Additionally, after EVERY completed probe the full record-so-far is written
+atomically to ``BENCH_partial.json`` next to this file — a kill mid-run
+leaves per-probe evidence (elapsed + compile seconds for each probe that
+finished) instead of nothing. stdout stays a single JSON line.
+
+Probes, in priority order — ALL are attempted (no fixed-budget skips; the
+r2/r3 records lost probes #2-#3 to miscalibrated wall budgets). Under time
+pressure the iteration counts shrink (recorded via ``noisy_*`` flags) and a
+probe is skipped only when the measured remaining clock cannot fit even its
+minimal form:
   1. 224px mFormerV1_sm inference (the north-star metric; vs_baseline =
      measured / 5000 img/s/chip, BASELINE.json);
   2. 384px flash-routed inference (stage-3 N=580 takes the Pallas flash
-     kernels — the high-resolution serving config; was skipped in r2);
+     kernels — the high-resolution serving config);
   3. synthetic train step (full jitted step: on-device collate, bf16
      fwd/bwd, clip, adamw);
   4. end-to-end train (REAL file-backed HDF5 loader feeding the real step —
      reference main.py:1822-1842 reports samples/sec with the pipeline in
-     the loop). Through the tunneled single-chip setup host->device runs at
-     ~30-60 MB/s and serializes with compute, so this number is
-     transfer-bound here; feed health is judged by the loader's avg_wait
-     (host-side stall per batch) — see docs/performance.md.
+     the loop), including the STEADY-STATE host-feed rate (warm loader,
+     ramp-up batches discarded) and ``feed_margin`` = steady host feed /
+     device-only train rate — the honest pipeline-health criterion.
+
+Budgeting: a soft deadline (env ``BENCH_DEADLINE_S``, default 2400 s) is
+compared against per-probe cost estimates derived from the MEASURED compile
+time of probe #1 — on a cold persistent cache the remote compiles dominate
+everything (40-200 s each through the tunnel) while the measurement loops
+themselves are <2 s, so the estimates track compiles, not iterations.
 
 Methodology notes (hard-won on this platform):
   * the remote-TPU client reports buffers ready before chained programs
@@ -32,15 +45,37 @@ Methodology notes (hard-won on this platform):
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
-BUDGET_384 = 330.0   # start 384px probe only if elapsed < this
-BUDGET_TRAIN = 460.0
-BUDGET_E2E = 560.0
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
+PARTIAL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json"
+)
+
+
+def _emit_partial(record: dict, note: str) -> None:
+    """Atomically persist the record-so-far; never fatal."""
+    try:
+        tmp = PARTIAL_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, PARTIAL_PATH)
+    except OSError:
+        pass
+    print(f"[bench] {note}", file=sys.stderr, flush=True)
 
 
 def main() -> None:
     t_start = time.perf_counter()
+
+    def elapsed() -> float:
+        return time.perf_counter() - t_start
+
+    def remaining() -> float:
+        return DEADLINE_S - elapsed()
+
     import jax
     import jax.numpy as jnp
 
@@ -64,7 +99,8 @@ def main() -> None:
     # (rope_2d_mhsa.py:459-491); fp32-score storage remains the default for
     # checkpoint-parity work and is what the parity tests run.
     def measure_inference(model, batch: int, img: int,
-                          n1: int = 10, n2: int = 40) -> float:
+                          n1: int, n2: int) -> tuple[float, float, float]:
+        """Returns (images_per_sec, compile_s, measure_s)."""
         images = jax.random.normal(
             jax.random.PRNGKey(0), (batch, img, img, 3), jnp.bfloat16
         )
@@ -95,81 +131,135 @@ def main() -> None:
             assert acc == acc, "NaN"
             return time.perf_counter() - t0
 
-        timed(2)  # compile + warm
+        t0 = time.perf_counter()
+        timed(2)  # compile (init compile included above) + warm
+        compile_s = time.perf_counter() - t0
         t1 = timed(n1)
         t2 = timed(n2)
-        return batch * (n2 - n1) / max(t2 - t1, 1e-9)
+        ips = batch * (n2 - n1) / max(t2 - t1, 1e-9)
+        return ips, compile_s, t1 + t2
 
+    record: dict = {"bench_deadline_s": DEADLINE_S}
     model = _flagship_model(attn_fp32_softmax=False)
     batch = 128
     target = 5000.0  # images/sec/chip north-star (BASELINE.json)
+
+    # ---------------------------------------------------- probe 1: 224px
+    t_probe = time.perf_counter()
+    compile_224 = 0.0
     try:
-        images_per_sec = measure_inference(model, batch, 224)
-        record = {
+        ips, compile_224, _meas = measure_inference(model, batch, 224,
+                                                    n1=10, n2=40)
+        record.update({
             "metric": "mFormerV1_sm_inference_images_per_sec_per_chip",
-            "value": round(float(images_per_sec), 2),
+            "value": round(float(ips), 2),
             "unit": "images/sec",
-            "vs_baseline": round(float(images_per_sec) / target, 4),
-        }
+            "vs_baseline": round(float(ips) / target, 4),
+            "t_224_compile_s": round(compile_224, 1),
+        })
     except Exception as e:
         # the tunneled chip is occasionally UNAVAILABLE for a stretch
         # (backend setup/compile error; observed 2026-08-17) — emit the
         # headline record WITH the error rather than dying output-less,
         # and let the later probes try again in case the backend recovers
-        record = {
+        record.update({
             "metric": "mFormerV1_sm_inference_images_per_sec_per_chip",
             "value": 0.0,
             "unit": "images/sec",
             "vs_baseline": 0.0,
             "valid": False,  # NOT a measurement — backend was unavailable
             "bench_224_error": str(e)[:300],
-        }
+        })
+    record["t_224_total_s"] = round(time.perf_counter() - t_probe, 1)
+    _emit_partial(record, f"224px done at {elapsed():.0f}s: "
+                          f"{record.get('value')} img/s")
 
-    # 384px flash-routed serving config (stage-3 N=580 takes the Pallas
-    # flash kernels, stage-4 keeps XLA sdpa — docs/performance.md). Probe
-    # #2 by priority: it was squeezed out of the r2 record.
-    if time.perf_counter() - t_start < BUDGET_384:
+    # compile-cost model for the remaining probes: each needs ~2 fresh
+    # programs (init + loop); measured probe-1 compile is the unit. On a
+    # warm persistent cache compile_224 is seconds and everything fits.
+    unit_compile = max(compile_224, 10.0)
+
+    # --------------------------------------- probe 2: 384px flash serving
+    t_probe = time.perf_counter()
+    est_384 = 1.6 * unit_compile + 15.0
+    n1, n2 = (5, 15) if remaining() > est_384 + 120 else (2, 6)
+    if n2 == 6:
+        record["noisy_384"] = True  # reduced iterations under time pressure
+    if remaining() > min(est_384, 45.0):
         try:
             model384 = model.clone(img_size=(384, 384), use_flash_attn=True)
-            ips384 = measure_inference(model384, batch=64, img=384, n1=5, n2=15)
+            ips384, c384, _ = measure_inference(model384, batch=64, img=384,
+                                                n1=n1, n2=n2)
             record["inference_images_per_sec_384px_flash"] = round(
                 float(ips384), 2
             )
+            record["t_384_compile_s"] = round(c384, 1)
         except Exception as e:
             record["bench_384_error"] = str(e)[:200]
     else:
-        record["bench_384_skipped"] = "time budget"
+        record["bench_384_skipped"] = (
+            f"deadline: {remaining():.0f}s left < est {est_384:.0f}s"
+        )
+    record["t_384_total_s"] = round(time.perf_counter() - t_probe, 1)
+    _emit_partial(record, f"384px done at {elapsed():.0f}s")
 
-    # synthetic train-step (same production config: bf16-stored scores —
-    # the training default; full step incl. on-device mixing/masking/
-    # clip/adamw)
-    if time.perf_counter() - t_start < BUDGET_TRAIN:
+    # ------------------------------------- probe 3: synthetic train step
+    # (same production config: bf16-stored scores — the training default;
+    # full step incl. on-device mixing/masking/clip/adamw)
+    t_probe = time.perf_counter()
+    est_train = 2.2 * unit_compile + 20.0
+    n1, n2 = (4, 12) if remaining() > est_train + 120 else (2, 6)
+    if n2 == 6:
+        record["noisy_train"] = True
+    if remaining() > min(est_train, 60.0):
         try:
             from linnaeus_tpu.tools.train_bench import measure
 
-            train = measure(batch=128, img=224, fp32_scores=False)
+            train = measure(batch=128, img=224, fp32_scores=False,
+                            n1=n1, n2=n2)
             record["train_ms_per_step_b128_224px"] = train["train_ms_per_step"]
             record["train_images_per_sec"] = train["train_images_per_sec"]
+            record["t_train_compile_s"] = train.get("compile_s")
         except Exception as e:  # never let the train probe kill the headline
             record["train_bench_error"] = str(e)[:200]
     else:
-        record["train_bench_skipped"] = "time budget"
+        record["train_bench_skipped"] = (
+            f"deadline: {remaining():.0f}s left < est {est_train:.0f}s"
+        )
+    record["t_train_total_s"] = round(time.perf_counter() - t_probe, 1)
+    _emit_partial(record, f"train done at {elapsed():.0f}s")
 
-    # end-to-end train: real HDF5 -> threaded loader -> device_put ->
-    # jitted step per batch (the reference's epoch-loop samples/sec)
-    if time.perf_counter() - t_start < BUDGET_E2E:
+    # ------------------------------------------- probe 4: end-to-end train
+    # real HDF5 -> threaded loader -> device_put -> jitted step per batch
+    # (the reference's epoch-loop samples/sec), plus the steady-state
+    # host-feed rate and its margin over the device-only step
+    t_probe = time.perf_counter()
+    est_e2e = 2.2 * unit_compile + 120.0
+    steps = 50 if remaining() > est_e2e + 120 else 25
+    if steps == 25:
+        record["noisy_e2e"] = True
+    if remaining() > min(est_e2e, 90.0):
         try:
             from linnaeus_tpu.tools.e2e_train_bench import run_e2e
 
-            e2e = run_e2e(steps=50, warmup=5, batch=128,
+            e2e = run_e2e(steps=steps, warmup=5, batch=128,
                           prefix="/tmp/bench_e2e", dataset_samples=8192,
                           skip_device_only=True)
             record["e2e_train_images_per_sec"] = e2e["e2e_images_per_sec"]
             record["e2e_train_ms_per_step"] = e2e["e2e_ms_per_step"]
             record["e2e_feed_wait_ms_per_batch"] = e2e["loader"]["avg_wait_ms"]
-            record["host_feed_images_per_sec"] = e2e.get(
-                "host_feed_images_per_sec"
+            record["host_feed_images_per_sec_cold"] = e2e.get(
+                "host_feed_images_per_sec_cold"
             )
+            record["host_feed_images_per_sec_steady"] = e2e.get(
+                "host_feed_images_per_sec_steady"
+            )
+            dev_ips = record.get("train_images_per_sec")
+            steady = record.get("host_feed_images_per_sec_steady")
+            if dev_ips and steady:
+                # >1.0: the warm host pipeline outruns the device-only step
+                # (feed can hide under compute); <1.0: host-bound, by how much
+                record["feed_margin"] = round(steady / dev_ips, 3)
             if "train_ms_per_step_b128_224px" in record:
                 record["e2e_feed_overlap"] = round(
                     record["train_ms_per_step_b128_224px"]
@@ -177,12 +267,18 @@ def main() -> None:
                 )
             record["e2e_note"] = (
                 "tunnel host->device ~30-60 MB/s serializes with compute; "
-                "loader avg_wait is the host-pipeline health metric"
+                "feed_margin (steady host feed / device-only rate) is the "
+                "pipeline-health metric"
             )
         except Exception as e:
             record["e2e_bench_error"] = str(e)[:200]
     else:
-        record["e2e_bench_skipped"] = "time budget"
+        record["e2e_bench_skipped"] = (
+            f"deadline: {remaining():.0f}s left < est {est_e2e:.0f}s"
+        )
+    record["t_e2e_total_s"] = round(time.perf_counter() - t_probe, 1)
+    record["t_bench_total_s"] = round(elapsed(), 1)
+    _emit_partial(record, f"all probes done at {elapsed():.0f}s")
 
     print(json.dumps(record))
 

@@ -59,7 +59,12 @@ class ConvNeXtBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        training: bool | None = None,
+    ) -> jnp.ndarray:
         # x: (B, H, W, C)
         residual = x
         x = nn.Conv(
@@ -82,11 +87,17 @@ class ConvNeXtBlock(nn.Module):
             # backward landed (train step 117.2 vs 131.6 ms at 384px
             # B=64); the rule is channel-aware — wide-channel presets
             # (lg/xl) keep XLA where the kernel measured slower. The
-            # grad gate fires on the training contract OR a live JVP
-            # trace (deterministic=True under jax.grad must not take
-            # the serving gate).
+            # grad gate: the caller's EXPLICIT ``training`` flag when given
+            # (the train step passes training=True — correct even for a
+            # deterministic fine-tune under jax.checkpoint, where tracer
+            # sniffing is blind); otherwise fall back to the training
+            # contract (deterministic=False) or a live JVP trace.
             B, H, W, C = x.shape
-            grad = not deterministic or autodiff_active(x)
+            grad = (
+                training
+                if training is not None
+                else (not deterministic or autodiff_active(x))
+            )
             use_fused = fused_mlp_profitable(B, H, W, C, grad=grad)
         if use_fused:
             return self._fused_tail(x, residual, deterministic)

@@ -76,6 +76,8 @@ class MFormerV0(nn.Module):
         meta: jnp.ndarray | None = None,
         deterministic: bool = True,
         gradnorm_mode: bool = False,
+        training: bool | None = None,  # uniform BaseModel signature; V0 has
+        # no fused-MLP routing so the flag is accepted but unused
     ) -> dict[str, jnp.ndarray]:
         B = x.shape[0]
         if meta is None and self.meta_components:

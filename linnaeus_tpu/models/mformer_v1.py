@@ -135,7 +135,9 @@ class MFormerV1(nn.Module):
             policy = resolve_remat_policy(self.remat_policy)
             if policy is not None:
                 kw["policy"] = policy
-            conv_block = nn.remat(ConvNeXtBlock, static_argnums=(2,), **kw)
+            # static_argnums: (2) deterministic, (3) training — both route
+            # Python-level branches inside the block
+            conv_block = nn.remat(ConvNeXtBlock, static_argnums=(2, 3), **kw)
             rope_block = nn.remat(RoPE2DMHSABlock, static_argnums=(2,), **kw)
 
         total_depth = sum(self.convnext_depths[:2]) + sum(self.rope_depths)
@@ -329,6 +331,7 @@ class MFormerV1(nn.Module):
         x: jnp.ndarray,
         meta: jnp.ndarray | None = None,
         deterministic: bool = True,
+        training: bool | None = None,
     ) -> jnp.ndarray:
         B = x.shape[0]
         if meta is None and self.meta_components:
@@ -338,11 +341,14 @@ class MFormerV1(nn.Module):
             meta = jnp.zeros((B, total_dim), dtype=self.dtype)
         x = x.astype(self.dtype)
         x = self.stem(x)  # (B, H/4, W/4, D0)
+        # training: explicit fused-MLP grad-gate routing (convnext.py) —
+        # the train step passes True so a deterministic fine-tune under
+        # jax.checkpoint cannot fall through to the serving channel
         for blk in self.stage1:
-            x = blk(x, deterministic)
+            x = blk(x, deterministic, training)
         x = self.downsample1(x)  # (B, H/8, W/8, D1)
         for blk in self.stage2:
-            x = blk(x, deterministic)
+            x = blk(x, deterministic, training)
         x = self.downsample2(x)  # (B, H/16, W/16, D2)
 
         h3, w3 = self._grid3
@@ -388,8 +394,9 @@ class MFormerV1(nn.Module):
         meta: jnp.ndarray | None = None,
         deterministic: bool = True,
         gradnorm_mode: bool = False,
+        training: bool | None = None,
     ) -> dict[str, jnp.ndarray]:
-        feats = self.forward_features(x, meta, deterministic)
+        feats = self.forward_features(x, meta, deterministic, training)
         return self.head(feats, deterministic=deterministic, gradnorm_mode=gradnorm_mode)
 
     # ------------------------------------------------------------- metadata

@@ -339,12 +339,14 @@ def fused_convnext_mlp(
 
 def autodiff_active(x) -> bool:
     """True when ``x`` is being traced for gradients (a JVP tracer sits in
-    its tracer stack). Routing consults this so a ``deterministic=True``
-    forward under ``jax.grad`` — fine-tuning with stochastic depth
-    disabled — still takes the training channel gate rather than the
-    serving one. Known blind spot: under ``jax.checkpoint`` the initial
-    abstract trace carries no JVP tracer; there ``deterministic=False``
-    (the normal training contract) is what routes correctly."""
+    its tracer stack). FALLBACK ONLY: every in-repo gradient caller (the
+    train step, the gradnorm re-forward) passes an explicit
+    ``training=True`` through the model, which routes the fused-MLP grad
+    gate without consulting tracers. This heuristic remains for external
+    callers that differentiate a ``deterministic=True`` forward without
+    setting ``training`` — there a live JVP tracer still flips the gate
+    (though under ``jax.checkpoint`` the initial abstract trace carries no
+    JVP tracer, which is why the explicit flag is the supported path)."""
     t, hops = x, 0
     while isinstance(t, jax.core.Tracer) and hops < 8:
         # duck-typed: a JVP tracer carries primal+tangent (the concrete

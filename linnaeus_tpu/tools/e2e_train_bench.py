@@ -36,25 +36,48 @@ import time
 import numpy as np
 
 
-def generate_dataset(prefix: str, n: int, img: int) -> tuple[str, str]:
+def generate_dataset(prefix: str, n: int, img: int,
+                     learnable: bool = False) -> tuple[str, str]:
     """File-backed HDF5 with the flagship's 4 task levels + 5-dim meta.
     Chunked one image per chunk (the random-access unit of the grouped
-    sampler)."""
+    sampler).
+
+    ``learnable=True`` makes the dataset trainable rather than pure noise:
+    the taxonomy is hierarchy-consistent (each L10 id maps deterministically
+    up the levels) and every image carries its class's signal — a
+    class-keyed color cast plus a class-positioned bright patch under
+    heavy noise — so a real training run shows a falling loss and
+    above-chance validation accuracy (the on-chip training receipt,
+    docs/performance.md)."""
     import h5py
 
     labels_path = f"{prefix}_labels.h5"
     images_path = f"{prefix}_images.h5"
     rng = np.random.default_rng(0)
+    if learnable:
+        l10 = 1 + (np.arange(n) * 7919) % 999  # fixed per-row species id
+        l20 = 1001 + (l10 - 1) % 399
+        l30 = 1401 + (l20 - 1001) % 99
+        l40 = 1501 + (l30 - 1401) % 29
+    else:
+        l10 = rng.integers(1, 1000, n)
+        l20 = rng.integers(1001, 1400, n)
+        l30 = rng.integers(1401, 1500, n)
+        l40 = rng.integers(1501, 1530, n)
     with h5py.File(labels_path, "w") as f:
         f.create_dataset(
             "img_identifiers", data=np.array([f"i{i}" for i in range(n)], "S12")
         )
-        f.create_dataset("taxa_L10", data=rng.integers(1, 1000, n))
-        f.create_dataset("taxa_L20", data=rng.integers(1001, 1400, n))
-        f.create_dataset("taxa_L30", data=rng.integers(1401, 1500, n))
-        f.create_dataset("taxa_L40", data=rng.integers(1501, 1530, n))
+        f.create_dataset("taxa_L10", data=l10)
+        f.create_dataset("taxa_L20", data=l20)
+        f.create_dataset("taxa_L30", data=l30)
+        f.create_dataset("taxa_L40", data=l40)
         f.create_dataset("temporal", data=rng.normal(size=(n, 2)).astype("f4"))
         f.create_dataset("spatial", data=rng.normal(size=(n, 3)).astype("f4"))
+    # per-class visual signatures (learnable mode)
+    if learnable:
+        crng = np.random.default_rng(1234)
+        colors = crng.integers(40, 216, (1000, 3)).astype(np.int16)
     with h5py.File(images_path, "w") as f:
         dset = f.create_dataset(
             "images", shape=(n, img, img, 3), dtype="u1",
@@ -63,7 +86,20 @@ def generate_dataset(prefix: str, n: int, img: int) -> tuple[str, str]:
         block = 512
         for s in range(0, n, block):
             e = min(s + block, n)
-            dset[s:e] = rng.integers(0, 256, (e - s, img, img, 3), "u1")
+            noise = rng.integers(0, 256, (e - s, img, img, 3), np.int16)
+            if learnable:
+                cls = l10[s:e]
+                cast = colors[cls][:, None, None, :]  # (b,1,1,3)
+                blend = (noise + cast) // 2
+                # bright patch whose position encodes the class
+                p = img // 8
+                for bi, c in enumerate(cls):
+                    y = (int(c) * 37) % (img - p)
+                    x = (int(c) * 101) % (img - p)
+                    blend[bi, y:y + p, x:x + p] = colors[c] // 2 + 128
+                dset[s:e] = blend.astype("u1")
+            else:
+                dset[s:e] = noise.astype("u1")
     return labels_path, images_path
 
 
@@ -186,21 +222,42 @@ def run_e2e(steps: int = 150, warmup: int = 10, batch: int = 128,
     # pure host-feed probe: the same production loader with NO device
     # transfer, so the record separates host-pipeline health from the
     # host->device path (through the tunneled chip the latter dominates
-    # e2e; on a real TPU host it rides PCIe/DMA and disappears)
+    # e2e; on a real TPU host it rides PCIe/DMA and disappears).
+    # Two windows: COLD (first feed_warmup batches — thread spawn, cold
+    # HDF5 chunk cache, futures ramp-up all inside) and STEADY (the next
+    # feed_steady batches with the pipeline warm). The steady number is the
+    # one to compare against the device-only step rate (feed_margin):
+    # reference analog is the saturated prefetching pipeline of
+    # h5data/base_prefetching_dataset.py:22-803.
+    feed_warmup, feed_steady = 10, 50
     host_loader = build_loader(labels, images, batch, io_threads,
                                window, depth, None)
-    host_loader.set_epoch(0)
     h_n = 0
     t0 = time.perf_counter()
-    for _ in host_loader:
-        h_n += 1
-        if h_n >= 12:
-            break
-    record["host_feed_images_per_sec"] = round(
-        h_n * batch / max(time.perf_counter() - t0, 1e-9), 1
+    t_warm = t0
+    epoch_h = 0
+    while h_n < feed_warmup + feed_steady:
+        host_loader.set_epoch(epoch_h)
+        for _ in host_loader:
+            h_n += 1
+            if h_n == feed_warmup:
+                record["host_feed_images_per_sec_cold"] = round(
+                    h_n * batch / max(time.perf_counter() - t0, 1e-9), 1
+                )
+                t_warm = time.perf_counter()
+            if h_n >= feed_warmup + feed_steady:
+                break
+        epoch_h += 1
+    record["host_feed_images_per_sec_steady"] = round(
+        feed_steady * batch / max(time.perf_counter() - t_warm, 1e-9), 1
     )
+    # legacy key: kept pointing at the steady number
+    record["host_feed_images_per_sec"] = record[
+        "host_feed_images_per_sec_steady"
+    ]
     host_loader.close()
-    mark(f"host-feed probe: {record['host_feed_images_per_sec']} img/s")
+    mark(f"host-feed probe: cold {record['host_feed_images_per_sec_cold']} "
+         f"/ steady {record['host_feed_images_per_sec_steady']} img/s")
 
     loader = build_loader(labels, images, batch, io_threads,
                           window, depth, jax.device_put)
@@ -256,6 +313,12 @@ def run_e2e(steps: int = 150, warmup: int = 10, batch: int = 128,
         record["feed_overlap"] = round(
             dev["train_ms_per_step"] / e2e_ms, 4
         )
+        # honest pipeline-health criterion: can the warm host pipeline
+        # outrun the device-only step rate? (>1.0 = yes)
+        record["feed_margin"] = round(
+            record["host_feed_images_per_sec_steady"]
+            / dev["train_images_per_sec"], 3
+        )
     return record
 
 
@@ -267,6 +330,11 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--gen", type=int, default=0, metavar="N",
                    help="(re)generate the dataset with N samples")
+    p.add_argument("--gen-learnable", action="store_true",
+                   help="with --gen: hierarchy-consistent labels + class-"
+                        "signal images (for real training-run receipts)")
+    p.add_argument("--gen-only", action="store_true",
+                   help="generate the dataset and exit (no benchmark)")
     p.add_argument("--prefix", default="/tmp/e2ebench")
     p.add_argument("--io-threads", type=int, default=8)
     p.add_argument("--window", type=int, default=4)
@@ -278,6 +346,17 @@ def main(argv=None) -> None:
                    help="measure one-off device_put latency (can hang on a "
                         "contended tunnel)")
     args = p.parse_args(argv)
+    if args.gen_only:
+        t0 = time.perf_counter()
+        labels, images = generate_dataset(
+            args.prefix, args.gen or 16384, 224,
+            learnable=args.gen_learnable,
+        )
+        print(json.dumps({
+            "labels": labels, "images": images,
+            "gen_s": round(time.perf_counter() - t0, 1),
+        }))
+        return
     record = run_e2e(
         steps=args.steps, warmup=args.warmup, batch=args.batch,
         gen=args.gen, prefix=args.prefix, io_threads=args.io_threads,

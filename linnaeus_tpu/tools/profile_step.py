@@ -24,7 +24,7 @@ import os
 
 def capture(out: str, batch: int, img: int, fp32_scores: bool,
             steps: int, arch: str = "v1", deinterleave: bool = True,
-            v0_head_split: bool = False) -> None:
+            v0_head_split: bool = False, moe: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +34,7 @@ def capture(out: str, batch: int, img: int, fp32_scores: bool,
     enable_compile_cache()
     run_j, state = build_step(batch, img, fp32_scores, remat=False,
                               arch=arch, rope_deinterleave=deinterleave,
-                              v0_head_split=v0_head_split)
+                              v0_head_split=v0_head_split, moe=moe)
     float(run_j(state, jnp.int32(1)))  # compile + warm
     with jax.profiler.trace(out):
         float(run_j(state, jnp.int32(steps)))  # host read inside the trace
@@ -151,6 +151,10 @@ def main(argv=None) -> None:
     p.add_argument("--v0-head-split", action="store_true",
                    help="v0 A/B: weight-level head split in "
                         "RelativeAttention (default off)")
+    p.add_argument("--moe", action="store_true",
+                   help="trace the mFormerV1_sm_moe train step (8-expert "
+                        "top-2 MoE on every 2nd RoPE block) — the routing-"
+                        "overhead decomposition behind docs/performance.md")
     p.add_argument("--inference", action="store_true",
                    help="trace the forward-only serving program instead of "
                         "the train step (bench.py's exact construction)")
@@ -171,7 +175,7 @@ def main(argv=None) -> None:
             capture(args.out, args.batch, args.img, args.fp32_scores,
                     args.steps, arch=args.arch,
                     deinterleave=not args.no_deinterleave,
-                    v0_head_split=args.v0_head_split)
+                    v0_head_split=args.v0_head_split, moe=args.moe)
     res = parse(args.out)
     if args.dump_json:
         with open(args.dump_json, "w") as fh:

@@ -183,7 +183,7 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
         assert out == out, "NaN"
         return time.perf_counter() - t0
 
-    timed(1)  # compile + warm
+    compile_s = timed(1)  # compile + warm (compile dominates when cold)
     t1 = timed(n1)
     t2 = timed(n2)
     ms = 1000.0 * (t2 - t1) / (n2 - n1)
@@ -191,6 +191,9 @@ def measure(batch: int = 128, img: int = 224, fp32_scores: bool = False,
         "arch": arch, "size": size, "batch": batch, "img": img,
         "fp32_scores": fp32_scores, "remat": remat, "flash": flash,
         "moe": moe, "fused_mlp": fused_mlp, "remat_policy": remat_policy,
+        "n1": n1, "n2": n2,
+        "compile_s": round(compile_s, 1),
+        "measure_s": round(t1 + t2, 1),
         "train_ms_per_step": round(ms, 2),
         "train_images_per_sec": round(batch / (ms / 1000.0), 1),
     }

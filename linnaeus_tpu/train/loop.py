@@ -459,9 +459,14 @@ class Trainer:
                 variables = {"params": params}
                 if batch_stats is not None:
                     variables["batch_stats"] = batch_stats
+                # training=True: the gradnorm re-forward differentiates a
+                # deterministic forward — exactly the case where fused-MLP
+                # tracer-sniffing is blind under jax.checkpoint; the explicit
+                # flag routes the training channel unconditionally
                 return gradnorm_model.apply(
                     variables, images, meta,
                     deterministic=deterministic, gradnorm_mode=gradnorm_mode,
+                    training=True,
                 )
 
             from linnaeus_tpu.utils.param_filters import resolve_gradnorm_exclude

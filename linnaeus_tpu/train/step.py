@@ -283,6 +283,7 @@ def make_train_step(
                 images,
                 meta,
                 deterministic=False,
+                training=True,
                 rngs={"dropout": r_drop, "gumbel": r_gumbel},
                 mutable=mutable,
             )
@@ -294,6 +295,7 @@ def make_train_step(
                 images,
                 meta,
                 deterministic=False,
+                training=True,
                 rngs={"dropout": r_drop, "gumbel": r_gumbel},
             )
         total, components = weighted_hierarchical_loss(
