@@ -190,6 +190,11 @@ def _build_default_config() -> CN:
     _C.DATA.H5.IMAGES_PATH = None
     _C.DATA.H5.TRAIN_VAL_SPLIT_RATIO = 0.9
     _C.DATA.H5.TRAIN_VAL_SPLIT_SEED = 42
+    # 'auto': batch image reads bypass HDF5 selection machinery via
+    # chunk-offset preadv when the dataset is one-row-per-chunk filterless
+    # uint8 at target size (measured 4.7x per-row h5py reads on one core);
+    # 'off' forces per-row reads; 'on' raises when the layout is ineligible
+    _C.DATA.H5.DIRECT_CHUNK_READS = "auto"
 
     # C++ batch data-plane for hybrid (images-on-disk) reads: file IO + JPEG
     # decode (DCT prescale) + area resize in native worker threads, one

@@ -41,7 +41,10 @@ def _image_source(config, labels: ProcessedLabels, images_path: str | None):
             native=str(config.DATA.get("NATIVE_DATAPLANE", "auto")),
         )
     if images_path:
-        return H5ImageSource(images_path, img_size)
+        return H5ImageSource(
+            images_path, img_size,
+            direct_chunk=str(config.DATA.H5.get("DIRECT_CHUNK_READS", "auto")),
+        )
     logger.warning("No image source configured; using synthetic images")
     return SyntheticImageSource(img_size, seed=int(config.MISC.SEED))
 

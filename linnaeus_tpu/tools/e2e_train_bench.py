@@ -104,7 +104,8 @@ def generate_dataset(prefix: str, n: int, img: int,
 
 
 def build_loader(labels: str, images: str, batch: int, io_threads: int,
-                 window: int, depth: int, device_put_fn):
+                 window: int, depth: int, device_put_fn,
+                 direct_chunk: str = "auto"):
     from linnaeus_tpu.configuration import get_default_config
     from linnaeus_tpu.data.build import build_datasets, build_loaders
 
@@ -113,6 +114,7 @@ def build_loader(labels: str, images: str, batch: int, io_threads: int,
     cfg.DATA.BATCH_SIZE = batch
     cfg.DATA.H5.LABELS_PATH = labels
     cfg.DATA.H5.IMAGES_PATH = images
+    cfg.DATA.H5.DIRECT_CHUNK_READS = direct_chunk
     cfg.DATA.TASK_KEYS_H5 = ["taxa_L10", "taxa_L20", "taxa_L30", "taxa_L40"]
     cfg.DATA.PARTIAL.LEVELS = True
     cfg.DATA.PREFETCH.NUM_IO_THREADS = io_threads
@@ -125,6 +127,61 @@ def build_loader(labels: str, images: str, batch: int, io_threads: int,
     bundle = build_datasets(cfg)
     train_loader, _ = build_loaders(cfg, bundle, device_put_fn=device_put_fn)
     return train_loader
+
+
+def _steady_feed(labels: str, images: str, batch: int, io_threads: int,
+                 window: int, depth: int, direct_chunk: str,
+                 feed_warmup: int = 10, feed_steady: int = 50) -> float:
+    """Steady-state host-feed rate (img/s): warm the loader, discard the
+    first ``feed_warmup`` batches, time the next ``feed_steady``."""
+    import time as _t
+
+    loader = build_loader(labels, images, batch, io_threads, window, depth,
+                          None, direct_chunk=direct_chunk)
+    n = 0
+    t_warm = _t.perf_counter()
+    epoch = 0
+    while n < feed_warmup + feed_steady:
+        loader.set_epoch(epoch)
+        for _ in loader:
+            n += 1
+            if n == feed_warmup:
+                t_warm = _t.perf_counter()
+            if n >= feed_warmup + feed_steady:
+                break
+        epoch += 1
+    rate = feed_steady * batch / max(_t.perf_counter() - t_warm, 1e-9)
+    loader.close()
+    return round(rate, 1)
+
+
+def feed_ab(labels: str, images: str, batch: int = 128, pairs: int = 3,
+            window: int = 4, depth: int = 2) -> dict:
+    """Interleaved A/B of the direct-chunk gather vs per-row h5py reads on
+    the production loader (steady-state), plus the per-io-thread scaling
+    curve for each path. The honest pipeline-health receipt behind
+    DATA.H5.DIRECT_CHUNK_READS (docs/performance.md)."""
+    record: dict = {"batch": batch, "pairs": pairs}
+    direct, per_row = [], []
+    for _ in range(pairs):
+        direct.append(_steady_feed(labels, images, batch, 8, window, depth,
+                                   "on"))
+        per_row.append(_steady_feed(labels, images, batch, 8, window, depth,
+                                    "off"))
+    record["direct_img_per_sec"] = direct
+    record["per_row_img_per_sec"] = per_row
+    record["direct_median"] = sorted(direct)[pairs // 2]
+    record["per_row_median"] = sorted(per_row)[pairs // 2]
+    record["speedup"] = round(
+        record["direct_median"] / max(record["per_row_median"], 1e-9), 2
+    )
+    for mode in ("on", "off"):
+        record[f"scaling_{mode}"] = {
+            t: _steady_feed(labels, images, batch, t, window, depth, mode,
+                            feed_steady=30)
+            for t in (1, 2, 4, 8)
+        }
+    return record
 
 
 def run_e2e(steps: int = 150, warmup: int = 10, batch: int = 128,
@@ -345,7 +402,17 @@ def main(argv=None) -> None:
     p.add_argument("--transfer-probe", action="store_true",
                    help="measure one-off device_put latency (can hang on a "
                         "contended tunnel)")
+    p.add_argument("--feed-ab", action="store_true",
+                   help="interleaved steady-state A/B: direct-chunk gather "
+                        "vs per-row h5py reads + io-thread scaling curves "
+                        "(no device work)")
     args = p.parse_args(argv)
+    if args.feed_ab:
+        print(json.dumps(feed_ab(
+            f"{args.prefix}_labels.h5", f"{args.prefix}_images.h5",
+            batch=args.batch, window=args.window, depth=args.depth,
+        )))
+        return
     if args.gen_only:
         t0 = time.perf_counter()
         labels, images = generate_dataset(

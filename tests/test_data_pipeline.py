@@ -626,3 +626,90 @@ def test_loader_max_processed_batches_still_yields_all(labels_h5, tmp_path):
     train_loader, _ = build_loaders(cfg, bundle)
     n_batches = sum(1 for _ in train_loader)
     assert n_batches == len(train_loader) and n_batches > 0
+
+
+# ---------------------------------------------------------------- direct-chunk
+def _chunked_images(tmp_path, n=40, size=16, **dset_kw):
+    path = str(tmp_path / "chunked.h5")
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, (n, size, size, 3), dtype=np.uint8)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("images", data=data,
+                         chunks=(1, size, size, 3), **dset_kw)
+    return path, data
+
+
+def test_h5_direct_chunk_gather_equals_per_row(tmp_path):
+    from linnaeus_tpu.data.datasets import H5ImageSource
+
+    path, data = _chunked_images(tmp_path)
+    src = H5ImageSource(path, 16)
+    assert src.supports_batch_read()
+    idx = np.asarray([5, 0, 17, 39, 5])  # duplicates + unsorted
+    got = src.read_batch_rows(idx)
+    np.testing.assert_array_equal(got, data[idx])
+    np.testing.assert_array_equal(src.read(7), data[7])  # per-row parity
+    src.close()
+
+
+def test_h5_direct_chunk_gating(tmp_path):
+    from linnaeus_tpu.data.datasets import H5ImageSource
+
+    # eligible layout, explicitly disabled
+    path, _ = _chunked_images(tmp_path)
+    off = H5ImageSource(path, 16, direct_chunk="off")
+    assert not off.supports_batch_read()
+    off.close()
+
+    # compressed -> ineligible under auto, raises under 'on'
+    zpath, zdata = _chunked_images(tmp_path, compression="gzip")
+    z = H5ImageSource(zpath, 16)
+    assert not z.supports_batch_read()
+    np.testing.assert_array_equal(z.read(3), zdata[3])
+    z.close()
+    with pytest.raises(ValueError, match="ineligible"):
+        H5ImageSource(zpath, 16, direct_chunk="on").supports_batch_read()
+
+    # stored size != target (needs resize) -> ineligible
+    rdir = tmp_path / "r"
+    rdir.mkdir()
+    rpath, _ = _chunked_images(rdir, size=16)
+    r = H5ImageSource(rpath, 8)
+    assert not r.supports_batch_read()
+    assert r.read(0).shape == (8, 8, 3)
+    r.close()
+
+
+def test_h5_direct_chunk_contiguous_layout_falls_back(images_h5):
+    # the module fixture writes a CONTIGUOUS dataset (no chunks)
+    from linnaeus_tpu.data.datasets import H5ImageSource
+
+    src = H5ImageSource(images_h5, 16)
+    assert not src.supports_batch_read()
+    src.close()
+
+
+def test_loader_batches_identical_direct_vs_per_row(tmp_path, labels_h5):
+    """Same loader output images whether batch reads take the direct-chunk
+    gather or per-row h5py reads."""
+    import os
+
+    os.makedirs(tmp_path / "a", exist_ok=True)
+    path, _ = _chunked_images(tmp_path / "a", n=N)
+
+    def batches(mode):
+        cfg = small_config(labels_h5, path)
+        cfg.DATA.H5.DIRECT_CHUNK_READS = mode
+        cfg.DATA.PREFETCH.MEM_CACHE_SIZE = 0
+        bundle = build_datasets(cfg)
+        loader, _ = build_loaders(cfg, bundle, device_put_fn=None)
+        loader.set_epoch(0)
+        out = [np.asarray(b["images"]) for b in loader]
+        loader.close()
+        return out
+
+    a = batches("on")
+    b = batches("off")
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
