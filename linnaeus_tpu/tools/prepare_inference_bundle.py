@@ -72,7 +72,38 @@ def prepare_bundle(
     with open(os.path.join(output_dir, "weights.msgpack"), "wb") as f:
         f.write(to_bytes(jax.tree.map(lambda x: x, variables)))
 
-    # 3) inference config
+    # 3) metadata flags derived from the checkpoint's own meta heads —
+    # the model only creates heads for enabled components (mFormerV1
+    # meta_<component>_head_<stage>), so the params are ground truth;
+    # writing {} would fall back to pydantic defaults (elevation ON) and
+    # break restores of runs trained without elevation
+    def _meta_in_dim(name: str) -> int | None:
+        head = params.get(name) or params.get(name.replace("_1", "_2"))
+        if head is None or "Dense_0" not in head:
+            return None
+        return int(head["Dense_0"]["kernel"].shape[0])
+
+    t_dim = _meta_in_dim("meta_temporal_head_1")
+    s_dim = _meta_in_dim("meta_spatial_head_1")
+    e_dim = _meta_in_dim("meta_elevation_head_1")
+    meta_pre: dict = {
+        "use_temporal": t_dim is not None,
+        "temporal_use_hour": t_dim == 4,
+        "use_geolocation": s_dim is not None,
+        "use_elevation": e_dim is not None,
+    }
+    if e_dim:
+        # 2 sinusoidal features per scale; scale VALUES are training-config
+        # knowledge the checkpoint doesn't carry — write defaults of the
+        # right count (editable in the emitted yaml)
+        scales = [100.0, 1000.0, 5000.0][: e_dim // 2]
+        while len(scales) < e_dim // 2:
+            scales.append(scales[-1] * 10.0)
+        meta_pre["elevation_scales"] = scales
+    else:
+        meta_pre["elevation_scales"] = []
+    aux_len = (t_dim or 0) + (s_dim or 0) + (e_dim or 0)
+
     config = {
         "model": {
             "architecture_name": architecture_name,
@@ -80,9 +111,10 @@ def prepare_bundle(
             "model_task_keys_ordered": list(task_keys),
             "num_classes_per_task": [int(n) for n in num_classes],
             "null_class_indices": {t: 0 for t in task_keys},
+            "expected_aux_vector_length": aux_len,
         },
         "input_preprocessing": {"image_size": [3, image_size, image_size]},
-        "metadata_preprocessing": {},
+        "metadata_preprocessing": meta_pre,
         "taxonomy_data": {
             "source_name": "linnaeus_tpu",
             "taxonomy_tree_path": "taxonomy.json",

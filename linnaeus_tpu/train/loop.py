@@ -90,6 +90,17 @@ class Trainer:
         self.num_classes = self.bundle["num_classes"]
         self.task_keys = tuple(config.DATA.TASK_KEYS_H5)
         self.taxonomy_tree = self.bundle["taxonomy_tree"]
+        # persist class maps / densities / taxonomy so a finished run is
+        # directly consumable by tools/prepare_inference_bundle.py
+        # (reference writes these at train start: utils/dataset_metadata.py)
+        if is_main_process() and config.ENV.OUTPUT.DIRS.get("ASSETS"):
+            from linnaeus_tpu.data.processor import (
+                process_and_save_dataset_metadata,
+            )
+
+            process_and_save_dataset_metadata(
+                self.bundle["processor"], config.ENV.OUTPUT.DIRS.ASSETS
+            )
 
         # ---------------- mesh
         self.mesh = create_mesh(config)

@@ -153,6 +153,56 @@ def test_prepare_inference_bundle(tmp_path, labels_h5):
     with open(os.path.join(out, "class_map.json")) as f:
         cm = json.load(f)
     assert cm["taxa_L10"]["0"] == 0  # null idx -> taxon id 0
+    # metadata flags derived from the checkpoint's params: no meta heads
+    # trained -> every component off (pydantic defaults would say elevation
+    # ON and break the restore)
+    import yaml
+
+    with open(os.path.join(out, "config.yaml")) as f:
+        bundle_cfg = yaml.safe_load(f)
+    mp = bundle_cfg["metadata_preprocessing"]
+    assert mp == {
+        "use_temporal": False, "temporal_use_hour": False,
+        "use_geolocation": False, "use_elevation": False,
+        "elevation_scales": [],
+    }
+    assert bundle_cfg["model"]["expected_aux_vector_length"] == 0
+
+    # same checkpoint geometry but trained WITH temporal(2)+spatial(3):
+    # flags come back on and the aux length matches the heads
+    model_m = MFormerV1(
+        img_size=(32, 32),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=(8, 16, 32, 64),
+        rope_depths=(1, 1),
+        rope_dims=(32, 64),
+        rope_num_heads=(2, 2),
+        drop_path_rate=0.0,
+        meta_components=(("TEMPORAL", 2), ("SPATIAL", 3)),
+        task_keys=("taxa_L10", "taxa_L20"),
+        num_classes=proc.num_classes,
+        head_configs={t: {"TYPE": "Linear"} for t in proc.task_keys},
+    )
+    params_m = model_m.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 5))
+    )["params"]
+    state_m = create_train_state(
+        model_m, params_m, optax.sgd(0.1), num_tasks=2,
+        rng=jax.random.PRNGKey(0),
+    )
+    path_m = ckpt.save_checkpoint(str(tmp_path / "ckpts_m"), state_m)
+    out_m = prepare_bundle(
+        path_m, str(assets), str(tmp_path / "bundle_m"), "tiny",
+        proc.task_keys, [proc.num_classes[t] for t in proc.task_keys],
+        image_size=32,
+    )
+    with open(os.path.join(out_m, "config.yaml")) as f:
+        mp_m = yaml.safe_load(f)
+    assert mp_m["metadata_preprocessing"]["use_temporal"] is True
+    assert mp_m["metadata_preprocessing"]["temporal_use_hour"] is False
+    assert mp_m["metadata_preprocessing"]["use_geolocation"] is True
+    assert mp_m["metadata_preprocessing"]["use_elevation"] is False
+    assert mp_m["model"]["expected_aux_vector_length"] == 5
 
 
 def test_interpolate_rel_pos_bias():

@@ -123,6 +123,12 @@ def test_trainer_end_to_end(data_dir, tmp_path):
     ckpts = os.listdir(cfg.ENV.OUTPUT.DIRS.CHECKPOINTS)
     assert any(c.startswith("checkpoint_step_") for c in ckpts)
 
+    # dataset assets persisted at train start, so the finished run is
+    # directly consumable by tools/prepare_inference_bundle.py
+    assets = os.listdir(cfg.ENV.OUTPUT.DIRS.ASSETS)
+    assert "dataset_metadata.json" in assets
+    assert "taxonomy.json" in assets
+
     # resume: fresh trainer picks up state
     trainer2 = Trainer(cfg)
     assert trainer2.try_resume()
