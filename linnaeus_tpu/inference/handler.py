@@ -6,8 +6,11 @@ images/metadata, runs one jitted forward, produces per-task softmax top-k as
 typus-shaped ``HierarchicalClassificationResult``s with optional
 hierarchical-consistency enforcement; ``info`` describes the model.
 
-The forward is compiled once per (batch size) and padded to the configured
-max batch so serving never recompiles.
+The forward takes uint8 pixels (normalization fused on device), computes
+top-k on device, and returns ONE packed buffer per call (a single host
+fetch — per-RPC latency dominates on remote chips). Batches pad to the
+smallest power-of-two bucket; each (bucket, k) pair compiles once and
+caches, so steady serving never recompiles.
 """
 
 from __future__ import annotations
@@ -79,24 +82,50 @@ class LinnaeusInferenceHandler:
         self.class_maps = class_maps
         self.task_keys = list(config.model.model_task_keys_ordered)
         self._max_batch = int(config.inference_options.batch_size)
+        self._n_classes = [int(n) for n in config.model.num_classes_per_task]
 
-        def forward(variables, images, aux):
-            outputs = model.apply(variables, images, aux, deterministic=True)
-            return {
-                t: jax.nn.softmax(outputs[t].astype(jax.numpy.float32), axis=-1)
-                for t in self.task_keys
-            }
+        mean = np.asarray(config.input_preprocessing.image_mean, np.float32)
+        std = np.asarray(config.input_preprocessing.image_std, np.float32)
+
+        # Remote/tunneled-chip serving economics (measured,
+        # docs/performance.md serving-latency section): each host<->device
+        # round trip costs ~0.5-0.7 s regardless of size, so the forward
+        # (a) takes UINT8 pixels and normalizes on device (4x less upload
+        # than f32 — same design as the training loader), (b) computes
+        # top-k ON DEVICE and packs every task's (values, indices) into ONE
+        # f32 buffer so the host does exactly one fetch (indices are exact
+        # in f32 up to 2^24 classes), and (c) runs at the smallest padded
+        # batch bucket >= the live batch instead of always max_batch.
+        # k is static: a new (bucket, k) pair compiles once, then caches.
+        def forward(variables, images_u8, aux, k: int):
+            jnp = jax.numpy
+            x = images_u8.astype(jnp.float32) / 255.0
+            x = (x - mean.reshape(1, 1, 1, -1)) / std.reshape(1, 1, 1, -1)
+            outputs = model.apply(variables, x, aux, deterministic=True)
+            packed = []
+            for t, n_t in zip(self.task_keys, self._n_classes):
+                p = jax.nn.softmax(outputs[t].astype(jnp.float32), axis=-1)
+                k_t = min(k, n_t)
+                vals, idx = jax.lax.top_k(p, k_t)
+                if k_t < k:  # pad to the common k for one rectangular pack
+                    pad = ((0, 0), (0, k - k_t))
+                    vals = jnp.pad(vals, pad, constant_values=-1.0)
+                    idx = jnp.pad(idx, pad, constant_values=0)
+                packed.append(vals)
+                packed.append(idx.astype(jnp.float32))
+            return jnp.stack(packed, axis=1)  # (B, 2*n_tasks, k)
 
         # Data-parallel serving: shard the padded batch over a 1-axis mesh
         # (weights replicated, rows split — per-sample compute has no
         # cross-batch reduction, so results are identical to one device).
-        # The padded batch is always exactly ``batch_size`` rows, so the
-        # divisibility check at resolve time guarantees even shards.
+        # Batch buckets are multiples of the device count, so shards stay
+        # even at every bucket size.
         self._dp = _resolve_data_parallel(
             config.inference_options.data_parallel,
             len(jax.devices()),
             self._max_batch,
         )
+        self._forward_fns: dict[int, Any] = {}
         if self._dp > 1:
             from jax.sharding import Mesh, NamedSharding
             from jax.sharding import PartitionSpec as P
@@ -104,15 +133,74 @@ class LinnaeusInferenceHandler:
             mesh = Mesh(np.asarray(jax.devices()[: self._dp]), ("data",))
             rep = NamedSharding(mesh, P())
             rows = NamedSharding(mesh, P("data"))
-            self._forward = jax.jit(
-                forward, in_shardings=(rep, rows, rows), out_shardings=rep
-            )
+
+            def make_forward(k: int):
+                return jax.jit(
+                    lambda v, im, ax: forward(v, im, ax, k),
+                    in_shardings=(rep, rows, rows), out_shardings=rep,
+                )
+
             logger.info(
                 f"inference: data-parallel over {self._dp} devices "
                 f"(batch {self._max_batch} -> {self._max_batch // self._dp}/device)"
             )
+            param_sharding = rep
         else:
-            self._forward = jax.jit(forward)
+            def make_forward(k: int):
+                return jax.jit(lambda v, im, ax: forward(v, im, ax, k))
+
+            param_sharding = jax.devices()[0]
+
+        self._make_forward = make_forward
+        # Pin the weights on device ONCE. msgpack restore yields host numpy
+        # arrays, and jit re-uploads host operands on EVERY call — measured
+        # 2.4 s/forward for the 121 MB sm param tree through the tunnel,
+        # which silently dominated serving latency (docs/performance.md).
+        self.variables = jax.device_put(self.variables, param_sharding)
+
+    def _forward(self, variables, images, aux, k: int):
+        fn = self._forward_fns.get(k)
+        if fn is None:
+            fn = self._forward_fns[k] = self._make_forward(k)
+        return fn(variables, images, aux)
+
+    def warmup(self) -> int:
+        """Pre-compile every batch bucket at the default top-k so steady
+        serving never hits a lazy compile (a mid-traffic bucket compile
+        shows up as a multi-second p99 outlier on remote chips). Returns
+        the number of buckets warmed. Call at server start (tools/serve.py
+        does)."""
+        c, h, w = self.config.input_preprocessing.image_size
+        aux_dim = self.config.model.expected_aux_vector_length or 0
+        k = self.config.inference_options.default_top_k
+        warmed = 0
+        b = max(self._dp, 1)
+        buckets = []
+        while b < self._max_batch:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self._max_batch)
+        import jax.numpy as jnp
+
+        for b in buckets:
+            out = self._forward(
+                self.variables,
+                jnp.zeros((b, h, w, c), jnp.uint8),
+                jnp.zeros((b, aux_dim), jnp.float32),
+                int(k),
+            )
+            np.asarray(out)  # force completion (remote clients report early)
+            warmed += 1
+        return warmed
+
+    def _bucket(self, n: int) -> int:
+        """Smallest padded batch size >= n: powers of two (multiples of the
+        data-parallel width when sharded), capped at the configured max."""
+        step = max(self._dp, 1)
+        b = step
+        while b < n:
+            b *= 2
+        return min(b, self._max_batch)
 
     # ----------------------------------------------------------- constructors
     @classmethod
@@ -179,42 +267,59 @@ class LinnaeusInferenceHandler:
             chunk = images[start : start + bs]
             metas = metadata[start : start + bs] if metadata else None
             opts = per_sample[start : start + bs]
-            pixels = preprocess_image_batch(chunk, self.config)
+            pixels = preprocess_image_batch(chunk, self.config, as_uint8=True)
             aux = preprocess_metadata_batch(metas, len(chunk), self.config)
             for i, o in enumerate(opts):
                 if o is not None and o.aux_override is not None:
                     aux[i] = np.asarray(o.aux_override, np.float32)
-            # pad to the compiled batch size (no recompiles while serving)
+            # pad to the smallest compiled batch bucket (each bucket
+            # compiles once; no recompiles while serving at steady load)
             n = len(chunk)
-            if n < bs:
+            bucket = self._bucket(n)
+            if n < bucket:
                 pixels = np.concatenate(
-                    [pixels, np.zeros((bs - n,) + pixels.shape[1:], pixels.dtype)]
+                    [pixels,
+                     np.zeros((bucket - n,) + pixels.shape[1:], pixels.dtype)]
                 )
                 aux = np.concatenate(
-                    [aux, np.zeros((bs - n,) + aux.shape[1:], aux.dtype)]
+                    [aux, np.zeros((bucket - n,) + aux.shape[1:], aux.dtype)]
                 )
-            probs = self._forward(
-                self.variables, jnp.asarray(pixels), jnp.asarray(aux)
+            # device-side top-k: k covers the largest per-sample request,
+            # rounded up to the default (or a power of two above it) so
+            # distinct compiled k values stay rare
+            want_k = max(
+                [default_k]
+                + [o.top_k for o in opts if o is not None and o.top_k]
             )
-            probs = {t: np.asarray(v)[:n] for t, v in probs.items()}
+            k = default_k
+            while k < want_k:
+                k *= 2
+            k = min(k, max(self._n_classes))
+            packed = np.asarray(
+                self._forward(self.variables, jnp.asarray(pixels),
+                              jnp.asarray(aux), int(k))
+            )[:n]  # ONE host fetch: (n, 2*n_tasks, k)
             for i in range(n):
                 o = opts[i]
                 top_k = o.top_k if (o is not None and o.top_k) else default_k
-                results.append(self._build_result(probs, i, top_k))
+                results.append(self._build_result(packed[i], min(top_k, k)))
         return results
 
     def _build_result(
-        self, probs: dict[str, np.ndarray], i: int, top_k: int
+        self, packed_row: np.ndarray, top_k: int
     ) -> HierarchicalClassificationResult:
+        """packed_row: (2*n_tasks, k) — per task, its top-k values row then
+        its indices row (f32-encoded), as packed by the jitted forward."""
         tasks = []
-        for t in self.task_keys:
+        for ti, (t, n_t) in enumerate(zip(self.task_keys, self._n_classes)):
             rank = rank_level_from_task_key(t)
-            p = probs[t][i]
-            k = min(top_k, len(p))
-            top_idx = np.argsort(-p)[:k]
+            vals = packed_row[2 * ti]
+            idx = packed_row[2 * ti + 1]
+            k = min(top_k, n_t)
             idx_map = self.class_maps.idx_to_taxon_id.get(rank, {})
             preds = [
-                (int(idx_map.get(int(ci), int(ci))), float(p[ci])) for ci in top_idx
+                (int(idx_map.get(int(ci), int(ci))), float(v))
+                for v, ci in zip(vals[:k], idx[:k])
             ]
             tasks.append(
                 TaskPrediction(rank_level=rank, task_key=t, predictions=preds)

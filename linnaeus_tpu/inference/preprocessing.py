@@ -35,12 +35,24 @@ def _to_array(image: Any) -> np.ndarray:
     return image
 
 
-def preprocess_image(image: Any, cfg: InferenceConfig) -> np.ndarray:
-    """-> float32 (H, W, C), normalized (NHWC: TPU-native layout)."""
+def preprocess_image_u8(image: Any, cfg: InferenceConfig) -> np.ndarray:
+    """-> uint8 (H, W, C) RGB, resized but NOT normalized.
+
+    The serving fast path ships uint8 to the device and fuses the
+    /255-mean/std normalization into the jitted forward (same design as
+    the training loader, data/datasets.py): 4x less host->device traffic,
+    which dominates on remote/tunneled chips. Float array inputs are
+    quantized to uint8 (values <=1.5 are treated as [0,1]-scaled) — the
+    precision any JPEG-fed pipeline already lives with."""
     from PIL import Image
 
     c, h, w = cfg.input_preprocessing.image_size
     arr = _to_array(image)
+    if np.issubdtype(arr.dtype, np.floating):
+        if arr.size and float(arr.max()) <= 1.5:
+            arr = arr * 255.0
+        arr = np.clip(arr, 0.0, 255.0)
+    arr = arr.astype(np.uint8)
     if arr.shape[0] != h or arr.shape[1] != w:
         interp = {
             "bilinear": Image.BILINEAR,
@@ -48,15 +60,26 @@ def preprocess_image(image: Any, cfg: InferenceConfig) -> np.ndarray:
             "nearest_exact": Image.NEAREST,
             "nearest": Image.NEAREST,
         }.get(cfg.input_preprocessing.image_interpolation, Image.BILINEAR)
-        arr = np.asarray(Image.fromarray(arr.astype(np.uint8)).resize((w, h), interp))
-    arr = arr.astype(np.float32) / 255.0
+        arr = np.asarray(Image.fromarray(arr).resize((w, h), interp))
+    return arr
+
+
+def preprocess_image(image: Any, cfg: InferenceConfig) -> np.ndarray:
+    """-> float32 (H, W, C), normalized (NHWC: TPU-native layout)."""
+    arr = preprocess_image_u8(image, cfg).astype(np.float32) / 255.0
     mean = np.asarray(cfg.input_preprocessing.image_mean, np.float32)
     std = np.asarray(cfg.input_preprocessing.image_std, np.float32)
     return (arr - mean) / std
 
 
-def preprocess_image_batch(images: list[Any], cfg: InferenceConfig) -> np.ndarray:
-    """Batch decode+resize+normalize.
+def preprocess_image_batch(
+    images: list[Any], cfg: InferenceConfig, as_uint8: bool = False
+) -> np.ndarray:
+    """Batch decode+resize(+normalize).
+
+    ``as_uint8=True`` skips normalization and returns uint8 rows — the
+    serving fast path (the handler normalizes on device; see
+    ``preprocess_image_u8``).
 
     Fast path: when every input is JPEG bytes and the target is square, the
     whole batch decodes in the native C++ data-plane (DCT-prescaled decode +
@@ -82,15 +105,21 @@ def preprocess_image_batch(images: list[Any], cfg: InferenceConfig) -> np.ndarra
         dp = get_dataplane()
         if dp is not None:
             arr, status = dp.decode_jpeg_mem_batch(list(images), h)
+            if as_uint8:
+                for i in np.nonzero(status != 0)[0]:
+                    # per-sample PIL fallback: raises exactly what the
+                    # Python path would raise for these bytes
+                    arr[i] = preprocess_image_u8(images[i], cfg)
+                return arr
             out = arr.astype(np.float32) / 255.0
             mean = np.asarray(cfg.input_preprocessing.image_mean, np.float32)
             std = np.asarray(cfg.input_preprocessing.image_std, np.float32)
             out = (out - mean) / std
             for i in np.nonzero(status != 0)[0]:
-                # per-sample PIL fallback: raises exactly what the Python
-                # path would raise for these bytes
                 out[i] = preprocess_image(images[i], cfg)
             return out
+    if as_uint8:
+        return np.stack([preprocess_image_u8(im, cfg) for im in images])
     return np.stack([preprocess_image(im, cfg) for im in images])
 
 

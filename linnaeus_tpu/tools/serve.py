@@ -307,6 +307,8 @@ def main(argv=None) -> None:
     from linnaeus_tpu.utils.logging import get_main_logger
 
     handler = LinnaeusInferenceHandler.load_from_artifacts(args.config)
+    n = handler.warmup()  # compile every batch bucket before taking traffic
+    get_main_logger().info(f"warmed {n} batch buckets")
     server = make_server(handler, args.host, args.port,
                          args.max_batch, args.batch_timeout_ms)
     get_main_logger().info(

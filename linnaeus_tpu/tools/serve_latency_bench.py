@@ -50,7 +50,7 @@ def _fire(port: int, body: bytes) -> None:
         headers={"Content-Type": "application/json"},
         method="POST",
     )
-    with urllib.request.urlopen(req, timeout=120) as resp:
+    with urllib.request.urlopen(req, timeout=300) as resp:
         if resp.status != 200:
             raise RuntimeError(f"status {resp.status}")
         resp.read()
@@ -86,7 +86,11 @@ def run_setting(handler, timeout_ms: float, max_batch: int, clients: int,
 
         def worker() -> None:
             for _ in range(warmup):
-                _fire(port, body)
+                try:
+                    _fire(port, body)
+                except Exception:  # noqa: BLE001 — a warmup failure (first
+                    pass  # compile > timeout) must not kill the worker:
+                    # a dead worker deadlocks the barrier for everyone else
             i = barrier.wait()
             if i == 0:
                 server.batcher.batch_sizes.clear()
@@ -150,6 +154,8 @@ def main(argv=None) -> None:
     from linnaeus_tpu.inference import LinnaeusInferenceHandler
 
     handler = LinnaeusInferenceHandler.load_from_artifacts(args.config)
+    if hasattr(handler, "warmup"):
+        handler.warmup()  # pre-compile buckets: p99 measures serving, not XLA
     body = json.dumps(
         {"instances": [{"image": _png_b64(args.image_size)}]}
     ).encode()

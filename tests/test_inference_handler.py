@@ -83,6 +83,73 @@ def test_handler_batch_larger_than_max(bundle):
     assert len(results) == 6
 
 
+def test_batch_buckets_and_device_topk(bundle):
+    """Serving fast-path invariants: batches pad to the smallest
+    power-of-two bucket (not always max batch), distinct k values compile
+    once each, and a per-sample top_k above the default still returns the
+    full k predictions (device-side lax.top_k path)."""
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    assert handler._bucket(1) == max(handler._dp, 1)
+    assert handler._bucket(handler._max_batch) == handler._max_batch
+    # monotone, power-of-two-of-dp steps, capped
+    prev = 0
+    for n in range(1, handler._max_batch + 1):
+        b = handler._bucket(n)
+        assert b >= n or b == handler._max_batch
+        assert b >= prev
+        prev = b
+
+    # disable consistency enforcement so raw top-k counts are observable
+    # (an untrained model's chain is inconsistent -> finer ranks null out)
+    cfg = handler.config.model_copy(deep=True)
+    cfg.inference_options.enable_hierarchical_consistency_check = False
+    raw = LinnaeusInferenceHandler(
+        cfg, handler.model, handler.variables, handler.taxonomy,
+        handler.class_maps,
+    )
+    # warmup pre-compiles one forward per bucket (dp..max_batch)
+    import math
+
+    expected_buckets = 1 + max(
+        0, math.ceil(math.log2(handler._max_batch / max(handler._dp, 1)))
+    )
+    assert handler.warmup() == expected_buckets
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    # default_top_k=3; ask for 5 -> k rounds to 6 internally, clamps at the
+    # class count; 5 predictions returned
+    r = raw.predict([img], None, InferenceRequestMetadata(top_k=5))
+    assert len(r[0].tasks[0].predictions) == 5  # taxa_L10 has 5 classes
+    assert len(r[0].tasks[1].predictions) == 3  # taxa_L20: clamped to classes
+    # probabilities still sorted and normalized
+    probs = [p for _, p in r[0].tasks[0].predictions]
+    assert probs == sorted(probs, reverse=True)
+    assert 0.99 < sum(probs) < 1.01  # k == n_classes -> full distribution
+
+
+def test_uint8_preprocess_parity(bundle):
+    """(u8/255 - mean)/std on device must equal the normalized f32 host
+    path bit-for-bit up to f32 rounding."""
+    from linnaeus_tpu.inference.preprocessing import preprocess_image_batch
+
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    cfg = handler.config
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(2)]
+    u8 = preprocess_image_batch(imgs, cfg, as_uint8=True)
+    assert u8.dtype == np.uint8
+    f32 = preprocess_image_batch(imgs, cfg)
+    mean = np.asarray(cfg.input_preprocessing.image_mean, np.float32)
+    std = np.asarray(cfg.input_preprocessing.image_std, np.float32)
+    np.testing.assert_allclose(
+        (u8.astype(np.float32) / 255.0 - mean) / std, f32, atol=1e-6
+    )
+    # float [0,1] array inputs quantize to u8 without scale confusion
+    fimg = imgs[0].astype(np.float32) / 255.0
+    u8f = preprocess_image_batch([fimg], cfg, as_uint8=True)
+    np.testing.assert_array_equal(u8f[0], imgs[0])
+
+
 def test_data_parallel_resolution():
     from linnaeus_tpu.inference.handler import _resolve_data_parallel as r
 
