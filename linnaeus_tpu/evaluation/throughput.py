@@ -59,6 +59,12 @@ def throughput_test(
         dtype = jnp.float32
         img_hw = model.img_size
 
+    if params is not None:
+        # pin caller-provided (possibly host-numpy) trees on device once:
+        # jit re-uploads host operands EVERY call, which would charge the
+        # throughput number for transfers (see the serving-latency receipt)
+        params = jax.device_put(params)
+
     batch_sizes = batch_sizes or [32, 64, 128, 256]
     results = {}
     for bs in batch_sizes:
