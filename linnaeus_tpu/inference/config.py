@@ -88,6 +88,19 @@ class InferenceConfig(BaseModel):
     inference_options: InferenceOptionsConfig
     model_description: str | None = None
 
+    def aux_vector_length(self) -> int:
+        """Packed aux width: the explicit override, else derived from the
+        enabled metadata components (single source of truth for model init,
+        warmup, and preprocessing padding)."""
+        if self.model.expected_aux_vector_length is not None:
+            return int(self.model.expected_aux_vector_length)
+        mc = self.metadata_preprocessing
+        return (
+            (4 if mc.temporal_use_hour else 2) * int(mc.use_temporal)
+            + 3 * int(mc.use_geolocation)
+            + 2 * len(mc.elevation_scales) * int(mc.use_elevation)
+        )
+
 
 def load_inference_config(config_path: str | Path) -> InferenceConfig:
     config_path = Path(config_path)

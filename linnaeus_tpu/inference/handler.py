@@ -171,7 +171,7 @@ class LinnaeusInferenceHandler:
         the number of buckets warmed. Call at server start (tools/serve.py
         does)."""
         c, h, w = self.config.input_preprocessing.image_size
-        aux_dim = self.config.model.expected_aux_vector_length or 0
+        aux_dim = self.config.aux_vector_length()
         k = self.config.inference_options.default_top_k
         warmed = 0
         b = max(self._dp, 1)

@@ -87,14 +87,7 @@ def load_model_for_inference(
     )
 
     c, h, w = inf_cfg.input_preprocessing.image_size
-    meta_dim = inf_cfg.model.expected_aux_vector_length
-    if meta_dim is None:
-        mc = inf_cfg.metadata_preprocessing
-        meta_dim = (
-            (4 if mc.temporal_use_hour else 2) * int(mc.use_temporal)
-            + 3 * int(mc.use_geolocation)
-            + 2 * len(mc.elevation_scales) * int(mc.use_elevation)
-        )
+    meta_dim = inf_cfg.aux_vector_length()
     init_vars = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, h, w, c)),
