@@ -245,7 +245,25 @@ class LinnaeusInferenceHandler:
             InferenceRequestMetadata | list[InferenceRequestMetadata | None] | None
         ) = None,
     ) -> list[HierarchicalClassificationResult]:
-        """request_options: one InferenceRequestMetadata applied to every
+        return self.predict_async(images, metadata, request_options)()
+
+    def predict_async(
+        self,
+        images: list[Any],
+        metadata: list[dict[str, Any] | None] | None = None,
+        request_options: (
+            InferenceRequestMetadata | list[InferenceRequestMetadata | None] | None
+        ) = None,
+    ):
+        """Preprocess and DISPATCH the forward(s), returning a zero-argument
+        finisher that blocks on the device result and builds the
+        ``HierarchicalClassificationResult`` list. Dispatch-side errors
+        (decode failures, bad options) raise here; device-side errors
+        surface from the finisher. Lets a serving loop overlap the next
+        batch's host work with the current batch's device execution (the
+        MicroBatcher's pipelined mode).
+
+        request_options: one InferenceRequestMetadata applied to every
         sample, or a per-sample list (the reference's api_schemas.py models
         per-sample top_k / aux overrides)."""
         import jax.numpy as jnp
@@ -261,8 +279,8 @@ class LinnaeusInferenceHandler:
         else:
             per_sample = [request_options] * len(images)
 
-        results: list[HierarchicalClassificationResult] = []
         bs = self._max_batch
+        dispatched: list[tuple[Any, int, list, int]] = []
         for start in range(0, len(images), bs):
             chunk = images[start : start + bs]
             metas = metadata[start : start + bs] if metadata else None
@@ -295,15 +313,24 @@ class LinnaeusInferenceHandler:
             while k < want_k:
                 k *= 2
             k = min(k, max(self._n_classes))
-            packed = np.asarray(
-                self._forward(self.variables, jnp.asarray(pixels),
-                              jnp.asarray(aux), int(k))
-            )[:n]  # ONE host fetch: (n, 2*n_tasks, k)
-            for i in range(n):
-                o = opts[i]
-                top_k = o.top_k if (o is not None and o.top_k) else default_k
-                results.append(self._build_result(packed[i], min(top_k, k)))
-        return results
+            out = self._forward(self.variables, jnp.asarray(pixels),
+                                jnp.asarray(aux), int(k))  # async dispatch
+            dispatched.append((out, n, opts, k))
+
+        def finish() -> list[HierarchicalClassificationResult]:
+            results: list[HierarchicalClassificationResult] = []
+            for out, n, opts, k in dispatched:
+                # ONE host fetch per chunk: (n, 2*n_tasks, k)
+                packed = np.asarray(out)[:n]
+                for i in range(n):
+                    o = opts[i]
+                    top_k = o.top_k if (o is not None and o.top_k) else default_k
+                    results.append(
+                        self._build_result(packed[i], min(top_k, k))
+                    )
+            return results
+
+        return finish
 
     def _build_result(
         self, packed_row: np.ndarray, top_k: int

@@ -63,8 +63,10 @@ class MicroBatcher:
     compilations are never raced. A handler-level failure in a multi-request
     batch is isolated by retrying each request individually."""
 
-    def __init__(self, handler, max_batch: int = 32, timeout_ms: float = 5.0):
+    def __init__(self, handler, max_batch: int = 32, timeout_ms: float = 5.0,
+                 pipeline_depth: int = 2):
         import collections
+        import queue
 
         self.handler = handler
         self.max_batch = max(1, int(max_batch))
@@ -75,6 +77,20 @@ class MicroBatcher:
         # bounded observability window (tests; a long-lived server must not
         # accumulate one entry per batch forever)
         self.batch_sizes = collections.deque(maxlen=1024)
+        # Pipelined mode: when the handler exposes predict_async (dispatch
+        # now, fetch later), the worker dispatches batch N+1's preprocess +
+        # device call while batch N executes; a completion thread blocks on
+        # the fetch and distributes results. Depth bounds in-flight batches
+        # (backpressure via the queue's maxsize). 0 disables.
+        self._completion_q = None
+        self._completion_thread = None
+        if pipeline_depth > 0 and hasattr(handler, "predict_async"):
+            self._completion_q = queue.Queue(maxsize=max(1, pipeline_depth))
+            self._completion_thread = threading.Thread(
+                target=self._completion_loop, name="serve-complete",
+                daemon=True,
+            )
+            self._completion_thread.start()
         self._worker = threading.Thread(
             target=self._loop, name="serve-microbatch", daemon=True
         )
@@ -97,6 +113,9 @@ class MicroBatcher:
             self._stopped = True
             self._cv.notify_all()
         self._worker.join(timeout=5.0)
+        if self._completion_thread is not None:
+            self._completion_q.put(None)  # sentinel after the worker drains
+            self._completion_thread.join(timeout=30.0)
 
     # -- worker side ------------------------------------------------------
     def _n_pending_images(self) -> int:
@@ -132,16 +151,18 @@ class MicroBatcher:
             # the worker must survive anything _run throws (a dead worker
             # would hang every in-flight and future request), and done must
             # fire no matter what
+            deferred = False
             try:
-                self._run(batch)
+                deferred = self._run(batch)
             except BaseException as e:  # noqa: BLE001 — worker must live
                 for p in batch:
                     if p.error is None and p.results is None:
                         p.error = RuntimeError(
                             f"batch execution failed: {e!r}")
             finally:
-                for p in batch:
-                    p.done.set()
+                if not deferred:  # deferred batches complete in the
+                    for p in batch:  # completion thread
+                        p.done.set()
 
     def _run_one(self, p: _Pending) -> None:
         try:
@@ -157,8 +178,63 @@ class MicroBatcher:
         except Exception as e:
             p.error = e
 
-    def _run(self, batch: list[_Pending]) -> None:
-        self.batch_sizes.append(sum(len(p.images) for p in batch))
+    def _run(self, batch: list[_Pending]) -> bool:
+        """Returns True when the batch was handed to the completion thread
+        (results + done fire there); False when fully handled here."""
+        if self._completion_q is not None:
+            self.batch_sizes.append(sum(len(p.images) for p in batch))
+            images = [img for p in batch for img in p.images]
+            metas = [m for p in batch for m in p.metas]
+            options = [o for p in batch for o in p.options]
+            try:
+                finisher = self.handler.predict_async(
+                    images, metas,
+                    options if any(o is not None for o in options) else None,
+                )
+            except Exception:
+                # dispatch-side failure (bad bytes/options): the sync path
+                # owns triage; already counted at dispatch
+                self._run_sync(batch, count=False)
+                return False
+            # blocks when `pipeline_depth` batches are already in flight —
+            # the backpressure that bounds device-queue growth
+            self._completion_q.put((batch, finisher, len(images)))
+            return True
+        self._run_sync(batch)
+        return False
+
+    def _completion_loop(self) -> None:
+        while True:
+            item = self._completion_q.get()
+            if item is None:
+                return
+            batch, finisher, n_images = item
+            try:
+                results = finisher()
+                if len(results) != n_images:
+                    raise RuntimeError("handler returned a short result list")
+                i = 0
+                for p in batch:
+                    p.results = results[i : i + len(p.images)]
+                    i += len(p.images)
+            except BaseException:  # noqa: BLE001 — thread must live
+                # device/fetch-side failure: re-run synchronously, which
+                # triages offenders and isolates survivors exactly like the
+                # non-pipelined path
+                try:
+                    self._run_sync(batch, count=False)
+                except BaseException as e:  # noqa: BLE001
+                    for p in batch:
+                        if p.error is None and p.results is None:
+                            p.error = RuntimeError(
+                                f"batch execution failed: {e!r}")
+            finally:
+                for p in batch:
+                    p.done.set()
+
+    def _run_sync(self, batch: list[_Pending], count: bool = True) -> None:
+        if count:
+            self.batch_sizes.append(sum(len(p.images) for p in batch))
         if len(batch) == 1:
             return self._run_one(batch[0])
         images = [img for p in batch for img in p.images]
@@ -206,7 +282,7 @@ class MicroBatcher:
                 for p in batch:
                     self._run_one(p)
             elif survivors:
-                self._run(survivors)
+                self._run_sync(survivors, count=False)
             return
         i = 0
         for p in batch:
@@ -215,7 +291,8 @@ class MicroBatcher:
 
 
 def make_server(handler, host: str = "0.0.0.0", port: int = 8000,
-                max_batch: int = 32, batch_timeout_ms: float = 5.0):
+                max_batch: int = 32, batch_timeout_ms: float = 5.0,
+                pipeline_depth: int = 2):
     """Build (but don't serve_forever) a ThreadingHTTPServer around an
     inference handler. Concurrent /predict requests are dynamically batched
     through one MicroBatcher worker (which also serializes predict(), so
@@ -285,7 +362,8 @@ def make_server(handler, host: str = "0.0.0.0", port: int = 8000,
                 return self._json(400, {"error": str(e)[:500]})
 
     server = ThreadingHTTPServer((host, port), Handler)  # binds here
-    batcher = MicroBatcher(handler, max_batch, batch_timeout_ms)
+    batcher = MicroBatcher(handler, max_batch, batch_timeout_ms,
+                           pipeline_depth=pipeline_depth)
     server.batcher = batcher
     return server
 
@@ -301,6 +379,10 @@ def main(argv=None) -> None:
     parser.add_argument("--batch-timeout-ms", type=float, default=5.0,
                         help="how long the batcher waits for more "
                              "concurrent requests before running")
+    parser.add_argument("--pipeline-depth", type=int, default=2,
+                        help="batches in flight on the device: the worker "
+                             "preprocesses+dispatches batch N+1 while N "
+                             "executes (0 = fully synchronous)")
     args = parser.parse_args(argv)
 
     from linnaeus_tpu.inference import LinnaeusInferenceHandler
@@ -310,7 +392,8 @@ def main(argv=None) -> None:
     n = handler.warmup()  # compile every batch bucket before taking traffic
     get_main_logger().info(f"warmed {n} batch buckets")
     server = make_server(handler, args.host, args.port,
-                         args.max_batch, args.batch_timeout_ms)
+                         args.max_batch, args.batch_timeout_ms,
+                         pipeline_depth=args.pipeline_depth)
     get_main_logger().info(
         f"Serving {handler.config.model.architecture_name} on "
         f"{args.host}:{args.port} (/predict /info /healthz; dynamic "

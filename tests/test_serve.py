@@ -84,8 +84,11 @@ def test_predict_roundtrip(server_port):
 
 
 class _CountingHandler:
-    """Proxy that records every predict() call's image count (and can fail
-    on a marker) — the observable for the dynamic-batching tests."""
+    """Proxy that records every forward's image count (and can fail on a
+    marker) — the observable for the dynamic-batching tests. Intercepts
+    BOTH predict and predict_async: the MicroBatcher prefers the async
+    form, and __getattr__ would otherwise route it straight to the real
+    handler, uncounted."""
 
     def __init__(self, handler, poison_key=None):
         self._h = handler
@@ -95,13 +98,24 @@ class _CountingHandler:
     def __getattr__(self, name):
         return getattr(self._h, name)
 
-    def predict(self, images, metas=None, options=None):
-        self.call_sizes.append(len(images))
+    def _check_poison(self, metas):
         if self._poison and any(
             isinstance(m, dict) and self._poison in m for m in (metas or [])
         ):
             raise ValueError("poisoned instance")
+
+    def predict(self, images, metas=None, options=None):
+        self.call_sizes.append(len(images))
+        self._check_poison(metas)
         return self._h.predict(images, metas, options)
+
+    def predict_async(self, images, metas=None, options=None):
+        self._check_poison(metas)
+        finisher = self._h.predict_async(images, metas, options)
+        # count only successfully dispatched forwards (a dispatch-side
+        # failure falls back to the sync path, which counts itself)
+        self.call_sizes.append(len(images))
+        return finisher
 
 
 @pytest.fixture()
@@ -251,6 +265,72 @@ def test_corrupt_image_in_shared_batch_is_triaged_host_side(batching_server):
     # device forwards: the initial shared batch + ONE survivor re-run —
     # never a per-request padded forward per innocent client
     assert len(proxy.call_sizes) - before <= 2, proxy.call_sizes
+
+
+def test_pipelined_dispatch_overlaps_fetch():
+    """With predict_async available, the worker dispatches batch N+1 while
+    batch N's finisher is still blocking — the pipelining that hides host
+    preprocess under device execution."""
+    import time
+
+    from linnaeus_tpu.tools.serve import MicroBatcher
+
+    events = []
+    lock = threading.Lock()
+
+    class Async:
+        def predict(self, images, metas=None, options=None):
+            return ["r"] * len(images)
+
+        def predict_async(self, images, metas=None, options=None):
+            with lock:
+                events.append("dispatch")
+
+            def finish():
+                time.sleep(0.15)  # device "executing"
+                with lock:
+                    events.append("finish")
+                return ["r"] * len(images)
+
+            return finish
+
+    b = MicroBatcher(Async(), max_batch=1, timeout_ms=1.0, pipeline_depth=2)
+    try:
+        results = _fire_concurrent_batcher(b, [["a"], ["b"], ["c"], ["d"]])
+        assert all(r == ["r"] for r in results)
+        # a second dispatch must land before the first finish completes
+        first_finish = events.index("finish")
+        assert events[:first_finish].count("dispatch") >= 2, events
+    finally:
+        b.stop()
+
+
+def test_pipelined_fetch_failure_falls_back_to_sync():
+    """A device/fetch-side failure in pipelined mode re-runs the batch
+    through the synchronous triage path — clients still get results."""
+    from linnaeus_tpu.tools.serve import MicroBatcher
+
+    class FlakyFetch:
+        def __init__(self):
+            self.sync_calls = 0
+
+        def predict(self, images, metas=None, options=None):
+            self.sync_calls += 1
+            return ["ok"] * len(images)
+
+        def predict_async(self, images, metas=None, options=None):
+            def finish():
+                raise RuntimeError("transfer aborted")
+
+            return finish
+
+    h = FlakyFetch()
+    b = MicroBatcher(h, max_batch=8, timeout_ms=1.0, pipeline_depth=2)
+    try:
+        assert b.predict(["img"], [None], [None]) == ["ok"]
+        assert h.sync_calls == 1
+    finally:
+        b.stop()
 
 
 def test_predict_error_paths(server_port):
