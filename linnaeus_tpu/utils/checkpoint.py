@@ -197,21 +197,24 @@ def _on_disk_keys(state_path: str) -> set[str] | None:
 
 
 def jnp_copy(x):
-    """Sharding-preserving on-device copy.
+    """Sharding-preserving on-device copy that is a GENUINE new buffer.
 
     Used to seed EMA from restored params when EMA was enabled after the
     checkpoint was written. ``jnp.array`` would fetch to host — raising on
     multi-host restores (non-addressable global arrays) and losing the
     restore sharding on single-host meshes. ``device_put`` with the source's
-    own sharding keeps the copy on-device and correctly laid out.
+    own sharding stays on-device but is a NO-OP that ALIASES the buffer
+    (measured: the first donated train step after an EMA-toggle-on resume
+    then dies with "buffer was previously donated"). A jitted ``jnp.copy``
+    is an SPMD computation: it runs on the arrays where they live, keeps
+    the input sharding, works on non-addressable global arrays, and its
+    output is always a fresh buffer.
     """
     import jax
-
-    sharding = getattr(x, "sharding", None)
-    if sharding is not None:
-        return jax.device_put(x, sharding)
     import jax.numpy as jnp
 
+    if hasattr(x, "sharding"):
+        return jax.jit(jnp.copy)(x)
     return jnp.array(x)
 
 

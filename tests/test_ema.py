@@ -127,6 +127,21 @@ def test_ema_toggle_across_resume(ema_setup, tmp_path):
         jax.tree.leaves(jax.device_get(restored.ema_params))[0],
         jax.tree.leaves(jax.device_get(restored.params))[0],
     )
+    # the seeded EMA must be a genuine copy, not an alias of params:
+    # the production hot loop donates the state, and a donated buffer
+    # referenced twice dies with "buffer was previously donated"
+    # (jax.device_put(x, x.sharding) is an aliasing no-op — regression)
+    donated_step = jax.jit(
+        make_train_step(
+            criteria, TASKS, MixConfig(chunk_bounds=((0, 2), (2, 5))),
+            ema_decay=0.5,
+        ),
+        donate_argnums=(0,),
+    )
+    stepped_seeded, _ = donated_step(
+        restored, batch, ScheduleScalars.zeros(META_DIM)
+    )
+    assert stepped_seeded.ema_params is not None
 
     # saved WITH ema -> resumed WITHOUT ema: buffers dropped, restore ok
     step = jax.jit(
