@@ -22,6 +22,15 @@ Gradients: ``jax.custom_vjp`` with plain-XLA recompute backward (the same
 contract ops/fused_mlp.py started with; a hand-written backward is a
 follow-up if the forward A/B wins in training).
 
+VERDICT (round 4, measured — docs/performance.md "whole-block fused
+dwconv+LN+MLP"): NEGATIVE RESULT; nothing routes to this kernel. At its
+target geometry the production split (XLA dwconv + ops/fused_mlp.py)
+wins: forward 3.43 vs 4.31 ms/block, train 8.73 vs 19.90 (interleaved
+A/B via tools/fused_block_ab.py). XLA's dwconv emitter beats the 49-tap
+VPU loop here, and the recompute backward pays the dwconv twice. Kept
+in-tree as the measured fence extending the round-3 standalone-dwconv
+negative result to the fused-block level.
+
 No reference analog: the reference's ConvNeXt blocks run whatever
 cuDNN/torch emit (models/blocks/convnext.py:21-119).
 """
