@@ -183,9 +183,9 @@ def main() -> None:
     t_probe = time.perf_counter()
     est_384 = 1.6 * unit_compile + 15.0
     n1, n2 = (5, 15) if remaining() > est_384 + 120 else (2, 6)
-    if n2 == 6:
-        record["noisy_384"] = True  # reduced iterations under time pressure
     if remaining() > min(est_384, 45.0):
+        if n2 == 6:  # reduced iterations under time pressure; only
+            record["noisy_384"] = True  # meaningful when the probe runs
         try:
             model384 = model.clone(img_size=(384, 384), use_flash_attn=True)
             ips384, c384, _ = measure_inference(model384, batch=64, img=384,
@@ -209,9 +209,9 @@ def main() -> None:
     t_probe = time.perf_counter()
     est_train = 2.2 * unit_compile + 20.0
     n1, n2 = (4, 12) if remaining() > est_train + 120 else (2, 6)
-    if n2 == 6:
-        record["noisy_train"] = True
     if remaining() > min(est_train, 60.0):
+        if n2 == 6:
+            record["noisy_train"] = True
         try:
             from linnaeus_tpu.tools.train_bench import measure
 
@@ -236,9 +236,9 @@ def main() -> None:
     t_probe = time.perf_counter()
     est_e2e = 2.2 * unit_compile + 120.0
     steps = 50 if remaining() > est_e2e + 120 else 25
-    if steps == 25:
-        record["noisy_e2e"] = True
     if remaining() > min(est_e2e, 90.0):
+        if steps == 25:
+            record["noisy_e2e"] = True
         try:
             from linnaeus_tpu.tools.e2e_train_bench import run_e2e
 

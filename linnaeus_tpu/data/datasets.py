@@ -129,6 +129,8 @@ class H5ImageSource(ImageSource):
                 why = "dataset has filters (compression)"
             elif not hasattr(d.id, "chunk_iter"):
                 why = "h5py too old for chunk_iter"
+            elif not hasattr(os, "preadv"):
+                why = "os.preadv unavailable on this platform"
             if why is None:
                 offsets = np.zeros(n, np.int64)
                 sizes = np.zeros(n, np.int64)
@@ -204,16 +206,26 @@ class H5ImageSource(ImageSource):
     # memcpy, GIL released during the syscall).
 
     def close(self) -> None:
+        """Close the calling thread's h5py handle and the shared
+        direct-chunk fd. The caller must have quiesced reader threads
+        first (the loader joins its IO pool before closing sources):
+        an in-flight ``read_batch_rows`` racing ``close`` could read a
+        recycled fd. ``_direct`` is parked at ``None`` (terminal
+        "unavailable"), NOT ``False`` ("unresolved"), so a post-close
+        read falls back to per-row h5py reads instead of silently
+        reopening the direct-chunk fd."""
         f = getattr(self._local, "f", None)
         if f is not None:
             f.close()
-        st = self._direct
-        if isinstance(st, _DirectChunkTable):
-            try:
-                os.close(st.fd)
-            except OSError:
-                pass
-            self._direct = False
+            del self._local.f  # a post-close read reopens cleanly
+        with self._direct_lock:
+            st = self._direct
+            self._direct = None
+            if isinstance(st, _DirectChunkTable):
+                try:
+                    os.close(st.fd)
+                except OSError:
+                    pass
 
 
 class DirImageSource(ImageSource):

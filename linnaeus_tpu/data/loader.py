@@ -193,10 +193,14 @@ class H5DataLoader:
         return out
 
     def close(self) -> None:
+        # wait=True quiesces the reader threads before the sources close:
+        # an in-flight direct-chunk read racing H5ImageSource.close() could
+        # otherwise preadv from a recycled fd. cancel_futures drops queued
+        # work, so the wait is bounded by the currently-running batch.
         if self._pool is not None:
-            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool.shutdown(wait=True, cancel_futures=True)
             self._pool = None
         if self._io_pool is not None:
-            self._io_pool.shutdown(wait=False, cancel_futures=True)
+            self._io_pool.shutdown(wait=True, cancel_futures=True)
             self._io_pool = None
         self.dataset.close()

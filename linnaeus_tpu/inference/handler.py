@@ -41,6 +41,10 @@ from .schemas import (
 
 logger = get_main_logger()
 
+# predict_async keeps at most this many dispatched-but-unfetched max-batch
+# chunks on the device (see the comment in predict_async).
+_MAX_INFLIGHT_CHUNKS = 2
+
 
 def _resolve_data_parallel(spec, n_devices: int, batch_size: int) -> int:
     """'auto' -> the largest device count <= n_devices dividing batch_size;
@@ -280,7 +284,20 @@ class LinnaeusInferenceHandler:
             per_sample = [request_options] * len(images)
 
         bs = self._max_batch
+        # Bound in-flight device work: at most _MAX_INFLIGHT_CHUNKS
+        # dispatched-but-unfetched chunks at a time. A bulk predict() over a
+        # long image list would otherwise upload EVERY chunk's pixels and
+        # keep every packed output alive in HBM before the first fetch —
+        # device OOM at a few thousand 384px images. A window of 2 keeps
+        # the dispatch/fetch overlap (the point of predict_async) with a
+        # fixed memory ceiling; rows already fetched land in `completed`.
+        completed: list[tuple[np.ndarray, int, list, int]] = []
         dispatched: list[tuple[Any, int, list, int]] = []
+
+        def drain_oldest():
+            out, n, opts, k = dispatched.pop(0)
+            completed.append((np.asarray(out)[:n], n, opts, k))
+
         for start in range(0, len(images), bs):
             chunk = images[start : start + bs]
             metas = metadata[start : start + bs] if metadata else None
@@ -316,12 +333,16 @@ class LinnaeusInferenceHandler:
             out = self._forward(self.variables, jnp.asarray(pixels),
                                 jnp.asarray(aux), int(k))  # async dispatch
             dispatched.append((out, n, opts, k))
+            while len(dispatched) > _MAX_INFLIGHT_CHUNKS:
+                drain_oldest()
 
         def finish() -> list[HierarchicalClassificationResult]:
+            while dispatched:
+                drain_oldest()
             results: list[HierarchicalClassificationResult] = []
-            for out, n, opts, k in dispatched:
+            for packed_all, n, opts, k in completed:
                 # ONE host fetch per chunk: (n, 2*n_tasks, k)
-                packed = np.asarray(out)[:n]
+                packed = packed_all
                 for i in range(n):
                     o = opts[i]
                     top_k = o.top_k if (o is not None and o.top_k) else default_k

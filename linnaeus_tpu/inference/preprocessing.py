@@ -52,6 +52,14 @@ def preprocess_image_u8(image: Any, cfg: InferenceConfig) -> np.ndarray:
         if arr.size and float(arr.max()) <= 1.5:
             arr = arr * 255.0
         arr = np.clip(arr, 0.0, 255.0)
+    elif arr.dtype != np.uint8:
+        # integer inputs wider than uint8 (16-bit TIFF/PNG decodes):
+        # rescale by the dtype's full range — a bare astype(np.uint8)
+        # would wrap each pixel modulo 256 into pseudo-random garbage
+        info = np.iinfo(arr.dtype)
+        if info.max > 255:
+            arr = arr.astype(np.float32) * (255.0 / info.max)
+        arr = np.clip(arr, 0, 255)
     arr = arr.astype(np.uint8)
     if arr.shape[0] != h or arr.shape[1] != w:
         interp = {

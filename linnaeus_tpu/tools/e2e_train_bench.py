@@ -131,28 +131,36 @@ def build_loader(labels: str, images: str, batch: int, io_threads: int,
 
 def _steady_feed(labels: str, images: str, batch: int, io_threads: int,
                  window: int, depth: int, direct_chunk: str,
-                 feed_warmup: int = 10, feed_steady: int = 50) -> float:
-    """Steady-state host-feed rate (img/s): warm the loader, discard the
-    first ``feed_warmup`` batches, time the next ``feed_steady``."""
+                 feed_warmup: int = 10,
+                 feed_steady: int = 50) -> tuple[float, float]:
+    """Host-feed rate probe (img/s) on the production loader with NO
+    device transfer. Returns ``(cold, steady)``: the COLD window covers
+    the first ``feed_warmup`` batches (thread spawn, cold HDF5 chunk
+    cache, futures ramp-up all inside); STEADY times the next
+    ``feed_steady`` batches with the pipeline warm — the number to
+    compare against the device-only step rate (feed_margin)."""
     import time as _t
 
     loader = build_loader(labels, images, batch, io_threads, window, depth,
                           None, direct_chunk=direct_chunk)
     n = 0
-    t_warm = _t.perf_counter()
+    t0 = _t.perf_counter()
+    t_warm = t0
+    cold = 0.0
     epoch = 0
     while n < feed_warmup + feed_steady:
         loader.set_epoch(epoch)
         for _ in loader:
             n += 1
             if n == feed_warmup:
+                cold = feed_warmup * batch / max(_t.perf_counter() - t0, 1e-9)
                 t_warm = _t.perf_counter()
             if n >= feed_warmup + feed_steady:
                 break
         epoch += 1
-    rate = feed_steady * batch / max(_t.perf_counter() - t_warm, 1e-9)
+    steady = feed_steady * batch / max(_t.perf_counter() - t_warm, 1e-9)
     loader.close()
-    return round(rate, 1)
+    return round(cold, 1), round(steady, 1)
 
 
 def feed_ab(labels: str, images: str, batch: int = 128, pairs: int = 3,
@@ -165,9 +173,9 @@ def feed_ab(labels: str, images: str, batch: int = 128, pairs: int = 3,
     direct, per_row = [], []
     for _ in range(pairs):
         direct.append(_steady_feed(labels, images, batch, 8, window, depth,
-                                   "on"))
+                                   "on")[1])
         per_row.append(_steady_feed(labels, images, batch, 8, window, depth,
-                                    "off"))
+                                    "off")[1])
     record["direct_img_per_sec"] = direct
     record["per_row_img_per_sec"] = per_row
     record["direct_median"] = sorted(direct)[pairs // 2]
@@ -178,7 +186,7 @@ def feed_ab(labels: str, images: str, batch: int = 128, pairs: int = 3,
     for mode in ("on", "off"):
         record[f"scaling_{mode}"] = {
             t: _steady_feed(labels, images, batch, t, window, depth, mode,
-                            feed_steady=30)
+                            feed_steady=30)[1]
             for t in (1, 2, 4, 8)
         }
     return record
@@ -276,43 +284,18 @@ def run_e2e(steps: int = 150, warmup: int = 10, batch: int = 128,
             1000 * (time.perf_counter() - t0), 1
         )
         mark(f"device_put probe done: {record['device_put_ms']} ms")
-    # pure host-feed probe: the same production loader with NO device
-    # transfer, so the record separates host-pipeline health from the
-    # host->device path (through the tunneled chip the latter dominates
-    # e2e; on a real TPU host it rides PCIe/DMA and disappears).
-    # Two windows: COLD (first feed_warmup batches — thread spawn, cold
-    # HDF5 chunk cache, futures ramp-up all inside) and STEADY (the next
-    # feed_steady batches with the pipeline warm). The steady number is the
-    # one to compare against the device-only step rate (feed_margin):
-    # reference analog is the saturated prefetching pipeline of
+    # pure host-feed probe (_steady_feed): the same production loader with
+    # NO device transfer, so the record separates host-pipeline health from
+    # the host->device path (through the tunneled chip the latter dominates
+    # e2e; on a real TPU host it rides PCIe/DMA and disappears). Reference
+    # analog: the saturated prefetching pipeline of
     # h5data/base_prefetching_dataset.py:22-803.
-    feed_warmup, feed_steady = 10, 50
-    host_loader = build_loader(labels, images, batch, io_threads,
-                               window, depth, None)
-    h_n = 0
-    t0 = time.perf_counter()
-    t_warm = t0
-    epoch_h = 0
-    while h_n < feed_warmup + feed_steady:
-        host_loader.set_epoch(epoch_h)
-        for _ in host_loader:
-            h_n += 1
-            if h_n == feed_warmup:
-                record["host_feed_images_per_sec_cold"] = round(
-                    h_n * batch / max(time.perf_counter() - t0, 1e-9), 1
-                )
-                t_warm = time.perf_counter()
-            if h_n >= feed_warmup + feed_steady:
-                break
-        epoch_h += 1
-    record["host_feed_images_per_sec_steady"] = round(
-        feed_steady * batch / max(time.perf_counter() - t_warm, 1e-9), 1
-    )
+    cold, steady = _steady_feed(labels, images, batch, io_threads,
+                                window, depth, "auto")
+    record["host_feed_images_per_sec_cold"] = cold
+    record["host_feed_images_per_sec_steady"] = steady
     # legacy key: kept pointing at the steady number
-    record["host_feed_images_per_sec"] = record[
-        "host_feed_images_per_sec_steady"
-    ]
-    host_loader.close()
+    record["host_feed_images_per_sec"] = steady
     mark(f"host-feed probe: cold {record['host_feed_images_per_sec_cold']} "
          f"/ steady {record['host_feed_images_per_sec_steady']} img/s")
 

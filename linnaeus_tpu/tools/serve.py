@@ -80,12 +80,17 @@ class MicroBatcher:
         # Pipelined mode: when the handler exposes predict_async (dispatch
         # now, fetch later), the worker dispatches batch N+1's preprocess +
         # device call while batch N executes; a completion thread blocks on
-        # the fetch and distributes results. Depth bounds in-flight batches
-        # (backpressure via the queue's maxsize). 0 disables.
+        # the fetch and distributes results. Depth is a TRUE bound on
+        # dispatched-but-unfetched batches: the worker acquires _inflight
+        # BEFORE dispatching and the completion thread releases it after
+        # the fetch (a bounded queue alone would let dispatch run ahead of
+        # the blocking put by up to two batches). 0 disables.
         self._completion_q = None
         self._completion_thread = None
+        self._inflight = None
         if pipeline_depth > 0 and hasattr(handler, "predict_async"):
-            self._completion_q = queue.Queue(maxsize=max(1, pipeline_depth))
+            self._inflight = threading.Semaphore(max(1, int(pipeline_depth)))
+            self._completion_q = queue.Queue()
             self._completion_thread = threading.Thread(
                 target=self._completion_loop, name="serve-complete",
                 daemon=True,
@@ -186,6 +191,10 @@ class MicroBatcher:
             images = [img for p in batch for img in p.images]
             metas = [m for p in batch for m in p.metas]
             options = [o for p in batch for o in p.options]
+            # blocks when `pipeline_depth` batches are already dispatched —
+            # the backpressure that bounds device-queue growth (released by
+            # the completion thread once the batch's fetch finishes)
+            self._inflight.acquire()
             try:
                 finisher = self.handler.predict_async(
                     images, metas,
@@ -194,10 +203,9 @@ class MicroBatcher:
             except Exception:
                 # dispatch-side failure (bad bytes/options): the sync path
                 # owns triage; already counted at dispatch
+                self._inflight.release()
                 self._run_sync(batch, count=False)
                 return False
-            # blocks when `pipeline_depth` batches are already in flight —
-            # the backpressure that bounds device-queue growth
             self._completion_q.put((batch, finisher, len(images)))
             return True
         self._run_sync(batch)
@@ -229,6 +237,7 @@ class MicroBatcher:
                             p.error = RuntimeError(
                                 f"batch execution failed: {e!r}")
             finally:
+                self._inflight.release()
                 for p in batch:
                     p.done.set()
 
@@ -380,9 +389,10 @@ def main(argv=None) -> None:
                         help="how long the batcher waits for more "
                              "concurrent requests before running")
     parser.add_argument("--pipeline-depth", type=int, default=2,
-                        help="batches in flight on the device: the worker "
-                             "preprocesses+dispatches batch N+1 while N "
-                             "executes (0 = fully synchronous)")
+                        help="max dispatched-but-unfetched batches on the "
+                             "device: the worker preprocesses+dispatches "
+                             "batch N+1 while N executes (0 = fully "
+                             "synchronous)")
     args = parser.parse_args(argv)
 
     from linnaeus_tpu.inference import LinnaeusInferenceHandler

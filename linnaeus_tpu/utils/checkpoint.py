@@ -209,13 +209,30 @@ def jnp_copy(x):
     is an SPMD computation: it runs on the arrays where they live, keeps
     the input sharding, works on non-addressable global arrays, and its
     output is always a fresh buffer.
+
+    The jit wrapper is a module-level singleton: a fresh ``jax.jit`` per
+    call would defeat the jit cache and pay one trace+compile round trip
+    per param leaf when mapped over a full tree (seconds locally, far
+    worse on a remote backend where each compile is an RPC).
     """
-    import jax
     import jax.numpy as jnp
 
     if hasattr(x, "sharding"):
-        return jax.jit(jnp.copy)(x)
+        return _jit_copy()(x)
     return jnp.array(x)
+
+
+_JIT_COPY = None
+
+
+def _jit_copy():
+    global _JIT_COPY
+    if _JIT_COPY is None:
+        import jax
+        import jax.numpy as jnp
+
+        _JIT_COPY = jax.jit(jnp.copy)
+    return _JIT_COPY
 
 
 def load_checkpoint(path: str, state_template):

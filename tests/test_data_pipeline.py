@@ -680,6 +680,22 @@ def test_h5_direct_chunk_gating(tmp_path):
     r.close()
 
 
+def test_h5_close_is_terminal_for_direct_chunk(tmp_path):
+    """close() parks the direct-chunk path in a terminal 'unavailable'
+    state: a post-close read must fall back to per-row h5py reads instead
+    of silently reopening the closed fd."""
+    from linnaeus_tpu.data.datasets import H5ImageSource
+
+    path, data = _chunked_images(tmp_path)
+    src = H5ImageSource(path, 16)
+    assert src.supports_batch_read()
+    src.close()
+    assert not src.supports_batch_read()  # no re-resolution after close
+    np.testing.assert_array_equal(src.read(2), data[2])  # h5py fallback
+    assert not src.supports_batch_read()
+    src.close()  # idempotent
+
+
 def test_h5_direct_chunk_contiguous_layout_falls_back(images_h5):
     # the module fixture writes a CONTIGUOUS dataset (no chunks)
     from linnaeus_tpu.data.datasets import H5ImageSource

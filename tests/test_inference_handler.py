@@ -150,6 +150,51 @@ def test_uint8_preprocess_parity(bundle):
     np.testing.assert_array_equal(u8f[0], imgs[0])
 
 
+def test_wide_integer_inputs_rescale_not_wrap(bundle):
+    """16-bit imagery (uint16 TIFF/PNG decodes) must rescale by the dtype
+    range — a bare astype(np.uint8) would wrap each pixel modulo 256."""
+    from linnaeus_tpu.inference.preprocessing import preprocess_image_u8
+
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    cfg = handler.config
+    u8 = np.random.default_rng(5).integers(
+        0, 256, (32, 32, 3), dtype=np.uint8
+    )
+    # exact 8->16-bit upscale (x * 257 spans 0..65535); must round-trip
+    u16 = (u8.astype(np.uint16)) * 257
+    got = preprocess_image_u8(u16, cfg)
+    np.testing.assert_allclose(
+        got.astype(np.int32), u8.astype(np.int32), atol=1
+    )
+    # int32 input with negatives clips at 0 rather than wrapping
+    i32 = u8.astype(np.int32) * (2**31 // 256) - 1000
+    got32 = preprocess_image_u8(i32, cfg)
+    assert got32.dtype == np.uint8
+    assert got32.shape == (32, 32, 3)
+
+
+def test_bulk_predict_bounded_inflight_matches_per_image(bundle):
+    """A bulk predict over many max-batch chunks (the path that now drains
+    eagerly to bound in-flight device memory) must return the same
+    results, in order, as per-image predicts."""
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    rng = np.random.default_rng(11)
+    # max batch is 4 -> 13 images = 4 chunks, exceeding the window of 2
+    images = [rng.integers(0, 256, (32, 32, 3), np.uint8) for _ in range(13)]
+    bulk = handler.predict(images)
+    assert len(bulk) == 13
+    for i in (0, 5, 12):  # spot-check across chunk boundaries
+        single = handler.predict([images[i]])[0]
+        for tb, ts in zip(bulk[i].tasks, single.tasks):
+            assert [tid for tid, _ in tb.predictions] == [
+                tid for tid, _ in ts.predictions
+            ]
+            np.testing.assert_allclose(
+                [p for _, p in tb.predictions],
+                [p for _, p in ts.predictions], rtol=1e-5,
+            )
+
+
 def test_data_parallel_resolution():
     from linnaeus_tpu.inference.handler import _resolve_data_parallel as r
 

@@ -305,6 +305,46 @@ def test_pipelined_dispatch_overlaps_fetch():
         b.stop()
 
 
+def test_pipeline_depth_truly_bounds_inflight():
+    """pipeline_depth is a hard bound on dispatched-but-unfetched batches:
+    the worker acquires the in-flight permit BEFORE dispatching, so the
+    device never holds more than `depth` batches of buffers (the promise
+    in the --pipeline-depth help)."""
+    import time
+
+    from linnaeus_tpu.tools.serve import MicroBatcher
+
+    lock = threading.Lock()
+    state = {"inflight": 0, "max_inflight": 0}
+
+    class Async:
+        def predict(self, images, metas=None, options=None):
+            return ["r"] * len(images)
+
+        def predict_async(self, images, metas=None, options=None):
+            with lock:
+                state["inflight"] += 1
+                state["max_inflight"] = max(
+                    state["max_inflight"], state["inflight"]
+                )
+
+            def finish():
+                time.sleep(0.05)  # device "executing"
+                with lock:
+                    state["inflight"] -= 1
+                return ["r"] * len(images)
+
+            return finish
+
+    b = MicroBatcher(Async(), max_batch=1, timeout_ms=1.0, pipeline_depth=1)
+    try:
+        results = _fire_concurrent_batcher(b, [["a"], ["b"], ["c"], ["d"]])
+        assert all(r == ["r"] for r in results)
+        assert state["max_inflight"] == 1, state
+    finally:
+        b.stop()
+
+
 def test_pipelined_fetch_failure_falls_back_to_sync():
     """A device/fetch-side failure in pipelined mode re-runs the batch
     through the synchronous triage path — clients still get results."""
