@@ -330,11 +330,13 @@ class LinnaeusInferenceHandler:
             while k < want_k:
                 k *= 2
             k = min(k, max(self._n_classes))
+            # drain BEFORE dispatching so at most _MAX_INFLIGHT_CHUNKS
+            # packed outputs are ever live in HBM (the documented ceiling)
+            while len(dispatched) >= _MAX_INFLIGHT_CHUNKS:
+                drain_oldest()
             out = self._forward(self.variables, jnp.asarray(pixels),
                                 jnp.asarray(aux), int(k))  # async dispatch
             dispatched.append((out, n, opts, k))
-            while len(dispatched) > _MAX_INFLIGHT_CHUNKS:
-                drain_oldest()
 
         def finish() -> list[HierarchicalClassificationResult]:
             while dispatched:

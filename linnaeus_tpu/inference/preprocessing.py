@@ -52,14 +52,20 @@ def preprocess_image_u8(image: Any, cfg: InferenceConfig) -> np.ndarray:
         if arr.size and float(arr.max()) <= 1.5:
             arr = arr * 255.0
         arr = np.clip(arr, 0.0, 255.0)
-    elif arr.dtype != np.uint8:
-        # integer inputs wider than uint8 (16-bit TIFF/PNG decodes):
-        # rescale by the dtype's full range — a bare astype(np.uint8)
-        # would wrap each pixel modulo 256 into pseudo-random garbage
+    elif np.issubdtype(arr.dtype, np.integer) and arr.dtype != np.uint8:
+        # Integer inputs wider than uint8 (16-bit TIFF/PNG decodes): a bare
+        # astype(np.uint8) would wrap each pixel modulo 256 into garbage.
+        # Rescale by the dtype range only when the VALUES actually exceed
+        # uint8 — int32/int64 arrays holding ordinary 0-255 pixels (e.g.
+        # np.asarray of a nested Python list) must pass through unchanged,
+        # not be crushed to black by a 255/iinfo.max factor.
         info = np.iinfo(arr.dtype)
-        if info.max > 255:
-            arr = arr.astype(np.float32) * (255.0 / info.max)
+        if info.max > 255 and arr.size and int(arr.max()) > 255:
+            arr = arr.astype(np.float64) * (255.0 / info.max)
         arr = np.clip(arr, 0, 255)
+    # any other dtype (incl. bool, which is not an np.integer subtype and
+    # would crash np.iinfo) falls through to the plain astype below
+
     arr = arr.astype(np.uint8)
     if arr.shape[0] != h or arr.shape[1] != w:
         interp = {

@@ -173,6 +173,38 @@ def test_wide_integer_inputs_rescale_not_wrap(bundle):
     assert got32.shape == (32, 32, 3)
 
 
+def test_wide_integer_holding_u8_values_passes_through(bundle):
+    """An int64/int32 array holding ordinary 0-255 pixels (np.asarray of a
+    nested Python list defaults to int64) must pass through value-exact —
+    rescaling by 255/iinfo.max would crush it to an all-black image."""
+    from linnaeus_tpu.inference.preprocessing import preprocess_image_u8
+
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    cfg = handler.config
+    u8 = np.random.default_rng(7).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    for dtype in (np.int64, np.int32, np.uint16):
+        got = preprocess_image_u8(u8.astype(dtype), cfg)
+        np.testing.assert_array_equal(got, u8)
+    # the nested-list path users actually hit
+    got = preprocess_image_u8(u8.tolist(), cfg)
+    np.testing.assert_array_equal(got, u8)
+
+
+def test_bool_mask_image_does_not_crash(bundle):
+    """Boolean mask images must produce a valid 0/1 uint8 image (historical
+    behavior) — np.iinfo raises ValueError on bool dtypes."""
+    from linnaeus_tpu.inference.preprocessing import preprocess_image_u8
+
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    cfg = handler.config
+    mask = np.zeros((32, 32, 3), dtype=bool)
+    mask[8:24, 8:24] = True
+    got = preprocess_image_u8(mask, cfg)
+    assert got.dtype == np.uint8
+    assert set(np.unique(got)) <= {0, 1}
+    assert got[16, 16, 0] == 1 and got[0, 0, 0] == 0
+
+
 def test_bulk_predict_bounded_inflight_matches_per_image(bundle):
     """A bulk predict over many max-batch chunks (the path that now drains
     eagerly to bound in-flight device memory) must return the same
