@@ -41,8 +41,13 @@ def _decode_image(b64: str):
     return base64.b64decode(b64)
 
 
+class DeadlineExceededError(RuntimeError):
+    """A request outlived the server's per-request deadline (HTTP 504)."""
+
+
 class _Pending:
-    __slots__ = ("images", "metas", "options", "done", "results", "error")
+    __slots__ = ("images", "metas", "options", "done", "results", "error",
+                 "expired")
 
     def __init__(self, images, metas, options):
         self.images = images
@@ -51,6 +56,7 @@ class _Pending:
         self.done = threading.Event()
         self.results = None
         self.error = None
+        self.expired = False  # client gave up (deadline); drop if undispatched
 
 
 class MicroBatcher:
@@ -64,13 +70,22 @@ class MicroBatcher:
     batch is isolated by retrying each request individually."""
 
     def __init__(self, handler, max_batch: int = 32, timeout_ms: float = 5.0,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2,
+                 request_deadline_ms: float = 0.0):
         import collections
         import queue
 
         self.handler = handler
         self.max_batch = max(1, int(max_batch))
         self.timeout = max(0.0, float(timeout_ms)) / 1e3
+        # per-request deadline (0 = unbounded, the pre-r5 behavior): bounds
+        # the tail BY POLICY — a stalled device call (the latency receipt's
+        # ~1.1-1.2 s p99 cluster traces to tunnel stalls,
+        # docs/performance.md) otherwise holds its whole batch's clients
+        # indefinitely. An expired request still queued is dropped before
+        # dispatch (no wasted forward); one already in a dispatched batch
+        # returns 504 to ITS client while the batch finishes for the rest.
+        self.request_deadline = max(0.0, float(request_deadline_ms)) / 1e3
         self._queue: list[_Pending] = []
         self._cv = threading.Condition()
         self._stopped = False
@@ -108,7 +123,15 @@ class MicroBatcher:
                 raise RuntimeError("server is shutting down")
             self._queue.append(p)
             self._cv.notify_all()
-        p.done.wait()
+        if not p.done.wait(self.request_deadline or None):
+            with self._cv:
+                if p in self._queue:  # never dispatched — free to drop
+                    self._queue.remove(p)
+            p.expired = True  # worker may still finish it; result discarded
+            raise DeadlineExceededError(
+                f"request exceeded the {self.request_deadline * 1e3:.0f} ms "
+                f"server deadline"
+            )
         if p.error is not None:
             raise p.error
         return p.results
@@ -131,6 +154,9 @@ class MicroBatcher:
         request); the remainder stays queued for the next round."""
         batch, total = [], 0
         while self._queue:
+            if self._queue[0].expired:  # client already got its 504
+                self._queue.pop(0)
+                continue
             nxt = len(self._queue[0].images)
             if batch and total + nxt > self.max_batch:
                 break
@@ -153,6 +179,8 @@ class MicroBatcher:
                         break
                     self._cv.wait(remaining)
                 batch = self._take_batch_locked()
+            if not batch:  # everything pending expired while queued
+                continue
             # the worker must survive anything _run throws (a dead worker
             # would hang every in-flight and future request), and done must
             # fire no matter what
@@ -301,7 +329,8 @@ class MicroBatcher:
 
 def make_server(handler, host: str = "0.0.0.0", port: int = 8000,
                 max_batch: int = 32, batch_timeout_ms: float = 5.0,
-                pipeline_depth: int = 2):
+                pipeline_depth: int = 2,
+                request_deadline_ms: float = 0.0):
     """Build (but don't serve_forever) a ThreadingHTTPServer around an
     inference handler. Concurrent /predict requests are dynamically batched
     through one MicroBatcher worker (which also serializes predict(), so
@@ -360,7 +389,10 @@ def make_server(handler, host: str = "0.0.0.0", port: int = 8000,
                         InferenceRequestMetadata(top_k=int(top_k))
                         if top_k else None
                     )
-                results = batcher.predict(images, metas, options)
+                try:
+                    results = batcher.predict(images, metas, options)
+                except DeadlineExceededError as e:
+                    return self._json(504, {"error": str(e)})
                 # mode="json" keeps typus results serializable (their
                 # model_dump() python mode emits set-valued fields)
                 return self._json(
@@ -372,7 +404,8 @@ def make_server(handler, host: str = "0.0.0.0", port: int = 8000,
 
     server = ThreadingHTTPServer((host, port), Handler)  # binds here
     batcher = MicroBatcher(handler, max_batch, batch_timeout_ms,
-                           pipeline_depth=pipeline_depth)
+                           pipeline_depth=pipeline_depth,
+                           request_deadline_ms=request_deadline_ms)
     server.batcher = batcher
     return server
 
@@ -393,6 +426,11 @@ def main(argv=None) -> None:
                              "device: the worker preprocesses+dispatches "
                              "batch N+1 while N executes (0 = fully "
                              "synchronous)")
+    parser.add_argument("--request-deadline-ms", type=float, default=0.0,
+                        help="per-request wall deadline; a request not "
+                             "answered in time gets HTTP 504 instead of "
+                             "waiting on a stalled device call (0 = "
+                             "unbounded)")
     args = parser.parse_args(argv)
 
     from linnaeus_tpu.inference import LinnaeusInferenceHandler
@@ -403,7 +441,8 @@ def main(argv=None) -> None:
     get_main_logger().info(f"warmed {n} batch buckets")
     server = make_server(handler, args.host, args.port,
                          args.max_batch, args.batch_timeout_ms,
-                         pipeline_depth=args.pipeline_depth)
+                         pipeline_depth=args.pipeline_depth,
+                         request_deadline_ms=args.request_deadline_ms)
     get_main_logger().info(
         f"Serving {handler.config.model.architecture_name} on "
         f"{args.host}:{args.port} (/predict /info /healthz; dynamic "

@@ -43,17 +43,29 @@ def _png_b64(size: int) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+class _Deadline504(RuntimeError):
+    """Server answered 504: the per-request deadline fired."""
+
+
 def _fire(port: int, body: bytes) -> None:
+    import urllib.error
+
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/predict",
         data=body,
         headers={"Content-Type": "application/json"},
         method="POST",
     )
-    with urllib.request.urlopen(req, timeout=300) as resp:
-        if resp.status != 200:
-            raise RuntimeError(f"status {resp.status}")
-        resp.read()
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            if resp.status != 200:
+                raise RuntimeError(f"status {resp.status}")
+            resp.read()
+    except urllib.error.HTTPError as e:
+        if e.code == 504:
+            e.read()
+            raise _Deadline504("deadline") from None
+        raise
 
 
 def _percentile(sorted_vals: list[float], q: float) -> float:
@@ -66,12 +78,20 @@ def _percentile(sorted_vals: list[float], q: float) -> float:
 
 
 def run_setting(handler, timeout_ms: float, max_batch: int, clients: int,
-                requests_per_client: int, warmup: int, body: bytes) -> dict:
-    """One server instance at one batch-timeout setting; closed-loop load."""
+                requests_per_client: int, warmup: int, body: bytes,
+                deadline_ms: float = 0.0) -> dict:
+    """One server instance at one batch-timeout setting; closed-loop load.
+
+    ``deadline_ms`` > 0 enables the server's per-request deadline: requests
+    the server can't answer in time 504 instead of waiting out a device
+    stall. 504s are counted separately (``deadline_504s``) and excluded
+    from the latency percentiles — the row shows what the deadline costs in
+    completed requests and what it buys in bounded tails."""
     from linnaeus_tpu.tools.serve import make_server
 
     server = make_server(handler, "127.0.0.1", 0,
-                         max_batch=max_batch, batch_timeout_ms=timeout_ms)
+                         max_batch=max_batch, batch_timeout_ms=timeout_ms,
+                         request_deadline_ms=deadline_ms)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
@@ -81,6 +101,7 @@ def run_setting(handler, timeout_ms: float, max_batch: int, clients: int,
         lat_lock = threading.Lock()
         latencies: list[float] = []
         errors: list[str] = []
+        deadline_hits = [0]
         t_start = [0.0]
         t_end = [0.0]
 
@@ -99,6 +120,10 @@ def run_setting(handler, timeout_ms: float, max_batch: int, clients: int,
                 t0 = time.perf_counter()
                 try:
                     _fire(port, body)
+                except _Deadline504:
+                    with lat_lock:
+                        deadline_hits[0] += 1
+                    continue
                 except Exception as e:  # noqa: BLE001 — record, keep going
                     with lat_lock:
                         errors.append(repr(e)[:200])
@@ -119,9 +144,11 @@ def run_setting(handler, timeout_ms: float, max_batch: int, clients: int,
         sizes = list(server.batcher.batch_sizes)
         return {
             "batch_timeout_ms": timeout_ms,
+            "request_deadline_ms": deadline_ms,
             "clients": clients,
             "requests": len(lat),
             "errors": len(errors),
+            "deadline_504s": deadline_hits[0],
             "p50_ms": round(_percentile(lat, 50), 1),
             "p95_ms": round(_percentile(lat, 95), 1),
             "p99_ms": round(_percentile(lat, 99), 1),
@@ -149,6 +176,9 @@ def main(argv=None) -> None:
     p.add_argument("--warmup", type=int, default=4,
                    help="unmeasured warmup requests per client")
     p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--deadline-ms", type=float, default=0.0,
+                   help="also run each timeout setting with the per-request "
+                        "server deadline enabled at this value (extra rows)")
     args = p.parse_args(argv)
 
     from linnaeus_tpu.inference import LinnaeusInferenceHandler
@@ -160,11 +190,14 @@ def main(argv=None) -> None:
         {"instances": [{"image": _png_b64(args.image_size)}]}
     ).encode()
     rows = []
+    deadlines = [0.0] + ([args.deadline_ms] if args.deadline_ms > 0 else [])
     for t in args.timeouts:
-        row = run_setting(handler, t, args.max_batch, args.clients,
-                          args.requests, args.warmup, body)
-        print(json.dumps(row), flush=True)
-        rows.append(row)
+        for d in deadlines:
+            row = run_setting(handler, t, args.max_batch, args.clients,
+                              args.requests, args.warmup, body,
+                              deadline_ms=d)
+            print(json.dumps(row), flush=True)
+            rows.append(row)
     print(json.dumps({"sweep": rows}))
 
 

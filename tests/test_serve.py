@@ -382,3 +382,92 @@ def test_predict_error_paths(server_port):
     assert st == 400
     st, _ = _req(server_port, "/nope")
     assert st == 404
+
+
+def test_request_deadline_times_out_stalled_device(inference_handler):
+    """Tail bound BY POLICY (the latency receipt's ~1.1-1.2 s p99 cluster is
+    tunnel stalls): with --request-deadline-ms set, a client waiting on a
+    stalled device call gets HTTP 504 within its deadline, and the server
+    stays healthy for the next request once the stall clears."""
+    import time
+
+    from linnaeus_tpu.tools.serve import make_server
+
+    class Stall:
+        """Sync-only proxy (pipeline_depth=0 keeps the batcher off
+        predict_async) whose first forward stalls like a wedged tunnel."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.stalled_once = False
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def predict(self, images, metas=None, options=None):
+            if not self.stalled_once:
+                self.stalled_once = True
+                time.sleep(1.0)  # >> deadline
+            return self._inner.predict(images, metas, options)
+
+    server = make_server(Stall(inference_handler), "127.0.0.1", 0,
+                         pipeline_depth=0, request_deadline_ms=200.0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        b64 = _png_b64()
+        t0 = time.monotonic()
+        st, out = _req(port, "/predict", {"instances": [{"image": b64}]})
+        waited = time.monotonic() - t0
+        assert st == 504 and "deadline" in out["error"]
+        assert waited < 0.9  # answered by the deadline, not the stall
+        time.sleep(1.2)  # let the stalled batch drain
+        st, out = _req(port, "/predict", {"instances": [{"image": b64}]})
+        assert st == 200 and len(out["predictions"]) == 1
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+
+
+def test_expired_queued_request_never_dispatches():
+    """A request that expires while still QUEUED behind a stalled batch is
+    dropped before dispatch — no device time spent on a client that already
+    got its 504."""
+    import time
+
+    from linnaeus_tpu.tools.serve import DeadlineExceededError, MicroBatcher
+
+    seen = []
+    gate = threading.Event()
+
+    class Slow:
+        def predict(self, images, metas=None, options=None):
+            seen.append(tuple(images))
+            gate.wait(3.0)
+            return ["r"] * len(images)
+
+    b = MicroBatcher(Slow(), max_batch=1, timeout_ms=1.0, pipeline_depth=0,
+                     request_deadline_ms=150.0)
+    try:
+        errs = []
+
+        def call(img):
+            try:
+                b.predict([img], [None], [None])
+            except DeadlineExceededError as e:
+                errs.append((img, e))
+
+        t1 = threading.Thread(target=call, args=("a",))
+        t1.start()
+        time.sleep(0.05)  # let "a" dispatch and block the worker
+        t2 = threading.Thread(target=call, args=("b",))
+        t2.start()
+        t1.join(2.0)
+        t2.join(2.0)
+        assert {img for img, _ in errs} == {"a", "b"}  # both timed out
+        gate.set()  # unblock the worker; it must NOT then run "b"
+        time.sleep(0.3)
+        assert seen == [("a",)]
+    finally:
+        gate.set()
+        b.stop()
