@@ -84,12 +84,59 @@ def main() -> None:
     # migration; the TPU backend just sees a stable dir). Same dir as the
     # tools, so the train probe's later enable_compile_cache() call is a
     # no-op instead of a mid-run cache switch.
+    cache_dir = None
     try:
         from linnaeus_tpu.utils.compile_cache import enable_compile_cache
 
-        enable_compile_cache()
+        cache_dir = enable_compile_cache()
     except Exception:
         pass
+
+    # ---- compile-cache forensics (the r4 record burned 197 s / 44% of its
+    # wall on the 224px compile with no way to tell WHY): snapshot the cache
+    # before/after each probe — new files => that probe's programs MISSED
+    # the persistent cache (key churn from code edits or a cold dir), no new
+    # files + fast compile => hit. Recorded per probe as cache_miss_<name>.
+    def _cache_entries() -> set[str]:
+        try:
+            return set(os.listdir(cache_dir)) if cache_dir else set()
+        except OSError:
+            return set()
+
+    def _cache_probe(record: dict, name: str, before: set[str]) -> None:
+        after = _cache_entries()
+        record[f"cache_new_entries_{name}"] = len(after - before)
+
+    start_entries = _cache_entries()
+    record_cache_meta = {
+        "compile_cache_dir": cache_dir,
+        "compile_cache_entries_at_start": len(start_entries),
+        "compile_cache_bytes_at_start": sum(
+            os.path.getsize(os.path.join(cache_dir, f))
+            for f in start_entries
+        ) if cache_dir else 0,
+    }
+
+    def _cpu_init_params(model, img: int):
+        """Initialize params on the LOCAL CPU backend and ship them to the
+        chip: the remote (tunneled) compile of ``model.init`` costs 30-60 s
+        and contributes nothing to the measurement. Pallas-routed models
+        init through a flash-off clone (identical parameter tree — the
+        kernel has no params) because Mosaic kernels can't trace on CPU."""
+        cpu = jax.devices("cpu")[0]
+        init_model = model
+        for kw in ({"use_flash_attn": False}, {"fused_convnext_mlp": False}):
+            try:  # force Pallas routes off for the CPU init trace only —
+                init_model = init_model.clone(**kw)  # param tree unchanged
+            except Exception:
+                pass
+        with jax.default_device(cpu):
+            params = jax.jit(init_model.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((2, img, img, 3), jnp.bfloat16),
+                jnp.zeros((2, 5), jnp.bfloat16),
+            )["params"]
+        return jax.device_put(params, jax.devices()[0])
 
     from __graft_entry__ import _flagship_model
 
@@ -105,9 +152,8 @@ def main() -> None:
             jax.random.PRNGKey(0), (batch, img, img, 3), jnp.bfloat16
         )
         aux = jax.random.normal(jax.random.PRNGKey(1), (batch, 5), jnp.bfloat16)
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(0), images, aux
-        )["params"]
+        # init on the local CPU backend (remote init compile = pure waste)
+        params = _cpu_init_params(model, img)
 
         def run(params, images, aux, n):
             def body(i, carry):
@@ -140,12 +186,14 @@ def main() -> None:
         return ips, compile_s, t1 + t2
 
     record: dict = {"bench_deadline_s": DEADLINE_S}
+    record.update(record_cache_meta)
     model = _flagship_model(attn_fp32_softmax=False)
     batch = 128
     target = 5000.0  # images/sec/chip north-star (BASELINE.json)
 
     # ---------------------------------------------------- probe 1: 224px
     t_probe = time.perf_counter()
+    cache_before = _cache_entries()
     compile_224 = 0.0
     try:
         ips, compile_224, _meas = measure_inference(model, batch, 224,
@@ -170,6 +218,7 @@ def main() -> None:
             "valid": False,  # NOT a measurement — backend was unavailable
             "bench_224_error": str(e)[:300],
         })
+    _cache_probe(record, "224", cache_before)
     record["t_224_total_s"] = round(time.perf_counter() - t_probe, 1)
     _emit_partial(record, f"224px done at {elapsed():.0f}s: "
                           f"{record.get('value')} img/s")
@@ -181,6 +230,7 @@ def main() -> None:
 
     # --------------------------------------- probe 2: 384px flash serving
     t_probe = time.perf_counter()
+    cache_before = _cache_entries()
     est_384 = 1.6 * unit_compile + 15.0
     n1, n2 = (5, 15) if remaining() > est_384 + 120 else (2, 6)
     if remaining() > min(est_384, 45.0):
@@ -200,6 +250,7 @@ def main() -> None:
         record["bench_384_skipped"] = (
             f"deadline: {remaining():.0f}s left < est {est_384:.0f}s"
         )
+    _cache_probe(record, "384", cache_before)
     record["t_384_total_s"] = round(time.perf_counter() - t_probe, 1)
     _emit_partial(record, f"384px done at {elapsed():.0f}s")
 
@@ -207,6 +258,7 @@ def main() -> None:
     # (same production config: bf16-stored scores — the training default;
     # full step incl. on-device mixing/masking/clip/adamw)
     t_probe = time.perf_counter()
+    cache_before = _cache_entries()
     est_train = 2.2 * unit_compile + 20.0
     n1, n2 = (4, 12) if remaining() > est_train + 120 else (2, 6)
     if remaining() > min(est_train, 60.0):
@@ -226,6 +278,7 @@ def main() -> None:
         record["train_bench_skipped"] = (
             f"deadline: {remaining():.0f}s left < est {est_train:.0f}s"
         )
+    _cache_probe(record, "train", cache_before)
     record["t_train_total_s"] = round(time.perf_counter() - t_probe, 1)
     _emit_partial(record, f"train done at {elapsed():.0f}s")
 
@@ -277,32 +330,71 @@ def main() -> None:
             f"deadline: {remaining():.0f}s left < est {est_e2e:.0f}s"
         )
     record["t_e2e_total_s"] = round(time.perf_counter() - t_probe, 1)
+    _emit_partial(record, f"e2e done at {elapsed():.0f}s")
+
+    # ----------------------------------- probe 5: 384px flash TRAIN step
+    # the geometry both Pallas kernel families exist for (flash fwd+bwd in
+    # stages 3-4 + fused ConvNeXt-MLP fwd+bwd at B<=64 with >=48x48 maps) —
+    # driver-captured at last (the r1-r4 records only carried 384px
+    # INFERENCE; the training claim lived in docs/performance.md alone)
+    t_probe = time.perf_counter()
+    cache_before = _cache_entries()
+    est_t384 = 2.2 * unit_compile + 20.0
+    n1, n2 = (4, 12) if remaining() > est_t384 + 120 else (2, 6)
+    if remaining() > min(est_t384, 60.0):
+        if n2 == 6:
+            record["noisy_train_384"] = True
+        try:
+            from linnaeus_tpu.tools.train_bench import measure
+
+            t384 = measure(batch=64, img=384, fp32_scores=False,
+                           flash=True, n1=n1, n2=n2)
+            record["train_ms_per_step_b64_384px"] = t384["train_ms_per_step"]
+            record["train_images_per_sec_384px"] = t384[
+                "train_images_per_sec"
+            ]
+            record["t_train384_compile_s"] = t384.get("compile_s")
+        except Exception as e:
+            record["train384_bench_error"] = str(e)[:200]
+    else:
+        record["train384_bench_skipped"] = (
+            f"deadline: {remaining():.0f}s left < est {est_t384:.0f}s"
+        )
+    _cache_probe(record, "train_384", cache_before)
+    record["t_train384_total_s"] = round(time.perf_counter() - t_probe, 1)
 
     # ------------------------------------------ committed training receipt
     # a real multi-epoch CLI run on the chip (loss curve down, validation,
     # checkpoint + mid-run resume) distilled by tools/train_run_receipt.py;
     # embed the summary so the driver record carries the receipt too
-    try:
-        receipt_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "docs", "receipts", "train_run_tpu.json",
-        )
-        if os.path.isfile(receipt_path):
-            with open(receipt_path) as f:
-                r = json.load(f)
-            record["train_run"] = {
-                "device": r.get("device"),
-                "steps": r.get("steps"),
-                "epochs": len(r.get("epochs", [])),
-                "loss_first": r.get("loss_first"),
-                "loss_last": r.get("loss_last"),
-                "img_per_sec_steady": r.get("img_per_sec_steady"),
-                "validations": len(r.get("validation", [])),
-                "resumes": len(r.get("resumes", [])),
-                "checkpoint_saves": r.get("checkpoint_saves"),
-            }
-    except Exception as e:
-        record["train_run_error"] = str(e)[:200]
+    for key, fname in (
+        ("train_run", "train_run_tpu.json"),          # 224px, flash off
+        ("train_run_384", "train_run_tpu_384.json"),  # 384px, Pallas live
+    ):
+        try:
+            receipt_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "docs", "receipts", fname,
+            )
+            if os.path.isfile(receipt_path):
+                with open(receipt_path) as f:
+                    r = json.load(f)
+                record[key] = {
+                    "device": r.get("device"),
+                    "steps": r.get("steps"),
+                    "epochs": len(r.get("epochs", [])),
+                    "loss_first": r.get("loss_first"),
+                    "loss_last": r.get("loss_last"),
+                    "img_per_sec_steady": r.get("img_per_sec_steady"),
+                    "validations": len(r.get("validation", [])),
+                    "resumes": len(r.get("resumes", [])),
+                    "checkpoint_saves": r.get("checkpoint_saves"),
+                }
+                for extra in ("kernels", "flash_off_control"):
+                    if extra in r:
+                        record[key][extra] = r[extra]
+        except Exception as e:
+            record[key + "_error"] = str(e)[:200]
 
     record["t_bench_total_s"] = round(elapsed(), 1)
     _emit_partial(record, f"all probes done at {elapsed():.0f}s")

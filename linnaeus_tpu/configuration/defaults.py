@@ -623,6 +623,22 @@ def _build_default_config() -> CN:
     # chips, for inputs whose stage-3 token tensor exceeds one chip's HBM
     # (1024px+). Requires MESH.MODEL > 1 and MODEL.TYPE=mFormerV1.
     _C.PARALLEL.SEQUENCE_PARALLEL = False
+    # GPipe pipeline parallelism (parallel/pipeline.py): STAGES > 1 routes
+    # the mFormerV1 RoPE towers through pipeline_forward over the 'model'
+    # mesh axis — each device holds depth/STAGES contiguous blocks;
+    # microbatched activations ppermute between stages; backward is the
+    # reverse pipeline through the scan. Requires PARALLEL.MESH.MODEL ==
+    # STAGES, stage-3 depth divisible by STAGES, and uniform towers
+    # (no MoE, DROP_PATH_RATE 0 — stochastic-depth RNG does not thread
+    # through the pipelined scan). Incompatible with PARAM_SHARDING
+    # 'tp'/'ep' and SEQUENCE_PARALLEL (all claim the model axis).
+    # mFormerV1 only. Stage 4 also pipelines when its depth divides STAGES;
+    # otherwise it runs sequentially (logged).
+    _C.PARALLEL.PIPELINE = CN()
+    _C.PARALLEL.PIPELINE.STAGES = 1
+    # microbatches per batch (M >= STAGES; bubble fraction (S-1)/(M+S-1));
+    # 0 -> defaults to STAGES
+    _C.PARALLEL.PIPELINE.MICROBATCHES = 0
     # Use jax.distributed.initialize() for multi-host
     _C.PARALLEL.MULTI_HOST = False
 

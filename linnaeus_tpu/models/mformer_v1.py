@@ -64,6 +64,20 @@ class MFormerV1(nn.Module):
     # beyond-one-chip path for 1024px+ token tensors
     ring_mesh: object = None
     ring_axis: str = "model"
+    # pipeline parallelism (parallel/pipeline.py; Trainer wires this from
+    # PARALLEL.PIPELINE): set to a jax.sharding.Mesh to run the RoPE towers
+    # GPipe-pipelined over ``pipeline_axis`` — each device holds
+    # depth/STAGES contiguous blocks (stage count = mesh axis size);
+    # microbatched activations ppermute between stages. The per-block
+    # parameter tree is UNCHANGED (stacking happens at call time), so
+    # checkpoints interoperate with the sequential path bit-for-bit.
+    # Requires uniform towers: no MoE, zero drop/attn-drop/drop-path.
+    pipeline_mesh: object = None
+    pipeline_axis: str = "model"
+    pipeline_microbatches: int = 0  # 0 -> stage count
+    # mesh axis the batch stays sharded over inside the pipeline (dp x pp);
+    # None replicates the batch across the pipe axis
+    pipeline_batch_axis: str | None = "data"
     # Mixture-of-Experts capacity scaling (blocks/moe.py — no reference
     # analog): num_experts > 0 replaces the dense MLP on every
     # ``moe_every_n``-th RoPE block (V-MoE placement) with a routed expert
@@ -125,6 +139,33 @@ class MFormerV1(nn.Module):
                 f"ConvNeXt dim[3] ({self.convnext_dims[3]}) must match "
                 f"RoPE dim[1] ({self.rope_dims[1]})"
             )
+
+        if self.pipeline_mesh is not None:
+            S = int(self.pipeline_mesh.shape[self.pipeline_axis])
+            if self.ring_mesh is not None:
+                raise ValueError(
+                    "pipeline_mesh and ring_mesh both claim the model mesh "
+                    "axis (pp and sp are mutually exclusive)"
+                )
+            if self.moe_num_experts > 0:
+                raise ValueError(
+                    "pipeline parallelism requires uniform tower blocks — "
+                    "MoE placement varies per block (disable MODEL.MOE or "
+                    "PARALLEL.PIPELINE)"
+                )
+            if self.drop_rate or self.attn_drop_rate or self.drop_path_rate:
+                raise ValueError(
+                    "pipeline parallelism requires DROP_RATE, "
+                    "ATTN_DROP_RATE and DROP_PATH_RATE all 0: stochastic "
+                    "depth/dropout RNGs do not thread through the pipelined "
+                    "scan (parallel/pipeline.py)"
+                )
+            if self.rope_depths[0] % S:
+                raise ValueError(
+                    f"pipeline parallelism: stage-3 depth "
+                    f"{self.rope_depths[0]} is not divisible by the "
+                    f"{S}-way '{self.pipeline_axis}' mesh axis"
+                )
 
         conv_block = ConvNeXtBlock
         rope_block = RoPE2DMHSABlock
@@ -307,6 +348,81 @@ class MFormerV1(nn.Module):
             name="head",
         )
 
+    def _pp_proto(self, stage: int) -> RoPE2DMHSABlock:
+        """Detached (parent=None) block with the given RoPE tower's exact
+        geometry — the pure ``(params, h) -> h`` function the pipeline
+        applies. drop/attn_drop/drop_path are 0 by the setup() gate, so no
+        RNG threads are needed inside the pipelined scan."""
+        i = stage - 3
+        return RoPE2DMHSABlock(
+            dim=self.rope_dims[i],
+            img_grid_size=self._grid3 if stage == 3 else self._grid4,
+            extra_token_num=self.extra_token_num,
+            num_heads=self.rope_num_heads[i],
+            mlp_ratio=self.rope_mlp_ratio[i],
+            rope_theta=self.rope_theta,
+            rope_mixed=self.rope_mixed,
+            qkv_bias=True,
+            drop=0.0,
+            attn_drop=0.0,
+            drop_path=0.0,
+            use_flash_attn=self.use_flash_attn,
+            rope_fidelity=self.rope_fidelity,
+            rope_deinterleave=self.rope_deinterleave,
+            act_exact=self.act_exact,
+            attn_fp32_softmax=self.attn_fp32_softmax,
+            use_moe=False,
+            dtype=self.dtype,
+            parent=None,
+        )
+
+    def _rope_tower(
+        self, stage: int, blocks, x: jnp.ndarray, deterministic: bool
+    ) -> jnp.ndarray:
+        """Run a RoPE tower sequentially, or GPipe-pipelined over the
+        ``pipeline_axis`` mesh axis when ``pipeline_mesh`` is set (the
+        Trainer wires PARALLEL.PIPELINE here). Init always takes the
+        sequential path so the per-block parameter tree — and therefore the
+        checkpoint format — is identical either way; at apply time the
+        blocks' params are stacked on a leading layer axis and sharded one
+        stage per device (parallel/pipeline.py)."""
+        S = (
+            int(self.pipeline_mesh.shape[self.pipeline_axis])
+            if self.pipeline_mesh is not None
+            else 0
+        )
+        if (
+            not S
+            or self.is_initializing()
+            or len(blocks) % S  # stage 4 (depth 2) stays sequential on S>2
+            or len(blocks) // S < 1
+        ):
+            for blk in blocks:
+                x = blk(x, deterministic)
+            return x
+        from linnaeus_tpu.parallel.pipeline import (
+            pipeline_forward,
+            stack_layer_params,
+        )
+
+        stacked = stack_layer_params(
+            [dict(blk.variables["params"]) for blk in blocks]
+        )
+        proto = self._pp_proto(stage)
+
+        def block_fn(p, h):
+            return proto.apply({"params": p}, h, deterministic)
+
+        return pipeline_forward(
+            block_fn,
+            stacked,
+            x,
+            self.pipeline_mesh,
+            num_microbatches=int(self.pipeline_microbatches) or S,
+            axis_name=self.pipeline_axis,
+            batch_axis=self.pipeline_batch_axis,
+        )
+
     def _meta_slices(self) -> list[tuple[str, int, int]]:
         out, offset = [], 0
         for name, dim in self.meta_components:
@@ -355,8 +471,7 @@ class MFormerV1(nn.Module):
         x = x.reshape(B, h3 * w3, self.rope_dims[0])
         extras_1 = self._extras(1, self.cls_token_1, meta, B)
         x = jnp.concatenate([extras_1, x], axis=1)
-        for blk in self.stage3:
-            x = blk(x, deterministic)
+        x = self._rope_tower(3, self.stage3, x, deterministic)
         x = self.norm_1(x)
 
         if not self.only_last_cls:
@@ -370,8 +485,7 @@ class MFormerV1(nn.Module):
         x = x.reshape(B, h4 * w4, self.rope_dims[1])
         extras_2 = self._extras(2, self.cls_token_2, meta, B)
         x = jnp.concatenate([extras_2, x], axis=1)
-        for blk in self.stage4:
-            x = blk(x, deterministic)
+        x = self._rope_tower(4, self.stage4, x, deterministic)
         x = self.norm_2(x)
         cls_2 = x[:, 0:1, :]
 

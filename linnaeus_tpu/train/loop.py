@@ -227,6 +227,55 @@ class Trainer:
                 f"Sequence parallelism: attention rings over the "
                 f"{int(self.mesh.shape['model'])}-way model axis"
             )
+        pp_stages = int(config.PARALLEL.get("PIPELINE", {}).get("STAGES", 1))
+        if pp_stages > 1:
+            # GPipe pipeline over the model axis (parallel/pipeline.py):
+            # the RoPE towers' blocks spread one stage per device;
+            # microbatched activations ppermute along ICI. Param trees (and
+            # checkpoints) are identical to the sequential path — stacking
+            # happens inside the jitted forward.
+            model_axis = int(self.mesh.shape.get("model", 1))
+            if model_axis != pp_stages:
+                raise ValueError(
+                    f"PARALLEL.PIPELINE.STAGES={pp_stages} requires "
+                    f"PARALLEL.MESH.MODEL={pp_stages} (the stage count IS "
+                    f"the model-axis size; mesh has {model_axis})"
+                )
+            sharding_mode = str(
+                config.PARALLEL.get("PARAM_SHARDING", "replicated")
+            )
+            if sharding_mode in ("tp", "ep"):
+                raise ValueError(
+                    f"PARALLEL.PIPELINE and PARAM_SHARDING='{sharding_mode}'"
+                    " both claim the model axis; use 'replicated' or 'fsdp'"
+                    " with pipelining"
+                )
+            if bool(config.PARALLEL.get("SEQUENCE_PARALLEL", False)):
+                raise ValueError(
+                    "PARALLEL.PIPELINE and PARALLEL.SEQUENCE_PARALLEL both "
+                    "claim the model axis; pick one"
+                )
+            if not hasattr(self.model, "pipeline_mesh"):
+                raise ValueError(
+                    f"PARALLEL.PIPELINE: {config.MODEL.TYPE} has no "
+                    "pipelined tower path (mFormerV1 only)"
+                )
+            micro = int(
+                config.PARALLEL.PIPELINE.get("MICROBATCHES", 0)
+            ) or pp_stages
+            self.model = self.model.clone(
+                pipeline_mesh=self.mesh,
+                pipeline_microbatches=micro,
+                pipeline_batch_axis="data"
+                if int(self.mesh.shape.get("data", 1)) > 1 else None,
+            )
+            s4 = int(self.model.rope_depths[1])
+            logger.info(
+                f"Pipeline parallelism: stage-3 tower over {pp_stages} "
+                f"stages, {micro} microbatches"
+                + ("" if s4 % pp_stages == 0 else
+                   f" (stage-4 depth {s4} not divisible — runs sequential)")
+            )
         from linnaeus_tpu.optim import build_group_schedules
 
         self.group_schedules = build_group_schedules(

@@ -150,3 +150,103 @@ def test_pipeline_validates_divisibility():
             _block_fn, stack_layer_params(layers4), x, mesh,
             num_microbatches=2,
         )
+
+
+# ---------------------------------------------------------------- model-level
+def _pp_tiny_model(pipeline_mesh=None, microbatches=0):
+    """Tiny mFormerV1 with a pipelinable stage-3 tower (depth 2 = one block
+    per stage on a 2-way model axis). Per-block param trees are identical
+    with and without pipeline_mesh — checkpoints interoperate."""
+    from linnaeus_tpu.models import MFormerV1
+
+    return MFormerV1(
+        img_size=(32, 32),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=(8, 16, 32, 64),
+        rope_depths=(2, 2),
+        rope_dims=(32, 64),
+        rope_num_heads=(2, 2),
+        drop_path_rate=0.0,
+        meta_components=(("TEMPORAL", 2), ("SPATIAL", 3)),
+        task_keys=("taxa_L10", "taxa_L20"),
+        num_classes={"taxa_L10": 11, "taxa_L20": 5},
+        head_configs={
+            "taxa_L10": {"TYPE": "Linear"},
+            "taxa_L20": {"TYPE": "Linear"},
+        },
+        pipeline_mesh=pipeline_mesh,
+        pipeline_microbatches=microbatches,
+    )
+
+
+def test_mformer_v1_pipelined_towers_match_sequential():
+    """PARALLEL.PIPELINE semantics at the model level: cloning in a
+    pipeline_mesh routes BOTH RoPE towers (depths divisible by the stage
+    count) through pipeline_forward with logit parity vs the sequential
+    path on the same params."""
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    seq = _pp_tiny_model()
+    pp = _pp_tiny_model(pipeline_mesh=mesh, microbatches=2)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 32, 32, 3))
+    aux = jax.random.normal(jax.random.fold_in(rng, 1), (8, 5))
+    params = seq.init(jax.random.PRNGKey(1), x, aux)["params"]
+    want = seq.apply({"params": params}, x, aux, deterministic=True)
+    got = jax.jit(
+        lambda p, x, aux: pp.apply({"params": p}, x, aux, deterministic=True)
+    )(params, x, aux)
+    for t in ("taxa_L10", "taxa_L20"):
+        np.testing.assert_allclose(
+            np.asarray(got[t]), np.asarray(want[t]), atol=2e-5,
+        )
+
+
+def test_mformer_v1_pipelined_grads_match_sequential():
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    seq = _pp_tiny_model()
+    pp = _pp_tiny_model(pipeline_mesh=mesh, microbatches=2)
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (8, 32, 32, 3))
+    aux = jax.random.normal(jax.random.fold_in(rng, 1), (8, 5))
+    params = seq.init(jax.random.PRNGKey(1), x, aux)["params"]
+
+    def loss(model):
+        def f(p):
+            out = model.apply({"params": p}, x, aux, deterministic=True)
+            return sum(jnp.mean(v**2) for v in out.values())
+
+        return f
+
+    g_seq = jax.grad(loss(seq))(params)
+    g_pp = jax.jit(jax.grad(loss(pp)))(params)
+    leaves_seq = jax.tree_util.tree_leaves_with_path(g_seq)
+    leaves_pp = jax.tree_util.tree_leaves_with_path(g_pp)
+    assert len(leaves_seq) == len(leaves_pp)
+    for (k1, v1), (k2, v2) in zip(leaves_seq, leaves_pp):
+        assert k1 == k2
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), atol=5e-5,
+            err_msg=jax.tree_util.keystr(k1),
+        )
+
+
+def test_mformer_v1_pipeline_validations():
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    x = jnp.zeros((8, 32, 32, 3))
+    aux = jnp.zeros((8, 5))
+    from linnaeus_tpu.models import MFormerV1
+
+    # stage-3 depth not divisible by the stage count
+    bad = _pp_tiny_model(pipeline_mesh=mesh).clone(rope_depths=(3, 2))
+    with pytest.raises(ValueError, match="not divisible"):
+        bad.init(jax.random.PRNGKey(0), x, aux)
+    # stochastic depth can't thread through the pipelined scan
+    bad = _pp_tiny_model(pipeline_mesh=mesh).clone(drop_path_rate=0.1)
+    with pytest.raises(ValueError, match="DROP_PATH_RATE"):
+        bad.init(jax.random.PRNGKey(0), x, aux)
+    # MoE towers are non-uniform
+    bad = _pp_tiny_model(pipeline_mesh=mesh).clone(
+        moe_num_experts=4, moe_every_n=1
+    )
+    with pytest.raises(ValueError, match="uniform"):
+        bad.init(jax.random.PRNGKey(0), x, aux)

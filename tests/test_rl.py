@@ -179,3 +179,70 @@ def test_ppo_update_improves_objective(tree):
     assert np.isfinite(float(m1["total_loss"]))
     # value loss decreases as the critic fits the returns
     assert float(m2["value_loss"]) < float(m1["value_loss"])
+
+
+def test_provider_normalizes_uint8_images(tree):
+    """uint8 host batches must reach the policy in [0,1] — the jitted train
+    step normalizes on device (train/step.py:186-188), so the RL path has
+    to do it itself or a warm-started backbone sees 255x-scaled inputs."""
+
+    class U8Loader:
+        def __iter__(self):
+            yield {
+                "images": np.full((2, 8, 8, 3), 128, np.uint8),
+                "aux": np.zeros((2, 5), np.float32),
+                "targets": {
+                    "taxa_L10": np.array([1, 0]),
+                    "taxa_L20": np.array([2, 0]),
+                },
+            }
+
+    provider = LinnaeusRLProblemProvider(U8Loader(), tree)
+    obs, gt = provider.reset()
+    assert obs["image"].dtype == np.float32
+    np.testing.assert_allclose(obs["image"], 128 / 255.0, atol=1e-6)
+    # float loaders (host-augment path) pass through untouched
+    provider_f = LinnaeusRLProblemProvider(FakeLoader(), tree)
+    obs_f, _ = provider_f.reset()
+    assert obs_f["image"].dtype == np.float32
+
+
+def test_evaluate_abstention_metrics(tree):
+    """Precision/recall bookkeeping on a scripted policy: abstains on the
+    null sample + one known sample -> recall 1.0, precision 0.5."""
+    from linnaeus_tpu.rl.train_abstention import evaluate_abstention
+
+    class ScriptedPolicy:
+        def apply(self, params, im, aux, deterministic=True):
+            n = im.shape[0]
+            # leaf taxa_L10 has 4 classes + abstain (index 4):
+            # sample 0 -> abstain, 1 -> class 1 (correct), 2 -> abstain,
+            # 3 -> class 0 (wrong; target 3)
+            logits = np.full((n, 5), -10.0, np.float32)
+            choice = [4, 1, 4, 0]
+            for i in range(n):
+                logits[i, choice[i % 4]] = 10.0
+            return (
+                {"taxa_L10": jnp.asarray(logits),
+                 "taxa_L20": jnp.zeros((n, 4), jnp.float32)},
+                jnp.zeros((n,), jnp.float32),
+            )
+
+    class Loader:
+        def __iter__(self):
+            yield {
+                "images": np.zeros((4, 8, 8, 3), np.float32),
+                "aux": None,
+                # sample 0 is null (target 0); others known classes 1,2,3
+                "targets": {"taxa_L10": np.array([0, 1, 2, 3])},
+            }
+
+    m = evaluate_abstention(
+        ScriptedPolicy(), {}, Loader(), ("taxa_L10", "taxa_L20"),
+        {"taxa_L10": 4, "taxa_L20": 3}, max_samples=4,
+    )
+    assert m["samples"] == 4 and m["null_samples"] == 1
+    assert m["abstain_recall"] == 1.0      # the null sample was abstained
+    assert m["abstain_precision"] == 0.5   # 1 of 2 abstains was a null
+    # committed on samples 1 (correct) and 3 (wrong) -> 0.5
+    assert m["acc_when_committing_on_known"] == 0.5

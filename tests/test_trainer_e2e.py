@@ -792,3 +792,69 @@ def test_ep_sharding_requires_model_axis(data_dir, tmp_path):
     cfg.PARALLEL.PARAM_SHARDING = "ep"
     with pytest.raises(ValueError, match="MESH.MODEL"):
         Trainer(cfg)
+
+
+def test_trainer_pipeline_parallel_loss_parity(data_dir, tmp_path):
+    """PARALLEL.PIPELINE through the full Trainer: a (data=4, model=2) mesh
+    pipelines BOTH RoPE towers (depth 2 = one block per stage) with
+    per-step training-loss parity vs the identical run on the pure-dp mesh
+    — the pipelined forward/backward is exact, not approximate
+    (parallel/pipeline.py). Subprocess for the same XLA:CPU reshaped-mesh
+    late-compile segfault the TP test documents."""
+    import json
+    import subprocess
+    import sys
+
+    if os.environ.get("LINNAEUS_PP_TEST_INNER") != "1":
+        env = {**os.environ, "LINNAEUS_PP_TEST_INNER": "1"}
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             f"{__file__}::test_trainer_pipeline_parallel_loss_parity",
+             "-x", "-q"],
+            env=env, capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, (
+            f"inner PP test failed:\n{r.stdout[-3000:]}\n{r.stderr[-2000:]}"
+        )
+        return
+
+    from linnaeus_tpu.train.loop import Trainer
+
+    def losses(out_dir):
+        rows = []
+        with open(os.path.join(out_dir, "logs", "metrics.jsonl")) as f:
+            for line in f:
+                row = json.loads(line)
+                if "train/loss" in row:
+                    rows.append((row["step"], float(row["train/loss"])))
+        return dict(rows)
+
+    def run(name, **parallel):
+        cfg = make_config(data_dir, tmp_path / name, epochs=1)
+        cfg.EXPERIMENT.NAME = name
+        cfg.MODEL.ROPE_STAGES.DEPTHS = [2, 2]
+        cfg.SCHEDULE.METRICS.CONSOLE_INTERVAL = 1
+        # train/loss reaches metrics.jsonl on the WANDB cadence
+        cfg.SCHEDULE.METRICS.WANDB_INTERVAL = 1
+        for k, v in parallel.items():
+            setattr(cfg.PARALLEL.MESH, k.upper(), v) if k in (
+                "data", "model") else None
+        if parallel.get("pp"):
+            cfg.PARALLEL.PIPELINE.STAGES = 2
+            cfg.PARALLEL.PIPELINE.MICROBATCHES = 2
+        trainer = Trainer(cfg)
+        trainer.train()
+        trainer.train_loader.close()
+        run_dir = cfg.ENV.OUTPUT.DIRS.EXP_BASE
+        return losses(run_dir)
+
+    dp = run("pp_parity_dp")
+    pp = run("pp_parity_pp", data=4, model=2, pp=True)
+    assert dp and pp, (dp, pp)
+    common = sorted(set(dp) & set(pp))
+    assert len(common) >= 3
+    for s in common:
+        assert abs(dp[s] - pp[s]) < 1e-3, (
+            f"step {s}: dp loss {dp[s]} vs pp loss {pp[s]}"
+        )
