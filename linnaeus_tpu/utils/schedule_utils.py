@@ -203,6 +203,24 @@ def generate_schedule_plot(config, total_steps: int, output_path: str) -> str | 
     lr_fn = build_schedule(config, total_steps)
 
     steps = list(range(0, max(total_steps, 1), max(total_steps // 200, 1)))
+    # Evaluate the optax LR schedule in ONE vmapped call on the LOCAL CPU
+    # backend: per-point lr_fn(s) would dispatch ~200 tiny computations to
+    # the default device — on a remote/tunneled TPU that is 200 round
+    # trips, and a stalled tunnel wedges CLI startup inside a plot
+    # (observed 2026-08-21: the noflash control run sat 15 min here).
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            lr_values = [
+                float(v) for v in jax.device_get(
+                    jax.vmap(lr_fn)(jnp.asarray(steps))
+                )
+            ]
+    except Exception:  # exotic schedules: fall back to per-point eval
+        lr_values = [float(lr_fn(s)) for s in steps]
     fig, axes = plt.subplots(2, 1, figsize=(10, 7), sharex=True)
     axes[0].plot(steps, [sched.get_meta_mask_prob(s) for s in steps],
                  label="meta mask prob")
@@ -217,7 +235,7 @@ def generate_schedule_plot(config, total_steps: int, output_path: str) -> str | 
     axes[0].legend(loc="best")
     axes[0].set_title("schedule-driven probabilities")
 
-    axes[1].plot(steps, [float(lr_fn(s)) for s in steps], label="lr")
+    axes[1].plot(steps, lr_values, label="lr")
     axes[1].set_yscale("log")
     axes[1].set_ylabel("learning rate")
     axes[1].set_xlabel("optimizer step")
