@@ -18,12 +18,34 @@ from linnaeus_tpu.models.blocks.common import trunc_normal_init
 
 class LinnaeusPolicyWrapper(nn.Module):
     """Wraps a backbone (any module with ``forward_features``) into an
-    actor-critic for the abstention environment (multitask mode)."""
+    actor-critic for the abstention environment (multitask mode).
+
+    ``abstain_prior`` > 0 initializes each actor head's abstain-action bias
+    so the policy starts with ~that much probability mass on "abstain".
+    Without it the abstain action is 1 of n_cls+1 (1,000-way at the leaf) —
+    categorical sampling almost never explores it, so PPO gets no gradient
+    toward the abstention behavior the phase exists to learn (measured:
+    30 on-chip iterations moved reward -3.9→-3.0 purely through coarse-rank
+    classification; abstain_rate stayed 0.000). With the prior, PPO's job
+    becomes CALIBRATING the abstain/commit decision, which is the actual
+    phase-2 task."""
 
     backbone: nn.Module
     task_keys: tuple[str, ...]
     num_classes: Mapping[str, int]
     dtype: jnp.dtype = jnp.float32
+    abstain_prior: float = 0.0
+
+    def _abstain_bias_init(self, n_actions: int):
+        import numpy as np
+
+        p = float(min(max(self.abstain_prior, 1e-4), 0.95))
+        b = float(np.log(n_actions - 1) + np.log(p / (1.0 - p)))
+
+        def init(key, shape, dtype=jnp.float32):
+            return jnp.zeros(shape, dtype).at[-1].set(b)
+
+        return init
 
     @nn.compact
     def __call__(
@@ -37,9 +59,14 @@ class LinnaeusPolicyWrapper(nn.Module):
         action_logits = {}
         for t in self.task_keys:
             n = int(self.num_classes[t]) + 1  # + abstain
+            bias_init = (
+                self._abstain_bias_init(n)
+                if self.abstain_prior > 0
+                else nn.initializers.zeros
+            )
             action_logits[t] = nn.Dense(
-                n, kernel_init=trunc_normal_init, dtype=self.dtype,
-                name=f"actor_{t}",
+                n, kernel_init=trunc_normal_init, bias_init=bias_init,
+                dtype=self.dtype, name=f"actor_{t}",
             )(feats).astype(jnp.float32)
         value = nn.Dense(
             1, kernel_init=trunc_normal_init, dtype=self.dtype, name="critic"

@@ -90,6 +90,10 @@ def main(argv=None) -> None:
     parser.add_argument("--rollout-steps", type=int, default=128)
     parser.add_argument("--mode", default="multitask",
                         choices=["multitask", "sequential"])
+    parser.add_argument("--abstain-prior", type=float, default=0.0,
+                        help="initial probability mass on the abstain "
+                             "action (exploration prior; see "
+                             "rl/policies.py)")
     parser.add_argument("--eval-samples", type=int, default=0,
                         help="held-out samples for before/after abstention "
                              "precision/recall (0 = skip)")
@@ -135,6 +139,7 @@ def main(argv=None) -> None:
         backbone=model,
         task_keys=tuple(config.DATA.TASK_KEYS_H5),
         num_classes=bundle["num_classes"],
+        abstain_prior=float(args.abstain_prior),
     )
     params = policy.init(jax.random.PRNGKey(0), init_images, init_aux)
 
@@ -199,6 +204,7 @@ def main(argv=None) -> None:
             "mode": args.mode,
             "iterations": args.iterations,
             "steps_per_rollout": args.rollout_steps,
+            "abstain_prior": args.abstain_prior,
             "warm_start": latest or None,
             "reward_curve": [
                 [h["iteration"], round(h["mean_reward"], 4)] for h in history

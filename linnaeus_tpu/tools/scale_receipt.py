@@ -187,12 +187,21 @@ def phase_cli(labels: str, images: str, img: int, batch: int,
     optimizer-step log line, then terminate. This is the number a user
     feels at 1M rows: config -> processor -> sampler -> loader warm ->
     model init + first compile + step 1."""
+    import re
+    import shutil
+
     import yaml
 
-    cfg_path = os.path.join(out_dir, "scale_cli.yaml")
+    # UNIQUE output tree per invocation, wiped up front: TRAIN.AUTO_RESUME
+    # defaults True, so a leftover checkpoint from a previous size would be
+    # silently resumed (wrong dataset + schedule) and "step 1" never logs
+    tag = os.path.basename(labels).replace(".h5", "")
+    run_base = os.path.join(out_dir, f"cli_out_{tag}")
+    shutil.rmtree(run_base, ignore_errors=True)
+    cfg_path = os.path.join(out_dir, f"scale_cli_{tag}.yaml")
     cfg = {
         "EXPERIMENT": {"NAME": "scale_cli"},
-        "ENV": {"OUTPUT": {"BASE_DIR": os.path.join(out_dir, "cli_out")}},
+        "ENV": {"OUTPUT": {"BASE_DIR": run_base}},
         "DATA": {
             "TASK_KEYS_H5": ["taxa_L10", "taxa_L20", "taxa_L30", "taxa_L40"],
             "PARTIAL": {"LEVELS": True},
@@ -223,7 +232,8 @@ def phase_cli(labels: str, images: str, img: int, batch: int,
                 for t in ("taxa_L10", "taxa_L20", "taxa_L30", "taxa_L40")
             }},
         },
-        "TRAIN": {"EPOCHS": 1, "MIXED_PRECISION": {"ENABLED": False}},
+        "TRAIN": {"EPOCHS": 1, "MIXED_PRECISION": {"ENABLED": False},
+                  "AUTO_RESUME": False},
         "LR_SCHEDULER": {"WARMUP_EPOCHS": 0, "WARMUP_STEPS": 1,
                          "REFERENCE_BS": batch},
         "SCHEDULE": {"METRICS": {"CONSOLE_INTERVAL": 1}},
@@ -240,10 +250,11 @@ def phase_cli(labels: str, images: str, img: int, batch: int,
     )
     first_step_s = None
     lines: list[str] = []
+    step_re = re.compile(r"epoch \d+ step \d+ ")
     try:
         for line in proc.stdout:
             lines.append(line)
-            if " step 1 " in line or "step 1 grad" in line:
+            if step_re.search(line):
                 first_step_s = round(time.perf_counter() - t0, 1)
                 break
             if time.perf_counter() - t0 > timeout_s:

@@ -246,3 +246,41 @@ def test_evaluate_abstention_metrics(tree):
     assert m["abstain_precision"] == 0.5   # 1 of 2 abstains was a null
     # committed on samples 1 (correct) and 3 (wrong) -> 0.5
     assert m["acc_when_committing_on_known"] == 0.5
+
+
+def test_abstain_prior_initializes_action_mass(tree):
+    """abstain_prior=0.2 must put ~20% softmax mass on the abstain action
+    at init (exploration prior — without it the 1-of-1000 abstain action is
+    never sampled and PPO gets no abstention gradient)."""
+    from linnaeus_tpu.models import MFormerV1
+    from linnaeus_tpu.rl.policies import LinnaeusPolicyWrapper
+
+    backbone = MFormerV1(
+        img_size=(32, 32),
+        convnext_depths=(1, 1, 1, 1),
+        convnext_dims=(8, 16, 32, 64),
+        rope_depths=(1, 1),
+        rope_dims=(32, 64),
+        rope_num_heads=(2, 2),
+        drop_path_rate=0.0,
+        task_keys=TASKS,
+        num_classes={"taxa_L10": 4, "taxa_L20": 3},
+        head_configs={t: {"TYPE": "Linear"} for t in TASKS},
+    )
+    policy = LinnaeusPolicyWrapper(
+        backbone=backbone, task_keys=TASKS,
+        num_classes={"taxa_L10": 4, "taxa_L20": 3},
+        abstain_prior=0.2,
+    )
+    x = jnp.zeros((2, 32, 32, 3))
+    params = policy.init(jax.random.PRNGKey(0), x, None)
+    logits, _ = policy.apply(params, x, None)
+    for t in TASKS:
+        p_abstain = float(jax.nn.softmax(logits[t], -1)[0, -1])
+        assert 0.1 < p_abstain < 0.35, (t, p_abstain)
+    # prior off -> near-uniform abstain mass
+    flat_policy = policy.clone(abstain_prior=0.0)
+    params0 = flat_policy.init(jax.random.PRNGKey(0), x, None)
+    logits0, _ = flat_policy.apply(params0, x, None)
+    p0 = float(jax.nn.softmax(logits0["taxa_L10"], -1)[0, -1])
+    assert p0 < 0.5  # no special mass
