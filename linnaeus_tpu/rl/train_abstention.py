@@ -36,49 +36,83 @@ def evaluate_abstention(policy, params, loader, task_keys, num_classes,
     import jax.numpy as jnp
 
     leaf = task_keys[0]
-    n_leaf = int(num_classes[leaf])
 
     @jax.jit
     def greedy(p, im, aux):
         logits, _ = policy.apply(p, im, aux, deterministic=True)
-        return jnp.argmax(logits[leaf], axis=-1)
+        return (
+            {t: jnp.argmax(logits[t], axis=-1) for t in task_keys},
+            # P(abstain) at the leaf: the continuous selectivity readout —
+            # greedy argmax only flips once mass crosses the max class,
+            # but PPO's learning shows first as p_abstain(null) pulling
+            # away from p_abstain(known)
+            jax.nn.softmax(logits[leaf], axis=-1)[:, -1],
+        )
 
-    seen = tp = fp = fn = committed_correct = committed_known = 0
-    n_null = 0
+    stats = {
+        t: dict(tp=0, fp=0, fn=0, committed_correct=0, committed_known=0,
+                n_null=0)
+        for t in task_keys
+    }
+    seen = 0
+    p_abst_null: list[float] = []
+    p_abst_known: list[float] = []
     for batch in loader:
         im = np.asarray(batch["images"])
         if np.issubdtype(im.dtype, np.integer):
             im = im.astype(np.float32) / 255.0  # train-step convention
         aux = batch.get("aux")
         aux = jnp.asarray(aux) if aux is not None else None
-        tgt = np.asarray(batch["targets"][leaf])
-        t_idx = tgt.argmax(-1) if tgt.ndim > 1 else tgt
-        acts = np.asarray(jax.device_get(
-            greedy(params, jnp.asarray(im), aux)
-        ))
-        is_null = t_idx == null_index
-        # argmax == n_leaf is the explicit abstain action
-        abstain = acts >= n_leaf
-        tp += int((abstain & is_null).sum())
-        fp += int((abstain & ~is_null).sum())
-        fn += int((~abstain & is_null).sum())
-        commit_known = ~abstain & ~is_null
-        committed_known += int(commit_known.sum())
-        committed_correct += int((acts[commit_known] == t_idx[commit_known]).sum())
-        n_null += int(is_null.sum())
-        seen += len(t_idx)
+        acts_all, p_abst = jax.device_get(greedy(params, jnp.asarray(im), aux))
+        leaf_tgt = np.asarray(batch["targets"][leaf])
+        leaf_idx = leaf_tgt.argmax(-1) if leaf_tgt.ndim > 1 else leaf_tgt
+        p_abst = np.asarray(p_abst)
+        p_abst_null.extend(p_abst[leaf_idx == null_index].tolist())
+        p_abst_known.extend(p_abst[leaf_idx != null_index].tolist())
+        for t in task_keys:
+            if t not in batch["targets"]:
+                continue
+            n_t = int(num_classes[t])
+            tgt = np.asarray(batch["targets"][t])
+            t_idx = tgt.argmax(-1) if tgt.ndim > 1 else tgt
+            acts = np.asarray(acts_all[t])
+            is_null = t_idx == null_index
+            abstain = acts >= n_t  # the explicit abstain action
+            s = stats[t]
+            s["tp"] += int((abstain & is_null).sum())
+            s["fp"] += int((abstain & ~is_null).sum())
+            s["fn"] += int((~abstain & is_null).sum())
+            commit_known = ~abstain & ~is_null
+            s["committed_known"] += int(commit_known.sum())
+            s["committed_correct"] += int(
+                (acts[commit_known] == t_idx[commit_known]).sum()
+            )
+            s["n_null"] += int(is_null.sum())
+        seen += im.shape[0]
         if seen >= max_samples:
             break
-    return {
+
+    def _summ(s):
+        return {
+            "abstain_rate": round((s["tp"] + s["fp"]) / max(seen, 1), 4),
+            "abstain_precision": round(s["tp"] / max(s["tp"] + s["fp"], 1), 4),
+            "abstain_recall": round(s["tp"] / max(s["tp"] + s["fn"], 1), 4),
+            "acc_when_committing_on_known": round(
+                s["committed_correct"] / max(s["committed_known"], 1), 4
+            ),
+        }
+
+    out = {
         "samples": seen,
-        "null_samples": n_null,
-        "abstain_rate": round((tp + fp) / max(seen, 1), 4),
-        "abstain_precision": round(tp / max(tp + fp, 1), 4),
-        "abstain_recall": round(tp / max(tp + fn, 1), 4),
-        "acc_when_committing_on_known": round(
-            committed_correct / max(committed_known, 1), 4
-        ),
+        "null_samples": stats[leaf]["n_null"],
+        **_summ(stats[leaf]),  # leaf metrics at top level (stable keys)
+        "mean_p_abstain_on_null": round(float(np.mean(p_abst_null)), 4)
+        if p_abst_null else None,
+        "mean_p_abstain_on_known": round(float(np.mean(p_abst_known)), 4)
+        if p_abst_known else None,
+        "per_rank": {t: _summ(stats[t]) for t in task_keys},
     }
+    return out
 
 
 def main(argv=None) -> None:
@@ -90,6 +124,12 @@ def main(argv=None) -> None:
     parser.add_argument("--rollout-steps", type=int, default=128)
     parser.add_argument("--mode", default="multitask",
                         choices=["multitask", "sequential"])
+    parser.add_argument("--lr", type=float, default=None,
+                        help="PPO learning rate (default PPOConfig.lr; "
+                             "fresh actor heads on a frozen-quality "
+                             "backbone usually want 1e-4..3e-4)")
+    parser.add_argument("--entropy-coef", type=float, default=None,
+                        help="PPO entropy bonus (default PPOConfig)")
     parser.add_argument("--abstain-prior", type=float, default=0.0,
                         help="initial probability mass on the abstain "
                              "action (exploration prior; see "
@@ -177,9 +217,14 @@ def main(argv=None) -> None:
             bundle["num_classes"], args.eval_samples,
         )
         logger.info(f"abstention eval BEFORE PPO: {eval_before}")
+    ppo_cfg = PPOConfig()
+    if args.lr is not None:
+        ppo_cfg = ppo_cfg._replace(lr=float(args.lr))
+    if args.entropy_coef is not None:
+        ppo_cfg = ppo_cfg._replace(entropy_coef=float(args.entropy_coef))
     final_params, history = train_abstention_ppo(
         policy, params, env,
-        cfg=PPOConfig(),
+        cfg=ppo_cfg,
         num_iterations=args.iterations,
         steps_per_rollout=args.rollout_steps,
     )

@@ -38,7 +38,8 @@ import numpy as np
 
 def generate_dataset(prefix: str, n: int, img: int,
                      learnable: bool = False,
-                     null_frac: float = 0.0) -> tuple[str, str]:
+                     null_frac: float = 0.0,
+                     species: int = 999) -> tuple[str, str]:
     """File-backed HDF5 with the flagship's 4 task levels + 5-dim meta.
     Chunked one image per chunk (the random-access unit of the grouped
     sampler).
@@ -62,7 +63,10 @@ def generate_dataset(prefix: str, n: int, img: int,
     images_path = f"{prefix}_images.h5"
     rng = np.random.default_rng(0)
     if learnable:
-        l10 = 1 + (np.arange(n) * 7919) % 999  # fixed per-row species id
+        # fixed per-row species id; ``species`` < 999 concentrates samples
+        # per class (e.g. the CPU abstention receipt wants a backbone that
+        # actually classifies well, so fewer, denser classes)
+        l10 = 1 + (np.arange(n) * 7919) % species
         l20 = 1001 + (l10 - 1) % 399
         l30 = 1401 + (l20 - 1001) % 99
         l40 = 1501 + (l30 - 1401) % 29
