@@ -138,6 +138,16 @@ def main() -> None:
 
     start_entries = _cache_entries()
     record_cache_meta = {
+        # measured 2026-08-21: with cache_new_entries_224 == 0 (a TRUE
+        # persistent-cache hit) t_224_compile_s still ranged 15-450 s
+        # depending on host load — the time is cached-executable
+        # deserialization + remote program registration through the
+        # tunnel, not XLA compilation. Read t_*_compile_s as
+        # "first-call setup"; the cache_new_entries_* fields say whether
+        # XLA actually compiled.
+        "compile_note": "t_*_compile_s = first-call setup (cache load + "
+                        "remote registration); cache_new_entries_* = 0 "
+                        "means no XLA compile happened",
         "compile_cache_dir": cache_dir,
         "compile_cache_entries_at_start": len(start_entries),
         "compile_cache_bytes_at_start": sum(

@@ -23,6 +23,51 @@ import json
 import numpy as np
 
 
+def warm_start_actor_heads(policy_params: dict, backbone_params,
+                           task_keys, logger=None) -> list[str]:
+    """Copy each phase-1 Linear classification head into the matching actor
+    head's class columns, keeping the abstain column/bias from init (the
+    abstain-prior). The reference's phase-2 design adapts the TRAINED
+    classifier into the actor (policies.py:13-402); a fresh actor must
+    re-learn classification through the policy gradient — measured on-chip
+    and on CPU, it converges to the all-abstain local optimum instead.
+
+    Mutates ``policy_params['params']`` in place; returns the warmed task
+    keys. Heads whose geometry doesn't match (non-Linear types) are left
+    untouched."""
+    import jax.numpy as jnp
+
+    warmed: list[str] = []
+    heads = backbone_params.get("head", {})
+    for t in task_keys:
+        hp = dict(heads.get(f"head_{t}", {})).get("Dense_0")
+        ap = policy_params["params"].get(f"actor_{t}")
+        if hp is None or ap is None:
+            continue
+        k, b = hp["kernel"], hp["bias"]
+        ap = dict(ap)
+        ak, ab = ap["kernel"], ap["bias"]
+        if (
+            getattr(k, "ndim", 0) == 2
+            and k.shape[0] == ak.shape[0]
+            and k.shape[1] == ak.shape[1] - 1
+        ):
+            ap["kernel"] = jnp.concatenate(
+                [jnp.asarray(k, ak.dtype), ak[:, -1:]], axis=1
+            )
+            ap["bias"] = jnp.concatenate(
+                [jnp.asarray(b, ab.dtype), ab[-1:]], axis=0
+            )
+            policy_params["params"][f"actor_{t}"] = ap
+            warmed.append(t)
+            if logger is not None:
+                logger.info(
+                    f"Actor head actor_{t} warm-started from the phase-1 "
+                    f"classifier ({k.shape[1]} classes + abstain)"
+                )
+    return warmed
+
+
 def evaluate_abstention(policy, params, loader, task_keys, num_classes,
                         max_samples: int, null_index: int = 0) -> dict:
     """Greedy (argmax) policy metrics on a held-out loader.
@@ -124,6 +169,9 @@ def main(argv=None) -> None:
     parser.add_argument("--rollout-steps", type=int, default=128)
     parser.add_argument("--mode", default="multitask",
                         choices=["multitask", "sequential"])
+    parser.add_argument("--no-actor-warm-start", action="store_true",
+                        help="keep fresh random actor heads instead of "
+                             "copying the phase-1 classification heads")
     parser.add_argument("--lr", type=float, default=None,
                         help="PPO learning rate (default PPOConfig.lr; "
                              "fresh actor heads on a frozen-quality "
@@ -200,6 +248,10 @@ def main(argv=None) -> None:
         params["params"] = dict(params["params"])
         params["params"]["backbone"] = backbone_params
         logger.info(f"Warm-started backbone from {latest}")
+        if not args.no_actor_warm_start:
+            warm_start_actor_heads(
+                params, backbone_params, config.DATA.TASK_KEYS_H5, logger
+            )
     else:
         logger.warning("No phase-1 checkpoint found; training policy from scratch")
 

@@ -284,3 +284,46 @@ def test_abstain_prior_initializes_action_mass(tree):
     logits0, _ = flat_policy.apply(params0, x, None)
     p0 = float(jax.nn.softmax(logits0["taxa_L10"], -1)[0, -1])
     assert p0 < 0.5  # no special mass
+
+
+def test_warm_start_actor_heads_from_classifier():
+    """Phase-2 actor warm start: the Linear classification head's weights
+    land in the actor's class columns; the abstain column/bias (the
+    exploration prior) is preserved; mismatched geometries are skipped."""
+    from linnaeus_tpu.rl.train_abstention import warm_start_actor_heads
+
+    F, N = 8, 5
+    rng = np.random.default_rng(0)
+    head_k = rng.normal(size=(F, N)).astype(np.float32)
+    head_b = rng.normal(size=(N,)).astype(np.float32)
+    backbone_params = {
+        "head": {
+            "head_taxa_L10": {"Dense_0": {"kernel": jnp.asarray(head_k),
+                                          "bias": jnp.asarray(head_b)}},
+            # wrong geometry (hierarchical head): must be skipped
+            "head_taxa_L20": {"Dense_0": {"kernel": jnp.zeros((F, 9)),
+                                          "bias": jnp.zeros((9,))}},
+        }
+    }
+    actor_k = jnp.full((F, N + 1), 7.0)
+    actor_b = jnp.asarray([0.0] * N + [2.3])  # abstain prior bias
+    policy_params = {
+        "params": {
+            "actor_taxa_L10": {"kernel": actor_k, "bias": actor_b},
+            "actor_taxa_L20": {"kernel": jnp.full((F, 4), 7.0),
+                               "bias": jnp.zeros((4,))},
+        }
+    }
+    warmed = warm_start_actor_heads(
+        policy_params, backbone_params, ("taxa_L10", "taxa_L20")
+    )
+    assert warmed == ["taxa_L10"]
+    ap = policy_params["params"]["actor_taxa_L10"]
+    np.testing.assert_allclose(np.asarray(ap["kernel"][:, :N]), head_k)
+    np.testing.assert_allclose(np.asarray(ap["kernel"][:, N]), 7.0)  # abstain col kept
+    np.testing.assert_allclose(np.asarray(ap["bias"][:N]), head_b)
+    assert abs(float(ap["bias"][N]) - 2.3) < 1e-6  # abstain prior kept
+    # untouched head
+    np.testing.assert_allclose(
+        np.asarray(policy_params["params"]["actor_taxa_L20"]["kernel"]), 7.0
+    )
