@@ -125,7 +125,8 @@ def _path_key(path) -> tuple:
 def build_plan(arch: str, mesh_axes: dict[str, int], mode: str,
                batch: int, img: int, model=None,
                num_classes: dict[str, int] | None = None,
-               meta_dim: int = 5, remat: bool = False) -> dict:
+               meta_dim: int = 5, remat: bool = False,
+               microbatches: int = 0) -> dict:
     """``model``/``num_classes`` override the arch-preset construction
     (tests plan a tiny model so compiles stay fast). ``remat`` plans with
     gradient checkpointing (policy 'dots'), the knob that decides whether
@@ -174,6 +175,26 @@ def build_plan(arch: str, mesh_axes: dict[str, int], mode: str,
         apply_arch(cfg, arch)
         model = build_model(cfg, num_classes=num_classes)
 
+    if mode == "pp":
+        # GPipe pipeline over the model axis (the Trainer's
+        # PARALLEL.PIPELINE wiring): params stay replicated; the census
+        # shows the pipeline's collective-permute activation traffic.
+        # drop-path is forced off (the pp gate rejects stochastic depth,
+        # and planning doesn't execute numerics anyway).
+        if not hasattr(model, "pipeline_mesh"):
+            raise SystemExit(
+                "pp planning: this model has no pipelined tower path "
+                "(mFormerV1 only)"
+            )
+        model = model.clone(
+            pipeline_mesh=mesh,
+            pipeline_microbatches=int(microbatches)
+            or int(mesh_axes.get("model", 1)),
+            pipeline_batch_axis="data"
+            if int(mesh_axes.get("data", 1)) > 1 else None,
+            drop_path_rate=0.0, drop_rate=0.0, attn_drop_rate=0.0,
+        )
+
     # meta_dim default 5: TEMPORAL(2) + SPATIAL(3), the default components
     rng = jax.random.PRNGKey(0)
     images_sds = jax.ShapeDtypeStruct((batch, img, img, 3), jnp.float32)
@@ -182,13 +203,14 @@ def build_plan(arch: str, mesh_axes: dict[str, int], mode: str,
     params_sds = variables_sds["params"]
 
     repl = NamedSharding(mesh, P())
-    if mode == "dp":
+    if mode in ("dp", "pp"):  # pp: replicated state, pipelined compute
         param_shardings = jax.tree.map(lambda _: repl, params_sds)
     else:
         fn = PARAM_SHARDING_FNS.get(mode)
         if fn is None:
             raise SystemExit(
-                f"unknown mode {mode!r}; choose dp|{'|'.join(PARAM_SHARDING_FNS)}"
+                f"unknown mode {mode!r}; choose "
+                f"dp|pp|{'|'.join(PARAM_SHARDING_FNS)}"
             )
         param_shardings = fn(mesh, params_sds)
 
@@ -342,7 +364,11 @@ def main(argv=None) -> None:
     ap.add_argument("--mesh", default="data=8",
                     help="comma list of axis=size, e.g. data=4,model=2")
     ap.add_argument("--mode", default="fsdp",
-                    help="dp | fsdp | tp | ep (parallel/mesh.py)")
+                    help="dp | fsdp | tp | ep (parallel/mesh.py) | pp "
+                         "(PARALLEL.PIPELINE: GPipe towers over the model "
+                         "axis, replicated state)")
+    ap.add_argument("--microbatches", type=int, default=0,
+                    help="pp mode: microbatches per step (0 -> stage count)")
     ap.add_argument("--batch", type=int, default=128,
                     help="GLOBAL batch (must divide by the data axis)")
     ap.add_argument("--img", type=int, default=224)
@@ -373,7 +399,7 @@ def main(argv=None) -> None:
         mesh_axes[k.strip()] = int(v)
 
     plan = build_plan(args.arch, mesh_axes, args.mode, args.batch, args.img,
-                      remat=args.remat)
+                      remat=args.remat, microbatches=args.microbatches)
     plan["remat"] = bool(args.remat)
 
     out = json.dumps(plan, indent=2)

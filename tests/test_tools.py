@@ -443,3 +443,22 @@ def test_shard_plan_collective_census_parses_tuple_shapes():
     assert c["all-reduce"]["count"] == 2  # tuple + start (done skipped)
     assert c["all-reduce"]["bytes"] == (8 * 4 + 8 * 4 + 16 * 2) + 2 * 4
     assert c["all-gather"] == {"count": 1, "bytes": 64 * 3 * 4}
+
+
+def test_shard_plan_pp_mode(_tiny_plan_model):
+    """pp: replicated state + pipelined towers — the census must show
+    collective-permute traffic (the stage-to-stage activation hops) that
+    no other replicated mode produces."""
+    from linnaeus_tpu.tools.shard_plan import build_plan
+
+    model = _tiny_plan_model.clone(rope_depths=(2, 2))
+    plan = build_plan(
+        "tiny", {"data": 4, "model": 2}, "pp", batch=16, img=32,
+        model=model,
+        num_classes={"taxa_L10": 11, "taxa_L20": 5},
+        microbatches=2,
+    )
+    assert plan["param_bytes_per_device"] == plan["param_bytes_total"]
+    cp = plan["collectives_per_step"].get("collective-permute")
+    assert cp is not None and cp["count"] >= 1, plan["collectives_per_step"]
+    assert cp["bytes"] > 0
