@@ -90,11 +90,20 @@ def main() -> None:
     def _watchdog():
         if done.wait(max(DEADLINE_S - 20.0, 30.0)):
             return
-        rec = dict(watchdog_record) or {
-            "metric": "mFormerV1_sm_inference_images_per_sec_per_chip",
-            "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
-            "valid": False,
-        }
+        try:  # main may be mutating the dict mid-copy; retry once
+            rec = dict(watchdog_record)
+        except RuntimeError:
+            time.sleep(0.5)
+            rec = dict(watchdog_record)
+        # guarantee the core schema even when the hang hit mid-probe-1
+        # (cache-meta keys land before the metric does)
+        rec.setdefault(
+            "metric", "mFormerV1_sm_inference_images_per_sec_per_chip"
+        )
+        rec.setdefault("value", 0.0)
+        rec.setdefault("unit", "images/sec")
+        rec.setdefault("vs_baseline", 0.0)
+        rec.setdefault("valid", False)
         rec["watchdog_fired"] = True
         rec["watchdog_note"] = (
             "main thread hard-blocked (tunnel stall); record-so-far emitted "
@@ -150,11 +159,14 @@ def main() -> None:
                         "means no XLA compile happened",
         "compile_cache_dir": cache_dir,
         "compile_cache_entries_at_start": len(start_entries),
-        "compile_cache_bytes_at_start": sum(
+    }
+    try:  # entries can be evicted between listdir and stat — never fatal
+        record_cache_meta["compile_cache_bytes_at_start"] = sum(
             os.path.getsize(os.path.join(cache_dir, f))
             for f in start_entries
-        ) if cache_dir else 0,
-    }
+        ) if cache_dir else 0
+    except OSError:
+        record_cache_meta["compile_cache_bytes_at_start"] = -1
 
     def _cpu_init_params(model, img: int):
         """Initialize params on the LOCAL CPU backend and ship them to the

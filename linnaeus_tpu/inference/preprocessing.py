@@ -58,9 +58,16 @@ def preprocess_image_u8(image: Any, cfg: InferenceConfig) -> np.ndarray:
         # Rescale by the dtype range only when the VALUES actually exceed
         # uint8 — int32/int64 arrays holding ordinary 0-255 pixels (e.g.
         # np.asarray of a nested Python list) must pass through unchanged,
-        # not be crushed to black by a 255/iinfo.max factor.
+        # not be crushed to black by a 255/iinfo.max factor. The decision
+        # uses the 99.9th percentile, not max: one hot pixel (a stitching
+        # artifact at 300 in an otherwise 0-255 image) must clip, not drag
+        # the whole image to near-black via a dtype-range rescale.
         info = np.iinfo(arr.dtype)
-        if info.max > 255 and arr.size and int(arr.max()) > 255:
+        if (
+            info.max > 255
+            and arr.size
+            and float(np.percentile(arr, 99.9)) > 255.0
+        ):
             arr = arr.astype(np.float64) * (255.0 / info.max)
         arr = np.clip(arr, 0, 255)
     # any other dtype (incl. bool, which is not an np.integer subtype and

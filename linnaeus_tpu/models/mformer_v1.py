@@ -348,34 +348,6 @@ class MFormerV1(nn.Module):
             name="head",
         )
 
-    def _pp_proto(self, stage: int) -> RoPE2DMHSABlock:
-        """Detached (parent=None) block with the given RoPE tower's exact
-        geometry — the pure ``(params, h) -> h`` function the pipeline
-        applies. drop/attn_drop/drop_path are 0 by the setup() gate, so no
-        RNG threads are needed inside the pipelined scan."""
-        i = stage - 3
-        return RoPE2DMHSABlock(
-            dim=self.rope_dims[i],
-            img_grid_size=self._grid3 if stage == 3 else self._grid4,
-            extra_token_num=self.extra_token_num,
-            num_heads=self.rope_num_heads[i],
-            mlp_ratio=self.rope_mlp_ratio[i],
-            rope_theta=self.rope_theta,
-            rope_mixed=self.rope_mixed,
-            qkv_bias=True,
-            drop=0.0,
-            attn_drop=0.0,
-            drop_path=0.0,
-            use_flash_attn=self.use_flash_attn,
-            rope_fidelity=self.rope_fidelity,
-            rope_deinterleave=self.rope_deinterleave,
-            act_exact=self.act_exact,
-            attn_fp32_softmax=self.attn_fp32_softmax,
-            use_moe=False,
-            dtype=self.dtype,
-            parent=None,
-        )
-
     def _rope_tower(
         self, stage: int, blocks, x: jnp.ndarray, deterministic: bool
     ) -> jnp.ndarray:
@@ -408,7 +380,14 @@ class MFormerV1(nn.Module):
         stacked = stack_layer_params(
             [dict(blk.variables["params"]) for blk in blocks]
         )
-        proto = self._pp_proto(stage)
+        # The proto is block 0 DETACHED (parent=None): every configured
+        # flag — and the nn.remat wrapper under gradient_checkpointing —
+        # flows through automatically instead of being hand-mirrored (a
+        # hand-copied arg list silently diverges when a block flag is
+        # added; and dropping remat here would OOM exactly the
+        # beyond-one-chip geometries pipelining exists for). Blocks are
+        # uniform by the setup() gate, so block 0 IS the tower geometry.
+        proto = blocks[0].clone(parent=None)
 
         def block_fn(p, h):
             return proto.apply({"params": p}, h, deterministic)

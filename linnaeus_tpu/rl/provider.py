@@ -12,6 +12,17 @@ from typing import Any, Iterator
 import numpy as np
 
 
+def normalize_host_images(arr: np.ndarray) -> np.ndarray:
+    """uint8 host pipeline -> [0,1] float32 — the jitted train step's
+    convention (train/step.py:186-188) for HOST-side consumers (RL
+    rollouts/evals have no jitted preprocess). One shared helper so the
+    RL paths can't drift from each other if the convention changes."""
+    arr = np.asarray(arr)
+    if np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(np.float32) / 255.0
+    return arr
+
+
 class LinnaeusRLProblemProvider:
     def __init__(self, dataloader, taxonomy_tree, null_index: int = 0):
         self.dataloader = dataloader
@@ -35,14 +46,9 @@ class LinnaeusRLProblemProvider:
                 self._pos = 0
             i = self._pos
             self._pos += 1
-            img = np.asarray(self._batch["images"][i])
-            if np.issubdtype(img.dtype, np.integer):
-                # the uint8 host pipeline is normalized to [0,1] INSIDE the
-                # jitted train step (train/step.py:186-188); the RL path has
-                # no such step, so normalize here — a warm-started backbone
-                # otherwise sees 255x-scaled inputs and its features are
-                # garbage
-                img = img.astype(np.float32) / 255.0
+            # normalize here — a warm-started backbone otherwise sees
+            # 255x-scaled inputs and its features are garbage
+            img = normalize_host_images(self._batch["images"][i])
             return {
                 "image": img,
                 "aux": np.asarray(self._batch["aux"][i])

@@ -44,7 +44,9 @@ def warm_start_actor_heads(policy_params: dict, backbone_params,
         ap = policy_params["params"].get(f"actor_{t}")
         if hp is None or ap is None:
             continue
-        k, b = hp["kernel"], hp["bias"]
+        k, b = hp.get("kernel"), hp.get("bias")
+        if k is None or b is None:  # e.g. USE_BIAS: False heads — skip
+            continue
         ap = dict(ap)
         ak, ab = ap["kernel"], ap["bias"]
         if (
@@ -102,10 +104,10 @@ def evaluate_abstention(policy, params, loader, task_keys, num_classes,
     seen = 0
     p_abst_null: list[float] = []
     p_abst_known: list[float] = []
+    from .provider import normalize_host_images
+
     for batch in loader:
-        im = np.asarray(batch["images"])
-        if np.issubdtype(im.dtype, np.integer):
-            im = im.astype(np.float32) / 255.0  # train-step convention
+        im = normalize_host_images(batch["images"])
         aux = batch.get("aux")
         aux = jnp.asarray(aux) if aux is not None else None
         acts_all, p_abst = jax.device_get(greedy(params, jnp.asarray(im), aux))

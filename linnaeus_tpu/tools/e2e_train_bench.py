@@ -36,6 +36,34 @@ import time
 import numpy as np
 
 
+def hierarchy_labels(n: int, species: int = 999, null_frac: float = 0.0,
+                     learnable: bool = True,
+                     rng: np.random.Generator | None = None):
+    """The canonical synthetic 4-level taxonomy (999/399/99/29 id ranges):
+    returns ``(l10, l20, l30, l40, nulls)``. Shared by this bench's
+    generator AND tools/scale_receipt.py so the two cannot drift."""
+    rng = rng or np.random.default_rng(0)
+    if learnable:
+        # fixed per-row species id; ``species`` < 999 concentrates samples
+        # per class (e.g. the CPU abstention receipt wants a backbone that
+        # actually classifies well, so fewer, denser classes)
+        l10 = 1 + (np.arange(n) * 7919) % species
+        l20 = 1001 + (l10 - 1) % 399
+        l30 = 1401 + (l20 - 1001) % 99
+        l40 = 1501 + (l30 - 1401) % 29
+    else:
+        l10 = rng.integers(1, 1000, n)
+        l20 = rng.integers(1001, 1400, n)
+        l30 = rng.integers(1401, 1500, n)
+        l40 = rng.integers(1501, 1530, n)
+    nulls = np.zeros(n, bool)
+    if null_frac > 0:
+        nulls = rng.random(n) < float(null_frac)
+        for lv in (l10, l20, l30, l40):
+            lv[nulls] = 0
+    return l10, l20, l30, l40, nulls
+
+
 def generate_dataset(prefix: str, n: int, img: int,
                      learnable: bool = False,
                      null_frac: float = 0.0,
@@ -62,24 +90,9 @@ def generate_dataset(prefix: str, n: int, img: int,
     labels_path = f"{prefix}_labels.h5"
     images_path = f"{prefix}_images.h5"
     rng = np.random.default_rng(0)
-    if learnable:
-        # fixed per-row species id; ``species`` < 999 concentrates samples
-        # per class (e.g. the CPU abstention receipt wants a backbone that
-        # actually classifies well, so fewer, denser classes)
-        l10 = 1 + (np.arange(n) * 7919) % species
-        l20 = 1001 + (l10 - 1) % 399
-        l30 = 1401 + (l20 - 1001) % 99
-        l40 = 1501 + (l30 - 1401) % 29
-    else:
-        l10 = rng.integers(1, 1000, n)
-        l20 = rng.integers(1001, 1400, n)
-        l30 = rng.integers(1401, 1500, n)
-        l40 = rng.integers(1501, 1530, n)
-    nulls = np.zeros(n, bool)
-    if null_frac > 0:
-        nulls = rng.random(n) < float(null_frac)
-        for lv in (l10, l20, l30, l40):
-            lv[nulls] = 0
+    l10, l20, l30, l40, nulls = hierarchy_labels(
+        n, species=species, null_frac=null_frac, learnable=learnable, rng=rng
+    )
     with h5py.File(labels_path, "w") as f:
         f.create_dataset(
             "img_identifiers", data=np.array([f"i{i}" for i in range(n)], "S12")

@@ -40,18 +40,17 @@ import numpy as np
 
 # ----------------------------------------------------------------- dataset
 def generate_labels(path: str, n: int) -> None:
-    """Hierarchy-consistent 4-level labels + 5-dim meta, same taxonomy
-    shape as the e2e bench generator (999/399/99/29 classes + nulls)."""
+    """Hierarchy-consistent 4-level labels + 5-dim meta via the SHARED
+    taxonomy generator (tools/e2e_train_bench.py::hierarchy_labels — one
+    source so the scale receipt can't drift from the e2e bench); ~2%
+    all-level nulls keep the partial-label path exercised."""
     import h5py
 
+    from linnaeus_tpu.tools.e2e_train_bench import hierarchy_labels
+
     rng = np.random.default_rng(0)
-    l10 = (1 + (np.arange(n) * 7919) % 999).astype(np.int64)
-    l20 = 1001 + (l10 - 1) % 399
-    l30 = 1401 + (l20 - 1001) % 99
-    l40 = 1501 + (l30 - 1401) % 29
-    # ~2% nulls at the leaf level (partial-label path stays exercised)
-    nulls = rng.random(n) < 0.02
-    l10[nulls] = 0
+    l10, l20, l30, l40, _ = hierarchy_labels(n, null_frac=0.02, rng=rng)
+    l10 = l10.astype(np.int64)
     with h5py.File(path, "w") as f:
         f.create_dataset(
             "img_identifiers",

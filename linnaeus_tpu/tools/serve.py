@@ -125,9 +125,13 @@ class MicroBatcher:
             self._cv.notify_all()
         if not p.done.wait(self.request_deadline or None):
             with self._cv:
+                # mark BEFORE removing, under the lock: if the worker is
+                # between "saw p queued" and "popped p", the expired flag
+                # makes _take_batch_locked's skip a real second line of
+                # defense rather than dead code
+                p.expired = True
                 if p in self._queue:  # never dispatched — free to drop
                     self._queue.remove(p)
-            p.expired = True  # worker may still finish it; result discarded
             raise DeadlineExceededError(
                 f"request exceeded the {self.request_deadline * 1e3:.0f} ms "
                 f"server deadline"

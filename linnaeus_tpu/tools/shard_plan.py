@@ -186,6 +186,12 @@ def build_plan(arch: str, mesh_axes: dict[str, int], mode: str,
                 "pp planning: this model has no pipelined tower path "
                 "(mFormerV1 only)"
             )
+        if "model" not in mesh_axes or int(mesh_axes["model"]) < 2:
+            raise SystemExit(
+                "pp planning needs a model axis with >= 2 stages — e.g. "
+                "--mesh data=4,model=2 (the stage count IS the model-axis "
+                "size)"
+            )
         model = model.clone(
             pipeline_mesh=mesh,
             pipeline_microbatches=int(microbatches)

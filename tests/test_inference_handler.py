@@ -366,3 +366,20 @@ def test_maybe_to_typus_fallback_without_typus():
 
     local = HierarchicalClassificationResult(taxonomy_context={}, tasks=[])
     assert maybe_to_typus(local) is local
+
+
+def test_hot_pixel_does_not_trigger_dtype_rescale(bundle):
+    """A single outlier above 255 in an otherwise 0-255-scale integer image
+    must CLIP, not flip the whole image into a 255/iinfo.max rescale
+    (one stitching artifact would otherwise blacken the input)."""
+    from linnaeus_tpu.inference.preprocessing import preprocess_image_u8
+
+    handler = LinnaeusInferenceHandler.load_from_artifacts(bundle / "config.yaml")
+    cfg = handler.config
+    u8 = np.random.default_rng(13).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    hot = u8.astype(np.int32)
+    hot[5, 5, 0] = 300  # the artifact
+    got = preprocess_image_u8(hot, cfg)
+    expect = u8.copy()
+    expect[5, 5, 0] = 255  # clipped
+    np.testing.assert_array_equal(got, expect)

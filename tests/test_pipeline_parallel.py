@@ -250,3 +250,38 @@ def test_mformer_v1_pipeline_validations():
     )
     with pytest.raises(ValueError, match="uniform"):
         bad.init(jax.random.PRNGKey(0), x, aux)
+
+
+def test_mformer_v1_pipelined_remat_matches_sequential():
+    """gradient_checkpointing must survive the pipeline route: the proto is
+    blocks[0] cloned (keeps the nn.remat wrapper), so grads match the
+    sequential remat'd path — and memory behavior is remat's, not full
+    activation storage (the beyond-one-chip configs pp exists for need it)."""
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    seq = _pp_tiny_model().clone(gradient_checkpointing=True)
+    pp = _pp_tiny_model(pipeline_mesh=mesh, microbatches=2).clone(
+        gradient_checkpointing=True
+    )
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, (8, 32, 32, 3))
+    aux = jax.random.normal(jax.random.fold_in(rng, 1), (8, 5))
+    params = seq.init(jax.random.PRNGKey(1), x, aux)["params"]
+
+    def loss(model):
+        def f(p):
+            out = model.apply({"params": p}, x, aux, deterministic=True)
+            return sum(jnp.mean(v**2) for v in out.values())
+
+        return f
+
+    g_seq = jax.grad(loss(seq))(params)
+    g_pp = jax.jit(jax.grad(loss(pp)))(params)
+    for (k1, v1), (k2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(g_seq),
+        jax.tree_util.tree_leaves_with_path(g_pp),
+    ):
+        assert k1 == k2
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), atol=5e-5,
+            err_msg=jax.tree_util.keystr(k1),
+        )
